@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import graft.core.Tables
+
+/** Windowed / grouped aggregations from SURVEY.md §2.5 plus the serving
+  * layer (A7) and the ReplacingMergeTree reader view (K5), as verifiable
+  * batch queries. Tumbling windows use functions.window aligned to the epoch,
+  * matching the oracle's floor(epoch/N)*N arithmetic exactly.
+  *
+  * Exactness: measure sums run through DECIMAL(18,2) (order-independent,
+  * bit-identical to DuckDB) and cast to DOUBLE at the end; distinct counts
+  * are exact (COUNT DISTINCT), matching the reference's Set-union semantics
+  * (RT/app/dws/ProductStatsApp.java:205-242) rather than an approximation.
+  */
+object AggOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** A1 — tumbling 10s window + keyed measure sums with window start/end
+    * stamping (RT/app/dws/VisitorStatsApp.java:111-149). Computes TRUE sums
+    * for every measure — deliberately not replicating the reference reducer
+    * bug (see SURVEY §2.5 semantics note). */
+  val a1VisitorWindow = OpQuery(
+    "a1_visitor_window",
+    "10s tumbling event-time window agg with stt/edt stamping (VisitorStatsApp)",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 seconds").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("pv_ct"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("dur_sum"))
+        .select(
+          date_format(col("w.start"), fmt).as("stt"),
+          date_format(col("w.end"), fmt).as("edt"),
+          col("event_type"), col("pv_ct"), col("dur_sum"))
+        .orderBy("stt", "event_type"),
+    Some("""WITH w AS (
+              SELECT to_timestamp(CAST(floor(epoch(ts) / 10) * 10 AS BIGINT)) AS ws,
+                     event_type, value
+              FROM events)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt,
+                   strftime(ws + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS pv_ct,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+            FROM w GROUP BY ws, event_type
+            ORDER BY stt, event_type"""))
+
+  /** A2 — grouped agg with EXACT distinct-id counts + one-hot measure sums
+    * (RT/app/dws/ProductStatsApp.java:203-242: per-sku sums + orderIdSet
+    * size; COUNT DISTINCT replaces the Set-union accumulator). */
+  val a2ProductStats = OpQuery(
+    "a2_product_stats",
+    "grouped sums + exact count-distinct (ProductStatsApp Set-union analog)",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("click_ct"),
+          countDistinct(when(col("event_type") === "purchase", col("event_id")))
+            .as("order_ct"),
+          sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)
+            .cast("decimal(18,2)")).cast("double").as("order_amount"))
+        .orderBy("user_id"),
+    Some("""SELECT user_id,
+            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_ct,
+            CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN event_id END) AS BIGINT) AS order_ct,
+            CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+                          AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** A3 — SQL-style windowed agg by region dims with count(distinct order)
+    * (RT/app/dws/ProvinceStatsSqlApp.java:53-72; nation stands in for
+    * province, 1-day tumbling window over o_orderdate). */
+  val a3ProvinceStats = OpQuery(
+    "a3_province_stats",
+    "per-dim tumbling window agg + distinct orders (ProvinceStatsSqlApp)",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(window(col("o_orderdate"), "1 day").as("w"), col("n_name"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("order_count"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("order_amount"))
+        .select(
+          date_format(col("w.start"), fmt).as("stt"),
+          date_format(col("w.end"), fmt).as("edt"),
+          col("n_name").as("province_name"), col("order_count"), col("order_amount"))
+        .orderBy("stt", "province_name")
+    },
+    Some("""WITH w AS (
+              SELECT to_timestamp(CAST(floor(epoch(o_orderdate) / 86400) * 86400 AS BIGINT)) AS ws,
+                     n_name, o_orderkey, o_totalprice
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt,
+                   strftime(ws + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+                   n_name AS province_name,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS order_count,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+            FROM w GROUP BY ws, n_name
+            ORDER BY stt, province_name"""))
+
+  /** A4 — keyword stats: tokenizer UDTF + per-word count with a literal
+    * source tag (RT/app/dws/KeywordStatsApp.java:55-75). */
+  val a4KeywordStats = OpQuery(
+    "a4_keyword_stats",
+    "tokenize + explode + per-word count (KeywordStatsApp split_words)",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("ct"))
+        .select(col("word"), lit("search").as("source"), col("ct"))
+        .orderBy("word"),
+    Some("""SELECT word, 'search' AS source, CAST(count(*) AS BIGINT) AS ct
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE length(word) > 0
+            GROUP BY word ORDER BY word"""))
+
+  /** A7 — serving-layer top-N: group/having/order/limit
+    * (PUB/mapper/ProductStatsMapper.java:20-24: spu revenue top N;
+    * p_brand stands in for spu). Deterministic tie-break on brand. */
+  val a7ServingTopN = OpQuery(
+    "a7_serving_topn",
+    "serving SQL: grouped revenue + having + order by + limit (ProductStatsMapper)",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val p = t(s, dir, "part").select("p_partkey", "p_brand")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            ((lit(1) - col("l_discount")).cast("decimal(8,4)")))
+          .cast("double").as("order_amount"))
+        .filter(col("order_amount") > 0)
+        .orderBy(col("order_amount").desc, col("p_brand"))
+        .limit(10)
+    },
+    Some("""SELECT p_brand,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS order_amount
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand HAVING order_amount > 0
+            ORDER BY order_amount DESC, p_brand LIMIT 10"""))
+
+  /** K5/§2.8 — ReplacingMergeTree(ts) reader view: latest version per key
+    * (DDL comments RT/app/dws/ProductStatsApp.java:337-339): one
+    * row_number over (key ORDER BY ts DESC) = 1. */
+  val k5LatestVersion = OpQuery(
+    "k5_latest_version",
+    "ReplacingMergeTree-style latest-row-per-key dedup view",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value").cast("double").as("value"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id, CAST(value AS DOUBLE) AS value
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  val all: Seq[OpQuery] = Seq(
+    a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
+    a7ServingTopN, k5LatestVersion)
+}

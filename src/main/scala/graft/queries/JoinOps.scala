@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import graft.core.Tables
+
+/** Joins from SURVEY.md §2.4 as verifiable batch queries.
+  * The streaming stream-stream variants live in graft.streaming; these
+  * exercise the same join semantics (equi key + time-range predicate,
+  * broadcast dim enrichment, config-broadcast routing) on the batch engine,
+  * where the DuckDB oracle can check them exactly.
+  */
+object JoinOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** J1 — interval join, symmetric bounds (RT/app/dwm/OrderWideApp.java:77-85:
+    * order ⋈ detail on id within ±5s; here orders ⋈ lineitem on orderkey with
+    * l_shipdate ∈ [o_orderdate, o_orderdate+30d]). Equi-key + range predicate:
+    * Catalyst plans the equi part as the join key, range as post-filter —
+    * a shuffled hash/sort-merge join on the key, NOT a cartesian. */
+  val j1IntervalJoin = OpQuery(
+    "j1_interval_join",
+    "keyed interval join with time-range predicate (OrderWideApp order⋈detail analog)",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      val l = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+      l.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate").between(
+            col("o_orderdate"), col("o_orderdate") + expr("INTERVAL 30 DAYS")))
+        .select(
+          col("o_orderkey"), col("l_linenumber"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+          col("l_extendedprice").cast("double").as("amount"))
+        .orderBy("o_orderkey", "l_linenumber", "ship_date", "amount")
+    },
+    Some("""SELECT o_orderkey, l_linenumber,
+            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+            strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+            CAST(l_extendedprice AS DOUBLE) AS amount
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             AND l_shipdate >= o_orderdate
+             AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+            ORDER BY o_orderkey, l_linenumber, ship_date, amount"""))
+
+  /** J2 — interval join, asymmetric bounds (RT/app/dwm/PaymentWideApp.java:78-86:
+    * payment ⋈ order_wide with order.ts ∈ [pay.ts−15min, pay.ts+5s]; here
+    * purchase events ⋈ signup events of the same user in that window). */
+  val j2IntervalJoinAsym = OpQuery(
+    "j2_interval_join_asym",
+    "asymmetric-bounds interval join (PaymentWideApp payment⋈order_wide analog)",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val pay = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pay_id"), col("user_id").as("pay_user"), col("ts").as("pay_ts"))
+      val ord = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("ord_id"), col("user_id").as("ord_user"), col("ts").as("ord_ts"))
+      pay.join(ord, col("pay_user") === col("ord_user") &&
+          col("ord_ts").between(
+            col("pay_ts") - expr("INTERVAL 15 MINUTES"),
+            col("pay_ts") + expr("INTERVAL 5 SECONDS")))
+        .select(col("pay_id"), col("ord_id"), col("pay_user").as("user_id"))
+        .orderBy("pay_id", "ord_id")
+    },
+    Some("""SELECT p.event_id AS pay_id, o.event_id AS ord_id, p.user_id AS user_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'signup') o
+              ON p.user_id = o.user_id
+             AND o.ts >= p.ts - INTERVAL 15 MINUTE
+             AND o.ts <= p.ts + INTERVAL 5 SECOND
+            ORDER BY pay_id, ord_id"""))
+
+  /** J3 — dimension enrichment: fact joined to a chain of small dims, each
+    * broadcast (RT/utils/DimAsyncFunction.java:28-53 + the ×10 call sites in
+    * OrderWideApp/ProductStatsApp). The reference does async point lookups
+    * with a Redis cache; on Spark the whole dim snapshot broadcasts once per
+    * batch — cache, invalidation and thread pool all collapse into
+    * broadcast-hash-join. */
+  val j3DimEnrichment = OpQuery(
+    "j3_dim_enrichment",
+    "multi-dim broadcast enrichment join chain (DimAsyncFunction ×6 analog)",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      val p = t(s, dir, "part").select("p_partkey", "p_name")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val r = t(s, dir, "region").select("r_regionkey", "r_name")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left")
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"), "left")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("p_name"), col("s_name"), col("n_name"), col("r_name"))
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data —
+        // sort by every column for a deterministic row order
+        .orderBy("l_orderkey", "l_linenumber", "p_name", "s_name", "n_name", "r_name")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, p_name, s_name, n_name, r_name
+            FROM lineitem
+            LEFT JOIN part ON l_partkey = p_partkey
+            LEFT JOIN supplier ON l_suppkey = s_suppkey
+            LEFT JOIN nation ON s_nationkey = n_nationkey
+            LEFT JOIN region ON n_regionkey = r_regionkey
+            ORDER BY l_orderkey, l_linenumber, p_name, s_name, n_name, r_name"""))
+
+  /** J4 — broadcast config-table routing (RT/app/dwd/BaseDBApp.java:74-106 +
+    * TableProcessFunction: each record looks up (sourceTable,type) in a tiny
+    * config map, gets a sinkTable tag and a kafka-vs-hbase route; unknown
+    * keys dropped). Config is an inline DataFrame here; in the streaming
+    * layer it is re-read per micro-batch. */
+  val j4ConfigRouting = OpQuery(
+    "j4_config_routing",
+    "broadcast config join + sink routing (BaseDBApp/TableProcessFunction analog)",
+    (s, dir) => {
+      import s.implicits._
+      val cfg = Seq(
+        ("view", "kafka", "dwd_view_log"),
+        ("click", "kafka", "dwd_click_log"),
+        ("purchase", "hbase", "dim_purchase"),
+        ("signup", "kafka", "dwd_signup_log"))
+        .toDF("source_type", "sink_type", "sink_table")
+      t(s, dir, "events")
+        .join(broadcast(cfg), col("event_type") === col("source_type"))
+        .filter(col("sink_type") === "kafka") // the kafka route; hbase route = complement
+        .select(col("event_id"), col("event_type"), col("sink_table"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, event_type, sink_table
+            FROM events
+            JOIN (VALUES ('view','kafka','dwd_view_log'),
+                         ('click','kafka','dwd_click_log'),
+                         ('purchase','hbase','dim_purchase'),
+                         ('signup','kafka','dwd_signup_log'))
+                 AS cfg(source_type, sink_type, sink_table)
+              ON event_type = source_type
+            WHERE sink_type = 'kafka'
+            ORDER BY event_id"""))
+
+  val all: Seq[OpQuery] =
+    Seq(j1IntervalJoin, j2IntervalJoinAsym, j3DimEnrichment, j4ConfigRouting)
+}

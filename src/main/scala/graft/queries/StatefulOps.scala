@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Batch-verifiable analogs of the reference's keyed-state streaming
+  * operators (SURVEY.md §2.5 A5/A6, §2.6 C1). The true streaming
+  * implementations (flatMapGroupsWithState with TTL / event-time timeout)
+  * live in graft.streaming and are covered by ScalaTest; these queries pin
+  * the SEMANTICS against the DuckDB oracle on the same data.
+  */
+object StatefulOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** A5 — UV dedup: first visit per (mid, day)
+    * (RT/app/dwm/UniqueVisitApp.java:42-78: per-mid ValueState of last seen
+    * date, 24h TTL ⇒ batch semantics = first event of each user-day). */
+  val a5UvDedup = OpQuery(
+    "a5_uv_dedup",
+    "first-visit-per-day dedup (UniqueVisitApp keyed-state analog)",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("event_id"))
+        .orderBy("user_id", "dt")
+    },
+    Some("""SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt, event_id
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id, CAST(ts AS DATE)
+                    ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id, dt"""))
+
+  /** A6 — is_new flag repair: a visitor can only be "new" on their first
+    * event ever (RT/app/dwd/BaseLogApp.java:52-77: per-mid seen-flag
+    * ValueState rewrites is_new 1→0 on later visits). */
+  val a6IsNewRepair = OpQuery(
+    "a6_is_new_repair",
+    "new-visitor flag repair via first-ever-event state (BaseLogApp analog)",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .select(col("event_id"), col("user_id"),
+          when(col("rn") === 1, 1L).otherwise(0L).as("is_new"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+            CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_new
+            FROM (SELECT event_id, user_id, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                  FROM events)
+            ORDER BY event_id"""))
+
+  /** C1 — bounce detection (RT/app/dwm/UserJumpDetailApp.java:77-124 CEP:
+    * session-entry event followed within 10s by another entry, or by
+    * nothing ⇒ bounce). Batch analog over per-user event sequences:
+    * entry = gap>30s from previous event (or first); bounce = entry whose
+    * next event is absent or >10s later. Exact integer µs arithmetic. */
+  val c1BounceDetect = OpQuery(
+    "c1_bounce_detect",
+    "CEP bounce: entry-with-no-follow-up-within-10s (UserJumpDetailApp analog)",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter( // session entry:
+          (col("prev_us").isNull || col("us") - col("prev_us") > 30000000L) &&
+          // no follow-up within 10s:
+          (col("next_us").isNull || col("next_us") - col("us") > 10000000L))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("visit_time"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+            strftime(ts, '%Y-%m-%d %H:%M:%S') AS visit_time
+            FROM (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+                    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+                    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+                  FROM events)
+            WHERE (prev_us IS NULL OR us - prev_us > 30000000)
+              AND (next_us IS NULL OR next_us - us > 10000000)
+            ORDER BY event_id"""))
+
+  val all: Seq[OpQuery] = Seq(a5UvDedup, a6IsNewRepair, c1BounceDetect)
+}
