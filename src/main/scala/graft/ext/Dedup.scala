@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design: every operator here is shuffle-by-key over bounded-size
+  * keys (hash / signature / band), never a cartesian product. Candidate
+  * generation (LSH banding, bucket keys) bounds the pairwise verification
+  * to within-bucket pairs, which is what makes near-dup detection feasible
+  * at 100 TB: the full O(n²) comparison never materializes.
+  *
+  * Portability: hashes are md5 hex strings (identical across engines) so
+  * the DuckDB oracle can verify every stage bit-for-bit. On a production
+  * cluster xxhash64 halves the hash cost; the algorithms are unchanged.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash: one shuffle on md5(text). Keeps the
+    * smallest id as the canonical representative. */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signatures over word 3-shingles. k independent hash functions
+    * are simulated by seeding md5 with the function index; the minhash is
+    * the lexicographic min of the hex digests (a valid uniform min-hash —
+    * hex order = byte order). Returns one row per doc with h0..h{k-1}. */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    val shingled = docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), expr(
+        "explode(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(w, i, 3)))) AS s"))
+    val hashes = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+    shingled.groupBy(col(idCol)).agg(hashes.head, hashes.tail: _*)
+  }
+
+  /** LSH banding: split the k-wide signature into `bands` bands of
+    * k/bands rows each; docs sharing any band key are candidate pairs.
+    * One self-join on the band key — the join key space is the band hash,
+    * so skew is bounded by true duplicate-cluster size. */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String, k: Int = 8,
+      bands: Int = 2): DataFrame = {
+    val rowsPerBand = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      md5(concat_ws("|", (lit(b.toString) +: hs): _*))
+    }
+    val banded = signatures.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+    val a = banded.select(col(idCol).as("doc_a"), col("band"))
+    val b = banded.select(col(idCol).as("doc_b"), col("band"))
+    a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact word-set Jaccard over candidate pairs (n-gram Jaccard with
+    * n=1 over word tokens; bucketing keeps the pair count linear).
+    * `bucketKey` is any blocking expression (prefix, LSH band, …). */
+  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      bucketKey: org.apache.spark.sql.Column, threshold: Double): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+    val sizes = tok.groupBy("id").agg(count(lit(1)).as("n"))
+    val bucketed = docs.select(col(idCol).as("id"), bucketKey.as("bk"))
+    val cand = bucketed.as("x").join(bucketed.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+    val inter = cand
+      .join(tok.select(col("id").as("doc_a"), col("word")), Seq("doc_a"))
+      .join(tok.select(col("id").as("doc_b"), col("word")), Seq("doc_b", "word"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      // floor-truncation, not round(): identical on every engine (see
+      // TextAnalysis.trunc4)
+      .withColumn("jaccard",
+        floor(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) * 10000.0) / 10000.0)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash bit expressions, shared with the DuckDB oracle: bit b of a
+    * hex nibble is tested with a plain IN-list of the nibbles having that
+    * bit set — portable SQL, no engine-specific bit ops. */
+  def simhashBitSql(hashCol: String, bit: Int): String = {
+    val nibblePos = bit / 4 + 1          // hex char position (1-based)
+    val bitInNibble = bit % 4
+    val hexWithBit = "0123456789abcdef".filter(c =>
+      (Integer.parseInt(c.toString, 16) & (1 << bitInNibble)) != 0)
+      .map(c => s"'$c'").mkString(", ")
+    s"CASE WHEN substr($hashCol, $nibblePos, 1) IN ($hexWithBit) THEN 1 ELSE 0 END"
+  }
+
+  /** The majority-vote assembly: sum per-bit counts, set bit if ≥ half. */
+  def simhashAssembleSql(bits: Int): String =
+    (0 until bits).map(b =>
+      s"CASE WHEN b$b * 2 >= n THEN ${1L << b} ELSE 0 END").mkString(" + ")
+
+  /** 16-bit SimHash over word tokens: per-token md5, majority vote per
+    * bit. One explode + one groupBy — linear, no pairwise work; docs with
+    * equal simhash (or small Hamming distance) are near-dup candidates. */
+  def simhash(docs: DataFrame, textCol: String, idCol: String,
+      bits: Int = 16): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("hh", md5(col("word")))
+    val bitAggs = (0 until bits).map(b =>
+      sum(expr(simhashBitSql("hh", b))).as(s"b$b"))
+    tok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), bitAggs: _*)
+      .select(col(idCol),
+        expr(simhashAssembleSql(bits)).cast("long").as("simhash"))
+  }
+}

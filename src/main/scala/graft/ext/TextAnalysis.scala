@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators: language-ID, quality scoring, token counting,
+  * document fingerprinting. All pure column expressions (codegen'd,
+  * no UDFs) so they run inside whole-stage codegen at full scan speed —
+  * these are per-document map operations, the cheapest possible shape at
+  * 100 TB (no shuffle at all).
+  */
+object TextAnalysis {
+
+  /** Truncate to 4 decimals via floor — unlike round(), floor(x*1e4)/1e4
+    * is a pure function of the IEEE double and therefore bit-identical in
+    * every engine (round() half-way handling differs: Spark rounds the
+    * shortest decimal string HALF_UP, DuckDB rounds the binary value). */
+  private[ext] def trunc4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 10000.0) / 10000.0
+
+  /** Stopword list used by the language heuristic and quality score. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  private def stopSet = EnStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Token counting: whitespace tokens + regex word-run tokens
+    * (a BPE-ish lower-alnum run segmentation). */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("ws_tokens",
+        size(filter(split(col(textCol), " "), w => length(w) > 0)).cast("long"))
+      .withColumn("re_tokens",
+        expr(s"CAST(regexp_count($textCol, '[a-z0-9]+') AS BIGINT)"))
+
+  /** Language ID, n-gram/stopword heuristic: english iff ≥5% of tokens are
+    * core-English stopwords. Integer arithmetic (cnt*20 >= n) keeps the
+    * decision boundary exact and oracle-reproducible. */
+  def langId(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.withColumn("w", split(col(textCol), " "))
+    toks.withColumn("n_tok",
+        size(filter(col("w"), w => length(w) > 0)).cast("long"))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(w, x -> x IN $stopSet)) AS BIGINT)"))
+      .withColumn("lang_pred",
+        when(col("n_stop") * 20 >= col("n_tok"), "en").otherwise("und"))
+      .drop("w")
+  }
+
+  /** Quality score ∈ [0,1]: length saturation + non-stopword density +
+    * average word length saturation. Deterministic double math, rounded. */
+  def qualityScore(docs: DataFrame, textCol: String,
+      nCharsCol: String): DataFrame =
+    langId(docs, textCol)
+      .withColumn("avg_word_len",
+        trunc4((col(nCharsCol) - col("n_tok") + 1).cast("double") / col("n_tok")))
+      .withColumn("stop_ratio",
+        trunc4(col("n_stop").cast("double") / col("n_tok")))
+      .withColumn("quality",
+        trunc4(
+          least(col("n_tok") / 100.0, lit(1.0)) * 0.5 +
+            (lit(1.0) - col("stop_ratio")) * 0.3 +
+            least(col("avg_word_len") / 10.0, lit(1.0)) * 0.2))
+
+  /** Whole-document fingerprint: md5 of whitespace-normalized text, plus a
+    * winnowing-style min-hash over 16-char windows at stride 8 (two docs
+    * sharing any window hash share a 16-char run; the min over windows is
+    * a cheap representative — full winnowing keeps the min per window
+    * range, same building block). */
+  def fingerprint(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("norm",
+        trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+      .withColumn("fp_md5", md5(col("norm")))
+      .withColumn("fp_winnow", expr(
+        "array_min(transform(sequence(1, greatest(length(norm) - 15, 1), 8), " +
+          "i -> md5(substr(norm, i, 16))))"))
+      .drop("norm")
+}

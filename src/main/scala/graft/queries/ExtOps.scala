@@ -1,9 +1,276 @@
 package graft.queries
 
-/** Extension operators for large-scale training-data pipelines (dedup,
-  * similarity search, text analysis, multimodal) — filled in by
-  * graft.ext.*. See task list; populated incrementally.
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Extension operators for large-scale training-data pipelines (north
+  * star): dedup family, similarity search, text analysis, multimodal
+  * plumbing — each verifiable against the DuckDB oracle on the documents /
+  * embeddings tables.
   */
 object ExtOps {
-  val all: Seq[OpQuery] = Seq.empty
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  // ---------- dedup family ----------
+
+  val xDedupExact = OpQuery(
+    "x_dedup_exact",
+    "exact dedup by content hash, canonical keeper + dup count",
+    (s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("content_hash"),
+    Some("""SELECT md5(text) AS content_hash,
+            min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+            FROM documents GROUP BY md5(text) ORDER BY content_hash"""))
+
+  /** Shared CTE text: word 3-shingles → 8 seeded-md5 minhashes. */
+  private val sigCte =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pos AS (SELECT doc_id, w,
+      |        unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM words),
+      |sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s FROM pos),
+      |sig AS (SELECT doc_id,
+      |  min(md5('0|'||s)) AS h0, min(md5('1|'||s)) AS h1,
+      |  min(md5('2|'||s)) AS h2, min(md5('3|'||s)) AS h3,
+      |  min(md5('4|'||s)) AS h4, min(md5('5|'||s)) AS h5,
+      |  min(md5('6|'||s)) AS h6, min(md5('7|'||s)) AS h7
+      |  FROM sh GROUP BY doc_id)""".stripMargin
+
+  val xMinhashSignature = OpQuery(
+    "x_minhash_signature",
+    "MinHash signatures (k=8) over word 3-shingles",
+    (s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents"), "text", "doc_id", k = 8)
+        .orderBy("doc_id"),
+    Some(s"WITH $sigCte SELECT * FROM sig ORDER BY doc_id"))
+
+  val xLshCandidatePairs = OpQuery(
+    "x_lsh_candidate_pairs",
+    "LSH banding (2 bands × 4 rows) over MinHash signatures → candidate pairs",
+    (s, dir) =>
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(t(s, dir, "documents"), "text", "doc_id", k = 8),
+        "doc_id", k = 8, bands = 2)
+        .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $sigCte,
+            banded AS (
+              SELECT doc_id, md5('0'||'|'||h0||'|'||h1||'|'||h2||'|'||h3) AS band FROM sig
+              UNION ALL
+              SELECT doc_id, md5('1'||'|'||h4||'|'||h5||'|'||h6||'|'||h7) FROM sig)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b USING (band)
+            WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b"""))
+
+  val xNeardupJaccard = OpQuery(
+    "x_neardup_jaccard",
+    "word-set Jaccard ≥0.5 over prefix-blocked candidate pairs",
+    (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        substring(col("text"), 1, 50), threshold = 0.5)
+        .withColumn("jaccard", col("jaccard").cast("double"))
+        .orderBy("doc_a", "doc_b"),
+    Some("""WITH tok AS (SELECT DISTINCT doc_id, word FROM
+              (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
+              WHERE length(word) > 0),
+            sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            bucketed AS (SELECT doc_id, substr(text, 1, 50) AS bk FROM documents),
+            cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                     FROM bucketed x JOIN bucketed y
+                       ON x.bk = y.bk AND x.doc_id < y.doc_id),
+            inter AS (SELECT doc_a, doc_b, count(*) AS i
+                      FROM cand
+                      JOIN tok ta ON ta.doc_id = doc_a
+                      JOIN tok tb ON tb.doc_id = doc_b AND tb.word = ta.word
+                      GROUP BY doc_a, doc_b)
+            SELECT doc_a, doc_b,
+              CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0) / 10000.0
+                AS DOUBLE) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0) / 10000.0 >= 0.5
+            ORDER BY doc_a, doc_b"""))
+
+  private val simhashBitsSql = (0 until 16).map(b =>
+    s"sum(${Dedup.simhashBitSql("hh", b)}) AS b$b").mkString(", ")
+
+  val xSimhash = OpQuery(
+    "x_simhash",
+    "16-bit SimHash per document (majority vote over token md5 bits)",
+    (s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", bits = 16)
+        .orderBy("doc_id"),
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+            h AS (SELECT doc_id, md5(word) AS hh FROM tok WHERE length(word) > 0),
+            bits AS (SELECT doc_id, count(*) AS n, $simhashBitsSql
+                     FROM h GROUP BY doc_id)
+            SELECT doc_id,
+              CAST(${Dedup.simhashAssembleSql(16)} AS BIGINT) AS simhash
+            FROM bits ORDER BY doc_id"""))
+
+  // ---------- similarity search ----------
+
+  /** Oracle CTEs shared by both ANN queries: per-pair double dot products
+    * + norms via zipped unnest. */
+  private val dotsCte =
+    """q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+      |qx AS (SELECT qid, unnest(qe) AS qv,
+      |       unnest(generate_series(1, len(qe))) AS i FROM q),
+      |cx AS (SELECT vec_id AS cid, unnest(embedding) AS cv,
+      |       unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      |dots AS (SELECT qid, cid, sum(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE)) AS dot
+      |         FROM qx JOIN cx USING (i) GROUP BY qid, cid),
+      |norms AS (SELECT vec_id AS id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nrm
+      |          FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+      |          GROUP BY vec_id)""".stripMargin
+
+  val xAnnBruteforce = OpQuery(
+    "x_ann_bruteforce",
+    "brute-force cosine top-5 neighbors for 8 query vectors",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH $dotsCte,
+            scored AS (SELECT qid, cid,
+                floor(dot / (sqrt(qn.nrm) * sqrt(cn.nrm)) * 1000000.0) / 1000000.0 AS cosine
+              FROM dots JOIN norms qn ON qn.id = qid
+              JOIN norms cn ON cn.id = cid WHERE cid <> qid),
+            ranked AS (SELECT *, row_number() OVER
+                (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank FROM scored)
+            SELECT qid, cid, CAST(cosine AS DOUBLE) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  val xAnnIvf = OpQuery(
+    "x_ann_ivf",
+    "IVF cosine top-5: probe 2 nearest label-centroids, scan only those clusters",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, "vec_id", "embedding", "label",
+          e.filter(col("vec_id") < 8), k = 5, nProbe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH $dotsCte,
+            cents AS (SELECT label AS cluster, i, avg(CAST(v AS DOUBLE)) AS cv
+              FROM (SELECT label, unnest(embedding) AS v,
+                    unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+              GROUP BY label, i),
+            cnorm AS (SELECT cluster, sum(cv * cv) AS nrm FROM cents GROUP BY cluster),
+            cdots AS (SELECT qid, cluster, sum(CAST(qv AS DOUBLE) * cv) AS dot
+              FROM qx JOIN cents ON cents.i = qx.i GROUP BY qid, cluster),
+            cscore AS (SELECT qid, cdots.cluster AS cluster,
+                floor(dot / (sqrt(qn.nrm) * sqrt(cn.nrm)) * 1000000.0) / 1000000.0 AS cosine
+              FROM cdots JOIN norms qn ON qn.id = qid
+              JOIN cnorm cn ON cn.cluster = cdots.cluster),
+            probed AS (SELECT qid, cluster FROM
+              (SELECT *, row_number() OVER
+                 (PARTITION BY qid ORDER BY cosine DESC, cluster) AS r FROM cscore)
+              WHERE r <= 2),
+            scored AS (SELECT d.qid, d.cid,
+                floor(d.dot / (sqrt(qn.nrm) * sqrt(cn.nrm)) * 1000000.0) / 1000000.0 AS cosine
+              FROM dots d
+              JOIN embeddings e ON e.vec_id = d.cid
+              JOIN probed p ON p.qid = d.qid AND p.cluster = e.label
+              JOIN norms qn ON qn.id = d.qid
+              JOIN norms cn ON cn.id = d.cid
+              WHERE d.cid <> d.qid),
+            ranked AS (SELECT *, row_number() OVER
+                (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank FROM scored)
+            SELECT qid, cid, CAST(cosine AS DOUBLE) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  // ---------- text analysis ----------
+
+  private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  val xTextStats = OpQuery(
+    "x_text_stats",
+    "token counts, language-ID heuristic, quality score per document",
+    (s, dir) =>
+      TextAnalysis.qualityScore(
+        TextAnalysis.tokenCounts(t(s, dir, "documents"), "text"),
+        "text", "n_chars")
+        .select("doc_id", "ws_tokens", "re_tokens", "n_stop", "lang_pred",
+          "avg_word_len", "stop_ratio", "quality")
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, n_chars, text,
+              list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+              FROM documents),
+            s AS (SELECT doc_id, n_chars, text,
+              CAST(len(w) AS BIGINT) AS n_tok,
+              CAST(len(list_filter(w, x -> x IN ($stopList))) AS BIGINT) AS n_stop
+              FROM t)
+            SELECT doc_id,
+              n_tok AS ws_tokens,
+              CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+              n_stop,
+              CASE WHEN n_stop * 20 >= n_tok THEN 'en' ELSE 'und' END AS lang_pred,
+              CAST(floor(CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok * 10000.0) / 10000.0
+                AS DOUBLE) AS avg_word_len,
+              CAST(floor(CAST(n_stop AS DOUBLE) / n_tok * 10000.0) / 10000.0
+                AS DOUBLE) AS stop_ratio,
+              CAST(floor((
+                least(n_tok / 100.0, 1.0) * 0.5 +
+                (1.0 - floor(CAST(n_stop AS DOUBLE) / n_tok * 10000.0) / 10000.0) * 0.3 +
+                least(floor(CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok * 10000.0) / 10000.0
+                      / 10.0, 1.0) * 0.2
+                ) * 10000.0) / 10000.0 AS DOUBLE) AS quality
+            FROM s ORDER BY doc_id"""))
+
+  val xFingerprint = OpQuery(
+    "x_fingerprint",
+    "document fingerprint: md5(normalized) + winnowing-style window min-hash",
+    (s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "text")
+        .select("doc_id", "fp_md5", "fp_winnow")
+        .orderBy("doc_id"),
+    Some("""WITH n AS (SELECT doc_id,
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+              FROM documents),
+            pos AS (SELECT doc_id, norm,
+              unnest(generate_series(1, greatest(length(norm) - 15, 1), 8)) AS i
+              FROM n)
+            SELECT pos.doc_id, md5(any_value(norm)) AS fp_md5,
+                   min(md5(substr(norm, i, 16))) AS fp_winnow
+            FROM pos GROUP BY pos.doc_id ORDER BY doc_id"""))
+
+  // ---------- multimodal ----------
+
+  val xMultimodalFeatures = OpQuery(
+    "x_multimodal_features",
+    "binary asset column + metadata + batched (stubbed) feature extraction",
+    (s, dir) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.toAssets(t(s, dir, "documents"), "doc_id", "text"), dim = 4)
+      def t6(c: org.apache.spark.sql.Column) = floor(c * 1000000.0) / 1000000.0
+      feats.select(
+        col("asset_id"), col("byte_len"), col("content_md5"),
+        t6(element_at(col("features"), 1)).as("f0"),
+        t6(element_at(col("features"), 2)).as("f1"),
+        t6(element_at(col("features"), 3)).as("f2"),
+        t6(element_at(col("features"), 4)).as("f3"))
+        .orderBy("asset_id")
+    },
+    Some("""SELECT doc_id AS asset_id,
+            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+            md5(text) AS content_md5,
+            CAST(floor(ascii(substr(text, 1, 1)) / 255.0 * 1000000.0) / 1000000.0 AS DOUBLE) AS f0,
+            CAST(floor(ascii(substr(text, 2, 1)) / 255.0 * 1000000.0) / 1000000.0 AS DOUBLE) AS f1,
+            CAST(floor(ascii(substr(text, 3, 1)) / 255.0 * 1000000.0) / 1000000.0 AS DOUBLE) AS f2,
+            CAST(floor(ascii(substr(text, 4, 1)) / 255.0 * 1000000.0) / 1000000.0 AS DOUBLE) AS f3
+            FROM documents ORDER BY asset_id"""))
+
+  val all: Seq[OpQuery] = Seq(
+    xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
+    xSimhash, xAnnBruteforce, xAnnIvf, xTextStats, xFingerprint,
+    xMultimodalFeatures)
 }

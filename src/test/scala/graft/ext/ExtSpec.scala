@@ -1,0 +1,100 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Extension operators: semantic sanity on small in-memory corpora (the
+  * sf0.01 hash-parity against DuckDB is covered by Verify + the driver's
+  * oracle gate; these pin behaviors a hash can't explain). */
+class ExtSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", 43L),
+    (2L, "the quick brown fox jumps over the lazy cat", 43L), // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog", 43L), // exact dup of 1
+    (4L, "completely different content about spark engines", 48L))
+    .toDF("doc_id", "text", "n_chars")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val d = Dedup.exactDedup(docs, "text", "doc_id")
+    assert(d.count() == 3)
+    val dup = d.filter($"dup_count" === 2).select("keep_id").as[Long].head()
+    assert(dup == 1L)
+  }
+
+  test("minhash+LSH surfaces the near-dup pair, jaccard confirms it") {
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id")
+    assert(sig.count() == 4)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L))) // exact dups always collide
+    val jac = Dedup.jaccardPairs(docs, "text", "doc_id",
+      substring(col("text"), 1, 20), 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(jac((1L, 3L)) == 1.0)
+    assert(jac((1L, 2L)) == 0.7777) // 7/9 union, floor-truncated to 4 dp
+  }
+
+  test("simhash: identical docs equal, near-dups close, distinct docs far") {
+    val sh = Dedup.simhash(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) <= 6)
+    assert(hamming(sh(1L), sh(4L)) >= hamming(sh(1L), sh(2L)))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.9f, 0.1f), 1),
+    (4L, Array(0.0f, 0.0f, 1.0f), 2))
+    .toDF("vec_id", "embedding", "label")
+
+  test("brute-force cosine top-k ranks the aligned vector first") {
+    val top = Similarity.cosineTopK(vecs, "vec_id", "embedding",
+      vecs.filter($"vec_id" === 0), k = 2)
+      .select("cid", "rank").as[(Long, Int)].collect().toMap
+    assert(top(1L) == 1) // 0.9-aligned vector ranks first
+  }
+
+  test("IVF probes 2 clusters and finds the same top-1 as brute force") {
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", "label",
+      vecs.filter($"vec_id" === 0), k = 2, nProbe = 2)
+      .select("cid", "rank").as[(Long, Int)].collect().toMap
+    assert(ivf(1L) == 1)
+    // cluster 2 (z-axis) is never probed for an x-axis query
+    assert(!ivf.contains(4L))
+  }
+
+  test("text analysis: lang-id flags stopword-rich docs, quality in [0,1]") {
+    val q = TextAnalysis.qualityScore(
+      TextAnalysis.tokenCounts(docs, "text"), "text", "n_chars")
+    val byId = q.select("doc_id", "lang_pred", "quality")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId(1L)._1 == "en")  // "the" twice in 9 tokens ≥ 5%
+    assert(byId(4L)._1 == "und") // no stopwords
+    assert(byId.values.forall(v => v._2 >= 0.0 && v._2 <= 1.0))
+  }
+
+  test("fingerprint: whitespace-insensitive md5; winnow shared for shared runs") {
+    val fp = TextAnalysis.fingerprint(
+      Seq((1L, "a  b   c"), (2L, "a b c")).toDF("doc_id", "text"), "text")
+      .select("doc_id", "fp_md5").as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L))
+  }
+
+  test("multimodal: asset schema + batched stub extraction round-trips") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.toAssets(docs, "doc_id", "text"), dim = 4)
+    assert(feats.schema == Multimodal.featureSchema)
+    val r = feats.filter($"asset_id" === 1).head()
+    assert(r.getAs[Long]("byte_len") == 43L)
+    val f = r.getSeq[Double](r.fieldIndex("features"))
+    assert(f.length == 4 && f.head == ('t'.toInt / 255.0))
+  }
+}
