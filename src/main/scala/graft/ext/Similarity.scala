@@ -48,6 +48,25 @@ object Similarity {
       .select("qid", "cid", "cosine", "rank")
   }
 
+  /** Brute-force top-k through the native codegen'd VectorCosine
+    * expression (one fused loop, no intermediate zip array) — same
+    * semantics as cosineTopK, faster hot path. */
+  def cosineTopKNative(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorCosine.register(embeddings.sparkSession)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
+    val c = embeddings.select(col(idCol).as("cid"), col(vecCol).as("ce"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cosine",
+        floor(expr("vec_cosine(qe, ce)") * 1000000.0) / 1000000.0)
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cosine", "rank")
+  }
+
   /** Coarse-quantizer centroids: the mean vector per cluster id. */
   def centroids(embeddings: DataFrame, clusterCol: String,
       vecCol: String): DataFrame =

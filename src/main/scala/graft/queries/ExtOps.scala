@@ -148,6 +148,20 @@ object ExtOps {
                    CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  val xAnnNative = OpQuery(
+    "x_ann_native_expr",
+    "brute-force cosine top-5 via the native codegen'd VectorCosine expression",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineTopKNative(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+    // identical oracle to x_ann_bruteforce: the expression must agree
+    // bit-for-bit with the zip_with fold (same index-order double sums)
+    xAnnBruteforce.oracle)
+
   val xAnnIvf = OpQuery(
     "x_ann_ivf",
     "IVF cosine top-5: probe 2 nearest label-centroids, scan only those clusters",
@@ -271,6 +285,6 @@ object ExtOps {
 
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
-    xSimhash, xAnnBruteforce, xAnnIvf, xTextStats, xFingerprint,
+    xSimhash, xAnnBruteforce, xAnnNative, xAnnIvf, xTextStats, xFingerprint,
     xMultimodalFeatures)
 }

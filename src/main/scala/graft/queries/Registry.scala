@@ -21,7 +21,8 @@ final case class OpQuery(
 
 object Registry {
   lazy val all: Seq[OpQuery] =
-    CoreOps.all ++ JoinOps.all ++ AggOps.all ++ StatefulOps.all ++ ExtOps.all
+    CoreOps.all ++ JoinOps.all ++ AggOps.all ++ StatefulOps.all ++
+      MiscOps.all ++ StreamingOps.all ++ ExtOps.all
 
   lazy val byName: Map[String, OpQuery] = {
     val m = all.map(q => q.name -> q).toMap

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming-EXECUTED oracle queries: these run the actual Structured
+  * Streaming operators (file streaming source → stateful transform →
+  * memory sink, drained synchronously) and hand the sink table to the
+  * DuckDB gate. The batch analogs in StatefulOps/AggOps pin the semantics;
+  * these prove the streaming implementations compute the same answers.
+  */
+object StreamingOps {
+
+  /** events.parquet carries TIMESTAMP(NANOS): the streaming source reads
+    * ts as long (nanosAsLong) and we truncate to micros, same as
+    * Tables.load. */
+  private val eventsNanoSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file streaming source requires a directory: stream the sf dir,
+    // glob-filtered to the events table
+    s.readStream.schema(eventsNanoSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def drain(out: DataFrame, name: String,
+      mode: String = "append"): DataFrame = {
+    val s = out.sparkSession
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  case class Ev(event_id: Long, user_id: Long, usec: Long, dt: String)
+
+  /** A5, streaming-executed — first event per (user, day) through
+    * flatMapGroupsWithState keyed state (the UniqueVisitApp shape on the
+    * events table). Oracle = the same row_number window as a5_uv_dedup. */
+  val stUvDedup = OpQuery(
+    "st_uv_dedup_stream",
+    "streaming keyed-state first-visit dedup, run via Structured Streaming",
+    (s, dir) => {
+      import s.implicits._
+      val typed = eventStream(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("usec"),
+          date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+        .as[Ev]
+      def keep(user: Long, rows: Iterator[Ev],
+          state: GroupState[Set[String]]): Iterator[(Long, String, Long)] = {
+        var seen = state.getOption.getOrElse(Set.empty[String])
+        val out = rows.toSeq.sortBy(e => (e.usec, e.event_id)).flatMap { e =>
+          if (seen(e.dt)) None
+          else { seen += e.dt; Some((e.user_id, e.dt, e.event_id)) }
+        }
+        state.update(seen)
+        out.iterator
+      }
+      val deduped = typed.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(keep)
+        .toDF("user_id", "dt", "event_id")
+      drain(deduped, "st_uv_out").orderBy("user_id", "dt")
+    },
+    Some("""SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt, event_id
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id, CAST(ts AS DATE)
+                    ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id, dt"""))
+
+  /** A1, streaming-executed — the tumbling-window aggregation run as a
+    * streaming query in complete mode (so every window is emitted,
+    * matching the batch oracle exactly). */
+  val stVisitorWindow = OpQuery(
+    "st_visitor_window_stream",
+    "streaming 10s tumbling window agg, run via Structured Streaming",
+    (s, dir) => {
+      val agg = eventStream(s, dir)
+        .groupBy(window(col("ts"), "10 seconds").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("pv_ct"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("dur_sum"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+          col("event_type"), col("pv_ct"), col("dur_sum"))
+      drain(agg, "st_vw_out", mode = "complete").orderBy("stt", "event_type")
+    },
+    Some("""WITH w AS (
+              SELECT to_timestamp(CAST(floor(epoch(ts) / 10) * 10 AS BIGINT)) AS ws,
+                     event_type, value
+              FROM events)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt,
+                   strftime(ws + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS pv_ct,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+            FROM w GROUP BY ws, event_type
+            ORDER BY stt, event_type"""))
+
+  val all: Seq[OpQuery] = Seq(stUvDedup, stVisitorWindow)
+}
