@@ -24,7 +24,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * UserJumpDetailApp.java:52-60 (mid 101 times out ⇒ bounce; mid 102's two
   * entries match ⇒ bounce; follow-up pages break contiguity).
   */
-object Bounce {
+object Bounce extends Serializable {
 
   val WindowMs: Long = 10000L
 
@@ -32,6 +32,30 @@ object Bounce {
       mid: String, ts: Long, lastPageId: String, json: String,
       ts_ts: java.sql.Timestamp) // watermark column must reach the operator
   case class Pending(ts: Long, json: String)
+
+  /** Pure CEP state transition (property-tested in BouncePropSpec):
+    * fold time-sorted events of one key over the pending-entry state,
+    * returning (bounces emitted, new pending). Used by the streaming
+    * operator below; separable so the match/timeout/strict-next algebra
+    * is testable without a streaming harness. */
+  def advance(pending: Option[Pending],
+      sorted: Seq[(Long, Boolean, String)]): (Seq[String], Option[Pending]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var st = pending
+    sorted.foreach { case (ts, entry, payload) =>
+      st match {
+        case Some(p) if ts - p.ts <= WindowMs =>
+          if (entry) { out += p.json; st = Some(Pending(ts, payload)) }
+          else st = None // strict-next broken by a follow-up page
+        case Some(p) => // gap beyond window: pending already bounced
+          out += p.json
+          st = if (entry) Some(Pending(ts, payload)) else None
+        case None =>
+          if (entry) st = Some(Pending(ts, payload))
+      }
+    }
+    (out.toSeq, st)
+  }
 
   /** Input: parsed page-log frame with an event-time `ts_ts` watermark
     * already applied by the caller (see detect()). Output: bounce records
@@ -57,22 +81,15 @@ object Bounce {
         state.remove()
       } else {
         val sorted = rows.toSeq.sortBy(_.ts)
-        sorted.foreach { e =>
-          val entry = e.lastPageId.isEmpty
-          state.getOption match {
-            case Some(p) if e.ts - p.ts <= WindowMs =>
-              if (entry) { out += p.json; state.update(Pending(e.ts, e.json)) }
-              else state.remove() // strict-next broken by a follow-up page
-            case Some(p) => // gap beyond window: pending already bounced
-              out += p.json
-              if (entry) state.update(Pending(e.ts, e.json)) else state.remove()
-            case None =>
-              if (entry) state.update(Pending(e.ts, e.json))
-          }
-        }
-        // arm the event-time timeout for whatever is pending
-        state.getOption.foreach { p =>
-          state.setTimeoutTimestamp(p.ts + WindowMs)
+          .map(e => (e.ts, e.lastPageId.isEmpty, e.json))
+        val (emitted, next) = advance(state.getOption, sorted)
+        out ++= emitted
+        next match {
+          case Some(p) =>
+            state.update(p)
+            // arm the event-time timeout for the pending entry
+            state.setTimeoutTimestamp(p.ts + WindowMs)
+          case None => if (state.exists) state.remove()
         }
       }
       out.iterator
