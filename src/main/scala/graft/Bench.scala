@@ -20,9 +20,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up codegen/shuffle machinery so the first query isn't billed
-    // for one-time JVM setup
+    // warm up codegen/shuffle/parquet machinery so the first query isn't
+    // billed for one-time JVM setup
     spark.range(1000000).selectExpr("sum(id) s")
+      .write.format("noop").mode("overwrite").save()
+    graft.core.Tables.load(spark, sfDir, "region")
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
