@@ -202,6 +202,29 @@ object ExtOps {
                    CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  val xCosineNeardup = OpQuery(
+    "x_cosine_neardup",
+    "embedding-cosine near-dup pairs ≥0.35, blocked within label clusters",
+    (s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", threshold = 0.35)
+        .orderBy("doc_a", "doc_b"),
+    Some("""WITH v AS (SELECT label, vec_id, unnest(embedding) AS x,
+                unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+            norms AS (SELECT vec_id AS id, sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nrm
+                      FROM v GROUP BY vec_id),
+            pairs AS (SELECT a.label, a.vec_id AS doc_a, b.vec_id AS doc_b,
+                sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+              FROM v a JOIN v b ON a.label = b.label AND a.i = b.i
+                AND a.vec_id < b.vec_id
+              GROUP BY a.label, a.vec_id, b.vec_id),
+            scored AS (SELECT doc_a, doc_b,
+                floor(dot / (sqrt(na.nrm) * sqrt(nb.nrm)) * 1000000.0) / 1000000.0 AS cosine
+              FROM pairs JOIN norms na ON na.id = doc_a
+              JOIN norms nb ON nb.id = doc_b)
+            SELECT doc_a, doc_b, CAST(cosine AS DOUBLE) AS cosine
+            FROM scored WHERE cosine >= 0.35 ORDER BY doc_a, doc_b"""))
+
   // ---------- text analysis ----------
 
   private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
@@ -285,6 +308,6 @@ object ExtOps {
 
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
-    xSimhash, xAnnBruteforce, xAnnNative, xAnnIvf, xTextStats, xFingerprint,
-    xMultimodalFeatures)
+    xSimhash, xAnnBruteforce, xAnnNative, xAnnIvf, xCosineNeardup,
+    xTextStats, xFingerprint, xMultimodalFeatures)
 }

@@ -105,5 +105,39 @@ object StreamingOps {
             FROM w GROUP BY ws, event_type
             ORDER BY stt, event_type"""))
 
-  val all: Seq[OpQuery] = Seq(stUvDedup, stVisitorWindow)
+  /** J2, streaming-executed — the asymmetric-bounds stream-stream interval
+    * join (PaymentWideApp shape) run as a real Structured Streaming join
+    * with watermarks on both sides. All pairs arrive in the single file
+    * batch, so the inner join emits the complete result, matching the
+    * batch oracle (watermarks govern state retention, not emission). */
+  val stIntervalJoin = OpQuery(
+    "st_interval_join_stream",
+    "streaming stream-stream interval join (−15min/+5s), run via Structured Streaming",
+    (s, dir) => {
+      val ev = eventStream(s, dir)
+      val pay = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pay_id"), col("user_id").as("pay_user"),
+          col("ts").as("pay_ts"))
+        .withWatermark("pay_ts", "5 seconds")
+      val ord = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("ord_id"), col("user_id").as("ord_user"),
+          col("ts").as("ord_ts"))
+        .withWatermark("ord_ts", "5 seconds")
+      val joined = pay.join(ord,
+        col("pay_user") === col("ord_user") &&
+          col("ord_ts").between(
+            col("pay_ts") - expr("INTERVAL 15 MINUTES"),
+            col("pay_ts") + expr("INTERVAL 5 SECONDS")))
+        .select(col("pay_id"), col("ord_id"), col("pay_user").as("user_id"))
+      drain(joined, "st_ij_out").orderBy("pay_id", "ord_id")
+    },
+    Some("""SELECT p.event_id AS pay_id, o.event_id AS ord_id, p.user_id AS user_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'signup') o
+              ON p.user_id = o.user_id
+             AND o.ts >= p.ts - INTERVAL 15 MINUTE
+             AND o.ts <= p.ts + INTERVAL 5 SECOND
+            ORDER BY pay_id, ord_id"""))
+
+  val all: Seq[OpQuery] = Seq(stUvDedup, stVisitorWindow, stIntervalJoin)
 }

@@ -59,4 +59,21 @@ object UniqueVisit {
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(keep)
       .toDF("value")
   }
+
+  /** Built-in alternative (SURVEY §2.5 A5): dropDuplicatesWithinWatermark
+    * on (mid, day) after the entry-page filter. Same keep-first semantics
+    * with Spark-managed state eviction — the watermark plays the
+    * reference's 24h TTL role. Prefer this form when no custom per-key
+    * logic is needed; the GroupState form above is the template for
+    * operators that do. */
+  def dedupBuiltin(pageLog: DataFrame,
+      watermarkDelay: String = "24 hours"): DataFrame =
+    pageLog
+      .filter(col("page.last_page_id").isNull || col("page.last_page_id") === "")
+      .withColumn("ts_ts", timestamp_millis(col("ts")))
+      .withWatermark("ts_ts", watermarkDelay)
+      .withColumn("dt", to_date(col("ts_ts")))
+      .withColumn("mid", col("common.mid"))
+      .dropDuplicatesWithinWatermark("mid", "dt")
+      .drop("ts_ts", "dt", "mid")
 }
