@@ -139,5 +139,54 @@ object StreamingOps {
              AND o.ts <= p.ts + INTERVAL 5 SECOND
             ORDER BY pay_id, ord_id"""))
 
-  val all: Seq[OpQuery] = Seq(stUvDedup, stVisitorWindow, stIntervalJoin)
+  /** A3/S4/J3, streaming-executed — the ProvinceStatsSqlApp pattern as a
+    * real streaming query: orders stream → stream-static broadcast joins
+    * to customer/nation dims → 1-day tumbling window agg (complete mode so
+    * every window emits, matching the batch oracle). */
+  val stProvinceStats = OpQuery(
+    "st_province_stats_stream",
+    "streaming stream-static dim join + windowed agg (ProvinceStatsSqlApp)",
+    (s, dir) => {
+      val ordersSchema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType),
+        StructField("o_orderpriority", StringType)))
+      val orders = s.readStream.schema(ordersSchema)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val c = graft.core.Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = graft.core.Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+      val agg = orders
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(window(col("o_orderdate"), "1 day").as("w"), col("n_name"))
+        .agg(
+          // streaming aggs reject count(distinct): exact distinct via
+          // collect_set size (SURVEY §2.5 A3 caveat)
+          size(collect_set(col("o_orderkey"))).cast("long").as("order_count"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("order_amount"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+          col("n_name").as("province_name"), col("order_count"), col("order_amount"))
+      drain(agg, "st_ps_out", mode = "complete").orderBy("stt", "province_name")
+    },
+    Some("""WITH w AS (
+              SELECT to_timestamp(CAST(floor(epoch(o_orderdate) / 86400) * 86400 AS BIGINT)) AS ws,
+                     n_name, o_orderkey, o_totalprice
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt,
+                   strftime(ws + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+                   n_name AS province_name,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS order_count,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+            FROM w GROUP BY ws, n_name
+            ORDER BY stt, province_name"""))
+
+  val all: Seq[OpQuery] =
+    Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats)
 }

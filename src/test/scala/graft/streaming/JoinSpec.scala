@@ -8,11 +8,13 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * harness scenario (RTtest/app/FlinkDataStreamJoinTest.java:15-32: equal
   * keys join when |ts_l − ts_r| ≤ 5s; a record arriving past the watermark
   * produces no output) plus PaymentWide's asymmetric bounds. */
+case class O(o_id: Long, o_create_ts: Long)
+case class D(d_id: Long, d_order_id: Long, d_create_ts: Long)
+case class P(p_id: Long, p_order_id: Long, p_create_ts: Long)
+case class OW(ow_order_id: Long, ow_create_ts: Long)
+
 class JoinSpec extends SparkTestBase {
   import spark.implicits._
-
-  case class O(o_id: Long, o_create_ts: Long)
-  case class D(d_id: Long, d_order_id: Long, d_create_ts: Long)
 
   test("order⋈detail interval join: ±5s bounds + late-record drop (J1)") {
     implicit val ctx = spark.sqlContext
@@ -41,9 +43,6 @@ class JoinSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  case class P(p_id: Long, p_order_id: Long, p_create_ts: Long)
-  case class OW(ow_order_id: Long, ow_create_ts: Long)
-
   test("payment⋈order_wide asymmetric bounds −15min/+5s (J2)") {
     implicit val ctx = spark.sqlContext
     val pIn = MemoryStream[P]
@@ -66,6 +65,25 @@ class JoinSpec extends SparkTestBase {
       val got = spark.table("pw_out").as[(Long, Long)].collect().toSeq
       assert(got.count(_ == (1L, 42L)) == 2 && !got.exists(_._1 == 2L))
     } finally q.stop()
+  }
+
+  test("interval join ≡ brute-force model on random cases (SURVEY §5 property)") {
+    // seeded random datasets; expected pairs computed by a plain Scala
+    // double loop over the bound predicate |d_ts − o_ts| ≤ 5s
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val os = (1 to 30).map(i => O(i.toLong, rnd.nextInt(60) * 1000L))
+      val ds = (1 to 60).map(i =>
+        D(100L + i, rnd.nextInt(30) + 1L, rnd.nextInt(60) * 1000L))
+      val expected = (for {
+        o <- os; d <- ds
+        if d.d_order_id == o.o_id && math.abs(d.d_create_ts - o.o_create_ts) <= 5000
+      } yield (o.o_id, d.d_id)).toSet
+      val got = graft.streaming.dwm.OrderWide
+        .intervalJoin(os.toDF(), ds.toDF())
+        .select($"o_id", $"d_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"trial $trial")
+    }
   }
 
   test("dim enrichment: broadcast left join + user_age derivation (J3/F8)") {
