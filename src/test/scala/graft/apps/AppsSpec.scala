@@ -60,6 +60,39 @@ class AppsSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/out").count() == 3)
   }
 
+  test("orderWide + paymentWide app chain with dim enrichment (J1/J2/J3/F8)") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.{Beans => B}
+    // typed P2 surface: CDC 'after' maps → beans (strict parse-to-bean)
+    val orderInfo = Seq(
+      B.OrderInfo(1L, 11L, 100L, "1001", BigDecimal("50.00"),
+        "2021-12-01 10:00:00", "2021-12-01", "10", 10000L))
+      .toDF()
+    val orderDetail = Seq(
+      B.OrderDetail(7L, 1L, 31L, 2L, "skuA", BigDecimal("25.00"),
+        BigDecimal("50.00"), "2021-12-01 10:00:01", 11000L),
+      B.OrderDetail(8L, 1L, 32L, 1L, "skuB", BigDecimal("9.99"),
+        BigDecimal("9.99"), "2021-12-01 10:01:00", 70000L)) // outside ±5s
+      .toDF()
+    val dimUser = Seq((100L, "F", "1990-12-02")).toDF("id", "gender", "birthday")
+    val wide = graft.streaming.dwm.OrderWide.withUserAge(
+      Apps.orderWide(orderInfo, orderDetail,
+        Seq(("u_", dimUser, "o_user_id", "id"))))
+    val rows = wide.select("d_id", "u_gender", "user_age")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(rows == Seq((7L, "F", 31))) // detail 8 outside the ±5s bound
+    // payment follows the order within 15 min → joins
+    val payment = Seq(
+      B.PaymentInfo(900L, 1L, 100L, BigDecimal("50.00"), "subj", "1102",
+        "2021-12-01 10:10:00", 610000L)).toDF()
+    val pw = Apps.paymentWide(payment,
+      wide.select(col("o_id").as("order_id"), col("o_create_ts").as("create_ts"),
+        col("user_age")))
+    assert(pw.select("p_id", "ow_user_age").as[(Long, Int)].collect().toSeq ==
+      Seq((900L, 31)))
+    assert(pw.columns.contains("payment_create_time")) // P11 rename
+  }
+
   test("provinceStats app over order-wide rows (A3 shape)") {
     val ow = Seq(
       (1L, "beijing", "110", "bj-1", 101L, java.math.BigDecimal.valueOf(10.0), 1000L),
