@@ -280,6 +280,22 @@ object ExtOps {
                    min(md5(substr(norm, i, 16))) AS fp_winnow
             FROM pos GROUP BY pos.doc_id ORDER BY doc_id"""))
 
+  /** The 100 TB scale path for distinct counts: HLL++ sketches. No oracle —
+    * approximation algorithms differ across engines by design, so the
+    * driver records the weaker rows-only check; the EXACT twin (a2/a3)
+    * carries the correctness gate. rsd=5% default. */
+  val xApproxDistinct = OpQuery(
+    "x_approx_distinct",
+    "approx_count_distinct (HLL++) per event_type - the at-scale distinct path",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type"),
+    None)
+
   // ---------- multimodal ----------
 
   val xMultimodalFeatures = OpQuery(
@@ -309,5 +325,5 @@ object ExtOps {
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
     xSimhash, xAnnBruteforce, xAnnNative, xAnnIvf, xCosineNeardup,
-    xTextStats, xFingerprint, xMultimodalFeatures)
+    xTextStats, xFingerprint, xApproxDistinct, xMultimodalFeatures)
 }
