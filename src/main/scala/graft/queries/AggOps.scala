@@ -176,7 +176,41 @@ object AggOps {
                   FROM events)
             WHERE rn = 1 ORDER BY user_id, event_type"""))
 
+  /** Beyond the reference (tumbling-only): session windows — the
+    * sessionization primitive (native session_window; streaming-capable
+    * with watermarks). Window end = last event + gap, per Spark's
+    * definition; the oracle reproduces it with gaps-and-islands SQL. */
+  val a8SessionWindow = OpQuery(
+    "a8_session_window",
+    "session windows (30 min gap) per user: count + exact value sum",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(
+          count(lit(1)).as("ct"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
+        .select(
+          col("user_id"),
+          date_format(col("w.start"), fmt).as("stt"),
+          date_format(col("w.end"), fmt).as("edt"),
+          col("ct"), col("val_sum"))
+        .orderBy("user_id", "stt"),
+    Some("""WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS us FROM events),
+            d AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+            s AS (SELECT *, sum(brk) OVER
+                    (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM d)
+            SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+              strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
+              CAST(count(*) AS BIGINT) AS ct,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, stt"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
-    a7ServingTopN, k5LatestVersion)
+    a7ServingTopN, a8SessionWindow, k5LatestVersion)
 }
