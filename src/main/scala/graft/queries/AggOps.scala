@@ -210,7 +210,31 @@ object AggOps {
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, stt"""))
 
+  /** Beyond the reference: sliding (hopping) windows — 30s length, 10s
+    * hop, so each event lands in 3 windows. The oracle expands each event
+    * into its member windows explicitly. */
+  val a9SlidingWindow = OpQuery(
+    "a9_sliding_window",
+    "sliding 30s/10s window counts per event_type",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "30 seconds", "10 seconds").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("ct"))
+        .select(
+          date_format(col("w.start"), fmt).as("stt"),
+          col("event_type"), col("ct"))
+        .orderBy("stt", "event_type"),
+    Some("""WITH w AS (
+              SELECT to_timestamp(CAST(floor(epoch(ts) / 10) * 10 - g.k * 10 AS BIGINT)) AS ws,
+                     event_type
+              FROM events, (SELECT unnest(generate_series(0, 2)) AS k) g)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt, event_type,
+                   CAST(count(*) AS BIGINT) AS ct
+            FROM w GROUP BY ws, event_type
+            ORDER BY stt, event_type"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
-    a7ServingTopN, a8SessionWindow, k5LatestVersion)
+    a7ServingTopN, a8SessionWindow, a9SlidingWindow, k5LatestVersion)
 }
