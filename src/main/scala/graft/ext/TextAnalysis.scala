@@ -61,6 +61,32 @@ object TextAnalysis {
             (lit(1.0) - col("stop_ratio")) * 0.3 +
             least(col("avg_word_len") / 10.0, lit(1.0)) * 0.2))
 
+  /** Full winnowing (Schleimer et al., SIGMOD'03 — public algorithm): hash
+    * every k-gram, then keep the minimum hash of each sliding window of w
+    * consecutive k-grams; the distinct minima are the document's
+    * fingerprint set. Guarantees any shared run of ≥ w+k-1 chars shares a
+    * fingerprint. One explode + one window function + distinct — linear,
+    * shuffle only on (doc, position) ranges. */
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .withColumn("norm", trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+      .select(col(idCol),
+        expr(s"explode(sequence(1, greatest(length(norm) - ${k - 1}, 1))) AS p"),
+        col("norm"))
+      .select(col(idCol), col("p"), expr(s"md5(substr(norm, p, $k))").as("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("p"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("minh", min(col("h")).over(win))
+      // only full windows (position ≤ n_grams − w + 1), unless doc shorter
+      .filter(col("p") <= greatest(col("np") - (w - 1), lit(1)))
+      .select(col(idCol), col("minh").as("fp"))
+      .distinct()
+  }
+
   /** Whole-document fingerprint: md5 of whitespace-normalized text, plus a
     * winnowing-style min-hash over 16-char windows at stride 8 (two docs
     * sharing any window hash share a 16-char run; the min over windows is

@@ -280,6 +280,28 @@ object ExtOps {
                    min(md5(substr(norm, i, 16))) AS fp_winnow
             FROM pos GROUP BY pos.doc_id ORDER BY doc_id"""))
 
+  val xWinnow = OpQuery(
+    "x_winnow_fingerprints",
+    "full winnowing: distinct per-window k-gram hash minima (k=16, w=4)",
+    (s, dir) =>
+      TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id", "fp"),
+    Some("""WITH n AS (SELECT doc_id,
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+              FROM documents),
+            g AS (SELECT doc_id, p, md5(substr(norm, CAST(p AS INT), 16)) AS h
+                  FROM (SELECT doc_id, norm,
+                    unnest(generate_series(1, greatest(length(norm) - 15, 1))) AS p
+                    FROM n)),
+            wm AS (SELECT doc_id, p,
+                count(*) OVER (PARTITION BY doc_id) AS np,
+                min(h) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+              FROM g)
+            SELECT DISTINCT doc_id, minh AS fp FROM wm
+            WHERE p <= greatest(np - 3, 1)
+            ORDER BY doc_id, fp"""))
+
   /** The 100 TB scale path for distinct counts: HLL++ sketches. No oracle —
     * approximation algorithms differ across engines by design, so the
     * driver records the weaker rows-only check; the EXACT twin (a2/a3)
@@ -325,5 +347,5 @@ object ExtOps {
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
     xSimhash, xAnnBruteforce, xAnnNative, xAnnIvf, xCosineNeardup,
-    xTextStats, xFingerprint, xApproxDistinct, xMultimodalFeatures)
+    xTextStats, xFingerprint, xWinnow, xApproxDistinct, xMultimodalFeatures)
 }
