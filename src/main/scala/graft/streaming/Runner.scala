@@ -30,6 +30,20 @@ object Runner {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).start()
   }
 
+  /** Start a layer query into a Kafka topic (K1), or — with `topic = None`
+    * and a per-row `topic` column — into dynamic per-record topics (K2).
+    * Delegates to graft.io.KafkaEdges so the options/encode logic stays
+    * broker-testable; needs the spark-sql-kafka connector at runtime. */
+  def toKafka(df: DataFrame, bootstrap: String, topic: Option[String],
+      checkpoint: String, keyCol: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    topic match {
+      case Some(t) =>
+        graft.io.KafkaEdges.writeTopic(df, bootstrap, t, checkpoint, keyCol, trigger)
+      case None =>
+        graft.io.KafkaEdges.writer(df, bootstrap, None, checkpoint, trigger).start()
+    }
+
   /** Start a layer query through foreachBatch (for MERGE-style sinks:
     * dim upsert, JDBC, dynamic routing). The batchId makes re-delivered
     * batches detectable for idempotent writes. */

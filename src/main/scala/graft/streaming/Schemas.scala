@@ -65,6 +65,12 @@ object Schemas {
     StructField("after", MapType(StringType, StringType)),
     StructField("type", StringType)))
 
+  /** Routed fact value on the dwd_* topics: the projected `after` object
+    * serialized by the db router — a flat string→string JSON object
+    * (BaseDBApp.java:107-113; typed casts happen at each consumer's edge,
+    * mirroring the reference's JSONObject.parseObject→bean step). */
+  val cdcValue: MapType = MapType(StringType, StringType)
+
   /** Routing config row (table_process). */
   val tableProcess: StructType = StructType(Seq(
     StructField("sourceTable", StringType),
