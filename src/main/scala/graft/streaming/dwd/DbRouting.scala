@@ -61,31 +61,22 @@ object DbRouting {
     batch.select(col("sinkTable"), to_json(col("after")).as("value"))
       .write.mode("append").partitionBy("sinkTable").json(baseDir)
 
-  /** K3/F12 — dim upsert for a micro-batch: latest version per pk wins
-    * (DimSinkFunction.java:39-71 upsert; Phoenix semantics = last-write-wins
-    * by key). Reads the existing snapshot, unions, keeps row_number()=1 by
-    * descending version. In production this is a Delta/Iceberg MERGE INTO;
-    * on plain parquet it is read-union-overwrite.
-    */
+  /** K3/F12 — dim upsert for a micro-batch: latest version per pk wins,
+    * ties toward the incoming batch (DimSinkFunction.java:39-71 upsert;
+    * Phoenix semantics = last-write-wins by key). MERGE-shaped and
+    * incremental: only the key-hash buckets the batch touches are merged
+    * and rewritten, committed by an atomic manifest swap — per-batch work
+    * is O(|batch| + touched buckets), never O(|dim|), and a crash leaves
+    * the previous snapshot fully readable (graft.io.DimStore).
+    * Read the table back with [[readDim]]. */
   def upsertDim(spark: SparkSession, batch: DataFrame, dimPath: String,
-      pk: String, versionCol: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val existing =
-      try spark.read.parquet(dimPath) catch { case _: Throwable => null }
-    val unioned =
-      if (existing == null) batch else existing.unionByName(batch, allowMissingColumns = true)
-    val w = Window.partitionBy(col(pk)).orderBy(col(versionCol).desc)
-    val merged = unioned.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
-    // overwrite via temp dir (can't overwrite a path while reading it)
-    val tmp = dimPath + "._tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(dimPath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-  }
+      pk: String, versionCol: String,
+      nBuckets: Int = graft.io.DimStore.DefaultBuckets): Unit =
+    graft.io.DimStore.upsert(spark, batch, dimPath, pk, versionCol, nBuckets)
+
+  /** Current dim snapshot (resolves the store's latest manifest). */
+  def readDim(spark: SparkSession, dimPath: String): DataFrame =
+    graft.io.DimStore.read(spark, dimPath)
 
   /** K4 — create-table-if-not-exists DDL from a config row
     * (TableProcessFunction.java:112-159): all columns STRING, pk defaulted

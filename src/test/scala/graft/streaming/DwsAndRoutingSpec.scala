@@ -100,7 +100,7 @@ class DwsAndRoutingSpec extends SparkTestBase {
     DbRouting.upsertDim(spark, b1, dir, "id", "ver")
     val b2 = Seq(("1", "APPLE-v2", 200L), ("3", "LG", 200L)).toDF("id", "tm_name", "ver")
     DbRouting.upsertDim(spark, b2, dir, "id", "ver")
-    val dim = spark.read.parquet(dir).select("id", "tm_name")
+    val dim = DbRouting.readDim(spark, dir).select("id", "tm_name")
       .as[(String, String)].collect().toSet
     assert(dim == Set(("1", "APPLE-v2"), ("2", "Sony"), ("3", "LG")))
   }
