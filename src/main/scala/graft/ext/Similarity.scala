@@ -29,11 +29,27 @@ object Similarity {
     expr(s"aggregate($vecCol, CAST(0 AS DOUBLE), " +
       s"(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
 
+  /** Bounded top-k ranking of a scored frame (qid, cid, cosine) — the
+    * scale path: a size-k heap TypedImperativeAggregate with map-side
+    * partial merge (graft.functions.TopKAgg), NOT a
+    * `row_number().over(Window.partitionBy(qid))` sort. The window idiom
+    * shuffles every scored candidate of a query into one task and sorts
+    * them all to keep k; the heap keeps ≤k rows per partition locally and
+    * shuffles O(partitions × k). Ordering matches row_number over
+    * (cosine desc, cid asc) exactly, so ranks are deterministic. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = graft.functions.TopK.topK(k)
+    scored.groupBy("qid")
+      .agg(topk(col("cosine"), col("cid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk.items")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.id").as("cid"), col("s.score").as("cosine"),
+        (col("pos") + 1).as("rank"))
+  }
+
   /** Brute-force cosine top-k: every query × every candidate (minus self),
     * ranked per query. Queries are broadcast; candidates stream. */
   def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
       .withColumn("qn", norm("qe"))
     val c = embeddings.select(col(idCol).as("cid"), col(vecCol).as("ce"))
@@ -42,10 +58,7 @@ object Similarity {
       .filter(col("cid") =!= col("qid"))
       .withColumn("cosine",
         floor(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("cn"))) * 1000000.0) / 1000000.0)
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "cid", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** Brute-force top-k through the native codegen'd VectorCosine
@@ -53,7 +66,6 @@ object Similarity {
     * semantics as cosineTopK, faster hot path. */
   def cosineTopKNative(embeddings: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.VectorCosine.register(embeddings.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
     val c = embeddings.select(col(idCol).as("cid"), col(vecCol).as("ce"))
@@ -61,10 +73,7 @@ object Similarity {
       .filter(col("cid") =!= col("qid"))
       .withColumn("cosine",
         floor(expr("vec_cosine(qe, ce)") * 1000000.0) / 1000000.0)
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "cid", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** Coarse-quantizer centroids: the mean vector per cluster id. */
@@ -82,19 +91,20 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, queries: DataFrame, k: Int,
       nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = centroids(embeddings, clusterCol, vecCol)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
       .withColumn("qn", norm("qe"))
-    // rank centroids per query (centroid set is tiny → broadcast)
+    // rank centroids per query (centroid set is tiny → broadcast); same
+    // bounded heap as the candidate ranking, keyed (cosine desc, cluster)
     val cScored = q.crossJoin(broadcast(
         cents.select(col("cluster"), col("centroid").as("ce"))
           .withColumn("cn", norm("ce"))))
       .withColumn("cosine",
         floor(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("cn"))) * 1000000.0) / 1000000.0)
-    val wC = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cluster"))
-    val probed = cScored.withColumn("r", row_number().over(wC))
-      .filter(col("r") <= nProbe).select("qid", "cluster")
+    val probed = rankTopK(
+        cScored.select(col("qid"), col("cluster").cast("long").as("cid"), col("cosine")),
+        nProbe)
+      .select(col("qid"), col("cid").cast("int").as("cluster"))
     // scan only the probed clusters
     val cand = embeddings.select(col(idCol).as("cid"), col(vecCol).as("ce"),
         col(clusterCol).as("cluster"))
@@ -104,10 +114,7 @@ object Similarity {
       .join(q.select("qid", "qe", "qn"), Seq("qid"))
       .withColumn("cosine",
         floor(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("cn"))) * 1000000.0) / 1000000.0)
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "cid", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs above a cosine

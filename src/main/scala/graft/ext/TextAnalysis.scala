@@ -65,26 +65,38 @@ object TextAnalysis {
     * every k-gram, then keep the minimum hash of each sliding window of w
     * consecutive k-grams; the distinct minima are the document's
     * fingerprint set. Guarantees any shared run of ≥ w+k-1 chars shares a
-    * fingerprint. One explode + one window function + distinct — linear,
-    * shuffle only on (doc, position) ranges. */
+    * fingerprint.
+    *
+    * Scale shape: everything happens INSIDE the row with higher-order
+    * functions — the k-gram hash array, the per-window minima
+    * (slice + array_min over full windows, clipped only when the doc has
+    * fewer than w grams), and the doc-local dedup (array_distinct; doc ids
+    * are unique, so doc-local distinct IS global distinct). Zero shuffle:
+    * the earlier explode-one-row-per-character-position + two window
+    * functions shape shuffled ~|corpus bytes| rows per run, which is the
+    * canonical scale-killer at 100 TB. The one explode left emits only the
+    * final fingerprint set (≈ n/w per doc).
+    *
+    * The `transform(array(<grams>), g -> …)` wrapper is a deliberate LET
+    * BINDING, not noise: with a plain `withColumn("grams", …)`,
+    * CollapseProject inlines the gram-array expression into every
+    * reference inside the window lambda, so the whole n-hash array is
+    * recomputed for each of the n window positions — O(n²) md5 calls per
+    * document (measured: a single sf0.001 task pinned a core for 14+ min).
+    * Binding the array to a lambda variable forces one evaluation per row;
+    * the lambda body then slices the bound array. */
   def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 16, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    val gramsExpr =
+      s"transform(sequence(1, greatest(length(norm) - ${k - 1}, 1)), " +
+        s"p -> md5(substr(norm, p, $k)))"
+    docs
       .withColumn("norm", trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
-      .select(col(idCol),
-        expr(s"explode(sequence(1, greatest(length(norm) - ${k - 1}, 1))) AS p"),
-        col("norm"))
-      .select(col(idCol), col("p"), expr(s"md5(substr(norm, p, $k))").as("h"))
-    val win = Window.partitionBy(col(idCol)).orderBy(col("p"))
-      .rowsBetween(0, w - 1)
-    grams
-      .withColumn("np", count(lit(1)).over(Window.partitionBy(col(idCol))))
-      .withColumn("minh", min(col("h")).over(win))
-      // only full windows (position ≤ n_grams − w + 1), unless doc shorter
-      .filter(col("p") <= greatest(col("np") - (w - 1), lit(1)))
-      .select(col(idCol), col("minh").as("fp"))
-      .distinct()
+      .withColumn("fps", expr(
+        s"flatten(transform(array($gramsExpr), g -> " +
+          s"array_distinct(transform(sequence(1, greatest(size(g) - ${w - 1}, 1)), " +
+          s"p -> array_min(slice(g, p, $w))))))"))
+      .select(col(idCol), explode(col("fps")).as("fp"))
   }
 
   /** Whole-document fingerprint: md5 of whitespace-normalized text, plus a

@@ -40,9 +40,7 @@ object DimStore {
   private def bucketOf(pk: String, nBuckets: Int) =
     pmod(hash(col(pk)), lit(nBuckets))
 
-  /** (version, bucket → data dir relative to `path`), from the highest
-    * committed manifest; None for a virgin store. */
-  def currentManifest(spark: SparkSession, path: String): Option[(Long, Map[Int, String])] = {
+  private def manifestText(spark: SparkSession, path: String): Option[(Long, String)] = {
     val fs = fileSystem(spark)
     val dir = manifestDir(path)
     if (!fs.exists(dir)) return None
@@ -52,16 +50,53 @@ object DimStore {
     val v = committed.max
     val in = fs.open(new Path(dir, f"m-$v%09d"))
     val text = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    val buckets = text.linesIterator.filter(_.nonEmpty).map { line =>
-      val Array(b, rel) = line.split('\t')
-      b.toInt -> rel
-    }.toMap
-    Some((v, buckets))
+    Some((v, text))
   }
 
-  /** Current dim snapshot (business columns only). Empty frame with the
-    * given schema if the store is virgin and `schemaOf` is provided. */
+  /** (version, bucket → data dir relative to `path`), from the highest
+    * committed manifest; None for a virgin store. Lines starting with `#`
+    * are metadata (e.g. `#nBuckets=64`), not bucket entries. */
+  def currentManifest(spark: SparkSession, path: String): Option[(Long, Map[Int, String])] =
+    manifestText(spark, path).map { case (v, text) =>
+      val buckets = text.linesIterator
+        .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+          val Array(b, rel) = line.split('\t')
+          b.toInt -> rel
+        }.toMap
+      (v, buckets)
+    }
+
+  /** The bucket count the store was committed with (None: virgin store, or
+    * a store predating the `#nBuckets` manifest header). */
+  def storedNBuckets(spark: SparkSession, path: String): Option[Int] =
+    manifestText(spark, path).flatMap { case (_, text) =>
+      text.linesIterator.collectFirst {
+        case l if l.startsWith("#nBuckets=") => l.stripPrefix("#nBuckets=").toInt
+      }
+    }
+
+  /** Guard against silently treating a non-DimStore parquet directory as a
+    * virgin store: a path with data files but no committed manifest is a
+    * layout this reader does not understand, and upserting "over" it would
+    * drop every pre-existing row from the snapshot. */
+  private def requireNotLegacy(spark: SparkSession, path: String): Unit = {
+    val fs = fileSystem(spark)
+    val p = new Path(path)
+    if (fs.exists(p) && !fs.exists(manifestDir(path)) &&
+      fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        n.endsWith(".parquet") || n == "_SUCCESS" || n == "data"
+      })
+      throw new IllegalStateException(
+        s"$path contains data but no _manifests dir — not a DimStore layout. " +
+          "Import the legacy snapshot explicitly (read it, upsert into a fresh " +
+          "path) instead of writing over it.")
+  }
+
+  /** Current dim snapshot (business columns only). Throws on a virgin
+    * store — check `exists` first. */
   def read(spark: SparkSession, path: String): DataFrame = {
+    requireNotLegacy(spark, path)
     val m = currentManifest(spark, path)
       .getOrElse(throw new IllegalStateException(s"no committed dim at $path"))
     val dirs = m._2.values.toSeq.distinct.map(rel => s"$path/$rel")
@@ -73,11 +108,22 @@ object DimStore {
 
   /** MERGE the batch into the store: last-write-wins per `pk` by
     * `versionCol` (batch wins ties). Only buckets containing batch keys
-    * are read, merged, and rewritten. */
+    * are read, merged, and rewritten.
+    *
+    * `nBuckets` is persisted in the manifest at first commit and validated
+    * on every later upsert: a different value would hash keys into
+    * different buckets than the committed layout, silently dropping
+    * existing rows from the merge. Mismatch fails loudly. */
   def upsert(spark: SparkSession, batch: DataFrame, path: String,
       pk: String, versionCol: String,
       nBuckets: Int = DefaultBuckets): Unit = {
     val fs = fileSystem(spark)
+    requireNotLegacy(spark, path)
+    storedNBuckets(spark, path).foreach { stored =>
+      require(stored == nBuckets,
+        s"dim at $path was committed with nBuckets=$stored; upsert called " +
+          s"with nBuckets=$nBuckets — refusing a silently-corrupting merge")
+    }
     val current = currentManifest(spark, path)
     val nextV = current.map(_._1 + 1).getOrElse(1L)
     val oldBuckets = current.map(_._2).getOrElse(Map.empty)
@@ -108,39 +154,58 @@ object DimStore {
     val merged = unioned.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn", "_src")
 
-    // immutable new version dir for the touched buckets. nextV is one past
-    // the highest COMMITTED manifest, so an existing dir here can only be
-    // debris from a writer that crashed before committing — reclaim it.
-    val dataRel = f"data/v-$nextV%09d"
-    val dataPath = new Path(s"$path/$dataRel")
-    if (fs.exists(dataPath)) fs.delete(dataPath, true)
+    // immutable new version dir for the touched buckets. An existing dir
+    // at this version is either crash debris OR a live concurrent writer's
+    // uncommitted data — we can't tell which, so NEVER delete it: probe
+    // for a fresh attempt-suffixed name instead. A loser/crasher leaves
+    // only its own orphan dir, reclaimed by vacuum once the manifest
+    // version moves past it.
+    val base = f"data/v-$nextV%09d"
+    val dataRel = Iterator.from(0)
+      .map(a => if (a == 0) base else s"$base-a$a")
+      .find(rel => !fs.exists(new Path(s"$path/$rel"))).get
     merged.write.partitionBy("_bucket").parquet(s"$path/$dataRel")
 
-    // commit: old entries + touched buckets re-pointed, as manifest nextV.
-    // Written to a tmp name, renamed to its final fresh name (atomic).
-    val entries = (oldBuckets ++ touched.map(b => b -> s"$dataRel/_bucket=$b"))
-      .toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" }.mkString("\n")
+    // commit: old entries + touched buckets re-pointed, as manifest nextV,
+    // headed by the persisted bucket count. Written to a tmp name, renamed
+    // to its final fresh name. NOTE the atomicity + collision guarantees
+    // are HDFS rename semantics: on S3A rename is a non-atomic copy+delete,
+    // and on RawLocalFileSystem rename over an existing destination
+    // succeeds — there the exists-check below narrows but cannot close the
+    // concurrent-commit window. Single-writer-per-dim is the supported
+    // model off HDFS (matches the reference's one Phoenix sink per table).
+    val entries = (s"#nBuckets=$nBuckets" +:
+      (oldBuckets ++ touched.map(b => b -> s"$dataRel/_bucket=$b"))
+        .toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" }).mkString("\n")
     val dir = manifestDir(path)
     fs.mkdirs(dir)
     val tmp = new Path(dir, f".m-$nextV%09d.tmp")
     val out = fs.create(tmp, true)
     try out.write(entries.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, new Path(dir, f"m-$nextV%09d")))
+    val finalName = new Path(dir, f"m-$nextV%09d")
+    if (fs.exists(finalName) || !fs.rename(tmp, finalName))
       throw new IllegalStateException(
         s"manifest commit collision at $path v$nextV (concurrent writer?)")
   }
 
-  /** Delete data dirs no manifest-current bucket points to (old versions).
-    * Safe to run any time after upsert: readers resolve through the
-    * latest manifest only. */
+  private def versionOf(vDirName: String): Long =
+    vDirName.stripPrefix("v-").takeWhile(_.isDigit).toLong
+
+  /** Delete data dirs no manifest-current bucket points to, but ONLY dirs
+    * whose version is strictly below the current manifest version: a dir
+    * at/above it may be a live concurrent writer's uncommitted data whose
+    * commit would then point at deleted files. With that rule vacuum is
+    * safe to run any time after upsert, even alongside an in-flight
+    * writer; readers resolve through the latest manifest only. */
   def vacuum(spark: SparkSession, path: String): Unit = {
     val fs = fileSystem(spark)
-    currentManifest(spark, path).foreach { case (_, buckets) =>
+    currentManifest(spark, path).foreach { case (v, buckets) =>
       val live = buckets.values.map(rel => rel.split('/')(1)).toSet // v-dirs
       val dataDir = new Path(path, "data")
       if (fs.exists(dataDir))
         fs.listStatus(dataDir).map(_.getPath)
           .filterNot(p => live(p.getName))
+          .filter(p => versionOf(p.getName) < v)
           .foreach(fs.delete(_, true))
     }
   }

@@ -29,9 +29,12 @@ object SkewJoin {
       pmod(hash(large.columns.map(col): _*), lit(buckets)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
+    // keys must be side-qualified: an unqualified col(key) is ambiguous
+    // whenever both sides share the column name (incl. largeKey == smallKey,
+    // the common case)
     salted.join(replicated,
         salted("_salt") === replicated("_salt") &&
-          col(largeKey) === col(smallKey), joinType)
+          salted(largeKey) === replicated(smallKey), joinType)
       .drop("_salt")
   }
 }

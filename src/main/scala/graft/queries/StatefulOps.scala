@@ -63,7 +63,10 @@ object StatefulOps {
     * session-entry event followed within 10s by another entry, or by
     * nothing ⇒ bounce). Batch analog over per-user event sequences:
     * entry = gap>30s from previous event (or first); bounce = entry whose
-    * next event is absent or >10s later. Exact integer µs arithmetic. */
+    * next event is absent or ≥10s later (CEP within(10s) fires the timeout
+    * FIRST at exactly +10s — UserJumpDetailApp.java:89 — so the boundary
+    * gap bounces; same strict-< window as Bounce.advance). Exact integer
+    * µs arithmetic. */
   val c1BounceDetect = OpQuery(
     "c1_bounce_detect",
     "CEP bounce: entry-with-no-follow-up-within-10s (UserJumpDetailApp analog)",
@@ -76,7 +79,7 @@ object StatefulOps {
         .filter( // session entry:
           (col("prev_us").isNull || col("us") - col("prev_us") > 30000000L) &&
           // no follow-up within 10s:
-          (col("next_us").isNull || col("next_us") - col("us") > 10000000L))
+          (col("next_us").isNull || col("next_us") - col("us") >= 10000000L))
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("visit_time"))
         .orderBy("event_id")
@@ -88,7 +91,7 @@ object StatefulOps {
                     lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
                   FROM events)
             WHERE (prev_us IS NULL OR us - prev_us > 30000000)
-              AND (next_us IS NULL OR next_us - us > 10000000)
+              AND (next_us IS NULL OR next_us - us >= 10000000)
             ORDER BY event_id"""))
 
   val all: Seq[OpQuery] = Seq(a5UvDedup, a6IsNewRepair, c1BounceDetect)

@@ -44,10 +44,14 @@ object Bounce extends Serializable {
     var st = pending
     sorted.foreach { case (ts, entry, payload) =>
       st match {
-        case Some(p) if ts - p.ts <= WindowMs =>
+        // strictly inside the window: Flink CEP within(10s) fires the
+        // TIMEOUT first at exactly +10s (UserJumpDetailApp.java:89), so a
+        // follow-up at ts == p.ts + WindowMs is handled by the next case
+        // (pending bounces), not treated as a contiguous follow-up
+        case Some(p) if ts - p.ts < WindowMs =>
           if (entry) { out += p.json; st = Some(Pending(ts, payload)) }
           else st = None // strict-next broken by a follow-up page
-        case Some(p) => // gap beyond window: pending already bounced
+        case Some(p) => // gap at/beyond window: pending already bounced
           out += p.json
           st = if (entry) Some(Pending(ts, payload)) else None
         case None =>

@@ -13,6 +13,16 @@ object WindowStats {
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** Exact distinct order-id count with bounded state: a per-group set
+    * capped at 1M elements (graft.functions.BoundedDistinctAgg) instead of
+    * an unbounded collect_set. Within a 10s window a key's distinct
+    * cardinality is business-bounded; if that ever breaks the aggregate
+    * fails loudly instead of OOMing an executor. Count of distinct is
+    * preserved by the injective cast to string. */
+  private val distinctCap = 1 << 20
+  private def exactDistinct(c: org.apache.spark.sql.Column) =
+    graft.functions.TopK.boundedDistinct(distinctCap)(c.cast("string"))
+
   private def windowed(df: DataFrame, delay: String): DataFrame =
     df.withColumn("rt", timestamp_millis(col("ts")))
       .withWatermark("rt", delay)
@@ -39,9 +49,9 @@ object WindowStats {
 
   /** A2 — ProductStats (RT/app/dws/ProductStatsApp.java:185-242): 7-way
     * unioned one-hot rows keyed by sku_id; sums + EXACT distinct order-id
-    * counts (Set-union → collect_set size; streaming agg can't use
-    * count(distinct), collect_set is the exact equivalent, memory-bounded
-    * by the 10s window). Watermark 2s (ProductStatsApp.java:195). */
+    * counts (the reference's per-window order-id Sets; streaming agg can't
+    * use count(distinct) — exactDistinct above is the bounded-state
+    * equivalent). Watermark 2s (ProductStatsApp.java:195). */
   def productStats(oneHot: DataFrame): DataFrame =
     windowed(oneHot, "2 seconds")
       .groupBy(window(col("rt"), "10 seconds").as("w"), col("sku_id"))
@@ -51,11 +61,11 @@ object WindowStats {
         sum("favor_ct").as("favor_ct"),
         sum("cart_ct").as("cart_ct"),
         sum("order_amount").as("order_amount"),
-        size(collect_set(col("order_id"))).as("order_ct"),
+        exactDistinct(col("order_id")).as("order_ct"),
         sum("payment_amount").as("payment_amount"),
-        size(collect_set(col("paid_order_id"))).as("paid_order_ct"),
+        exactDistinct(col("paid_order_id")).as("paid_order_ct"),
         sum("refund_amount").as("refund_amount"),
-        size(collect_set(col("refund_order_id"))).as("refund_order_ct"),
+        exactDistinct(col("refund_order_id")).as("refund_order_ct"),
         sum("comment_ct").as("comment_ct"),
         sum("good_comment_ct").as("good_comment_ct"))
       .select(
@@ -76,7 +86,7 @@ object WindowStats {
         col("province_id"), col("province_name"), col("province_area_code"),
         col("province_iso_code"))
       .agg(
-        size(collect_set(col("order_id"))).as("order_count"),
+        exactDistinct(col("order_id")).as("order_count"),
         sum(col("split_total_amount")).as("order_amount"))
       .select(
         date_format(col("w.start"), fmt).as("stt"),

@@ -85,6 +85,54 @@ class DimStoreSpec extends SparkTestBase {
     assert(DimStore.read(spark, dir).count() == 50) // current still whole
   }
 
+  test("nBuckets is persisted at first commit and a mismatch fails loudly") {
+    val dir = tmpDir() + "/dim"
+    DimStore.upsert(spark, Seq(("1", "a", 1L)).toDF("id", "nm", "ver"),
+      dir, "id", "ver", nBuckets = 16)
+    assert(DimStore.storedNBuckets(spark, dir).contains(16))
+    val e = intercept[IllegalArgumentException] {
+      DimStore.upsert(spark, Seq(("2", "b", 2L)).toDF("id", "nm", "ver"),
+        dir, "id", "ver", nBuckets = 32)
+    }
+    assert(e.getMessage.contains("nBuckets=16"))
+    // matching value still works and the layout stays consistent
+    DimStore.upsert(spark, Seq(("2", "b", 2L)).toDF("id", "nm", "ver"),
+      dir, "id", "ver", nBuckets = 16)
+    assert(DimStore.read(spark, dir).count() == 2)
+  }
+
+  test("a parquet dir without a manifest is rejected, not treated as virgin") {
+    val dir = tmpDir() + "/legacy"
+    Seq(("1", "a")).toDF("id", "nm").write.parquet(dir)
+    val e = intercept[IllegalStateException] {
+      DimStore.upsert(spark, Seq(("2", "b", 1L)).toDF("id", "nm", "ver"),
+        dir, "id", "ver")
+    }
+    assert(e.getMessage.contains("not a DimStore layout"))
+    intercept[IllegalStateException] { DimStore.read(spark, dir) }
+  }
+
+  test("an existing v-dir at the next version is never deleted (live writer safety)") {
+    val dir = tmpDir() + "/dim"
+    DimStore.upsert(spark, Seq(("1", "a", 1L)).toDF("id", "nm", "ver"),
+      dir, "id", "ver")
+    // another writer's uncommitted v-2 data (or crash debris — upsert
+    // cannot tell, so it must leave the dir alone either way)
+    val otherWriterDir = dir + "/data/v-000000002/_bucket=0"
+    Seq(("9", "THEIRS", 9L)).toDF("id", "nm", "ver").write.parquet(otherWriterDir)
+    DimStore.upsert(spark, Seq(("2", "b", 2L)).toDF("id", "nm", "ver"),
+      dir, "id", "ver")
+    // the other writer's data survives; ours landed in an attempt-suffixed dir
+    assert(spark.read.parquet(otherWriterDir).count() == 1)
+    val (_, m) = DimStore.currentManifest(spark, dir).get
+    assert(m.values.exists(_.startsWith("data/v-000000002-a1/")))
+    assert(DimStore.read(spark, dir).count() == 2)
+    // vacuum at current version 2 must keep BOTH v-2 dirs (>= current)
+    DimStore.vacuum(spark, dir)
+    assert(spark.read.parquet(otherWriterDir).count() == 1)
+    assert(DimStore.read(spark, dir).count() == 2)
+  }
+
   test("schema evolution: a new column appears, old rows read as null") {
     val dir = tmpDir() + "/dim"
     DimStore.upsert(spark, Seq(("1", "a", 1L)).toDF("id", "nm", "ver"),

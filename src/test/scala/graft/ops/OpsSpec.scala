@@ -26,6 +26,16 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("salted join resolves identically-named key columns on both sides") {
+    // the regression: col(key) === col(key) is ambiguous when both sides
+    // share the column name — keys must be side-qualified inside saltedJoin
+    val large = ((1 to 50).map(_ => 1L) ++ Seq(2L, 3L)).toDF("k")
+    val dim = Seq((1L, "hot"), (2L, "warm")).toDF("k", "name")
+    val salted = SkewJoin.saltedJoin(large, dim, "k", "k", buckets = 4)
+    assert(salted.count() == 51)
+    assert(salted.filter(col("name") === "hot").count() == 50)
+  }
+
   test("ProductStats shaping: 7-way one-hot union aggregates correctly (P8/P9/A2)") {
     def page(item: String, pageId: String, ts: Long, displays: String = "[]") =
       s"""{"common":{"mid":"m"},"page":{"page_id":"$pageId","item":"$item","item_type":"sku_id"},"displays":$displays,"ts":$ts}"""

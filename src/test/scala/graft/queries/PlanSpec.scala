@@ -54,6 +54,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ANN top-k is a bounded heap aggregate, not a window sort") {
+    // the 100×-scale guarantee: no row_number().over(Window.partitionBy(qid))
+    // single-reducer sort of the full candidate set — the TopKAgg runs as a
+    // TypedImperativeAggregate with map-side partial merge
+    for (q <- Seq("x_ann_bruteforce", "x_ann_native_expr", "x_ann_ivf")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q still window-sorts:\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"$q lost the heap aggregate:\n$p")
+      // partial + final pairs ⇒ per-partition locals merge without a
+      // global sort of candidates
+      assert(p.linesIterator.count(_.matches("""\(\d+\) ObjectHashAggregate.*""")) >= 2, p)
+    }
+  }
+
   test("text analysis is a pure map pipeline: no shuffle except final sort") {
     val p = planOf("x_text_stats")
     // Project chain straight over the scan; the only Exchange is the

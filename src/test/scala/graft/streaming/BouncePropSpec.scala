@@ -37,7 +37,7 @@ object BouncePropSpec extends Properties("Bounce.advance") {
     Prop.forAll(genEvents) { evs =>
       val (emitted, _) = Bounce.advance(None, evs)
       val shouldBounce = evs.sliding(2).collect {
-        case Seq((t1, true, p1), (t2, true, _)) if t2 - t1 <= W => p1
+        case Seq((t1, true, p1), (t2, true, _)) if t2 - t1 < W => p1
       }.toSet
       shouldBounce.subsetOf(emitted.toSet)
     }
@@ -46,9 +46,20 @@ object BouncePropSpec extends Properties("Bounce.advance") {
     Prop.forAll(genEvents) { evs =>
       val (emitted, pending) = Bounce.advance(None, evs)
       val browsedOn = evs.sliding(2).collect {
-        case Seq((t1, true, p1), (t2, false, _)) if t2 - t1 <= W => p1
+        case Seq((t1, true, p1), (t2, false, _)) if t2 - t1 < W => p1
       }.toSet
       browsedOn.intersect(emitted.toSet ++ pending.map(_.json)).isEmpty
+    }
+
+  // Boundary pinned to the reference CEP walkthrough
+  // (RT/app/dwm/UserJumpDetailAppBak.java:27-43): within(10s) fires the
+  // timeout FIRST at exactly +10s, so a follow-up landing exactly on the
+  // boundary cannot kill the match — the pending entry bounces either way.
+  property("a follow-up at exactly +window bounces the pending entry") =
+    Prop.forAll(Gen.prob(0.5)) { followUpIsEntry =>
+      val evs = Seq((0L, true, "entry"), (W, followUpIsEntry, "boundary"))
+      val (emitted, _) = Bounce.advance(None, evs)
+      emitted.contains("entry")
     }
 
   property("folding in two chunks equals folding at once (micro-batch split)") =

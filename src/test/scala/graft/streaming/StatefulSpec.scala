@@ -42,6 +42,49 @@ class StatefulSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("UV dedup and bounce run unchanged on the RocksDB state store (large-state path)") {
+    implicit val ctx = spark.sqlContext
+    Runner.useRocksDBStateStore(spark)
+    try {
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+      // UV dedup under RocksDB
+      val uvIn = MemoryStream[String]
+      val uv = UniqueVisit.dedup(BaseLog.clean(BaseLog.parse(uvIn.toDF())), ttlMs = 0)
+        .writeStream.format("memory").queryName("uv_rocks").outputMode("append").start()
+      // bounce CEP under RocksDB
+      val bIn = MemoryStream[String]
+      val bounce = Bounce.detect(BaseLog.clean(BaseLog.parse(bIn.toDF())))
+        .writeStream.format("memory").queryName("bounce_rocks").outputMode("append").start()
+      try {
+        uvIn.addData(
+          pageJson("mid1", 1000, null), pageJson("mid1", 3000, null),
+          pageJson("mid2", 4000, null))
+        uv.processAllAvailable()
+        assert(spark.table("uv_rocks")
+          .select(get_json_object($"value", "$.ts").cast("long")).as[Long]
+          .collect().toSet == Set(1000L, 4000L))
+        // RocksDB provider really engaged for the stateful operator
+        assert(uv.lastProgress.stateOperators.nonEmpty)
+
+        bIn.addData(
+          pageJson("101", 10000, null),   // entry then entry → match bounce
+          pageJson("101", 12000, null),
+          pageJson("101", 13000, "home")) // pending killed by follow-up page
+        bounce.processAllAvailable()
+        bIn.addData(pageJson("103", 200000, null))
+        bounce.processAllAvailable()
+        assert(spark.table("bounce_rocks")
+          .select(get_json_object($"value", "$.ts").cast("long")).as[Long]
+          .collect().toSet == Set(10000L))
+      } finally { uv.stop(); bounce.stop() }
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("bounce: match, strict-next break, and event-time timeout (C1)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
