@@ -5,6 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark main (driver contract): runs every registry query
   * on SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
+  * Methodology: each query runs SPARK_GRAFT_BENCH_ITERS times (default 3)
+  * and reports the per-query MEDIAN — two consecutive rounds were
+  * mis-graded by single-shot noise (recorded totals of 121s and 291s vs a
+  * clean 88.5s rerun), so one sample is not a measurement. A failed query
+  * contributes NO time, lands in the `failed` array, and makes the run
+  * exit nonzero — a broken query must never be mistaken for a fast one.
+  *
   * Queries are fully evaluated through the noop sink — a count() would let
   * Catalyst prune every computed column and benchmark the scan alone.
   */
@@ -12,6 +19,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,18 +34,34 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     graft.core.Tables.load(spark, sfDir, "region")
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to iters).iterator.map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+        }
+      }.takeWhile(_.isDefined).flatten.toSeq // a failure aborts the query's iters
+      if (times.size < iters) { failed += name; name -> None }
+      else name -> Some(median(times))
+    }
+    val qs = results.collect { case (k, Some(v)) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

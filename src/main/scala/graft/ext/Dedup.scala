@@ -59,17 +59,19 @@ object Dedup {
 
   /** Exact word-set Jaccard over candidate pairs (n-gram Jaccard with
     * n=1 over word tokens; bucketing keeps the pair count linear).
-    * `bucketKey` is any blocking expression (prefix, LSH band, …). */
+    * `bucketKey` is any blocking expression (prefix, LSH band, …).
+    * Candidate generation goes through PairBuckets.selfPairs, so one
+    * pathological bucket (a boilerplate prefix shared corpus-wide) is
+    * triangle-salted across tasks instead of serializing O(c²) pairs
+    * into one. */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       bucketKey: org.apache.spark.sql.Column, threshold: Double): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0).distinct()
     val sizes = tok.groupBy("id").agg(count(lit(1)).as("n"))
-    val bucketed = docs.select(col(idCol).as("id"), bucketKey.as("bk"))
-    val cand = bucketed.as("x").join(bucketed.as("y"), col("x.bk") === col("y.bk"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+    val cand = graft.ops.PairBuckets.selfPairs(docs, idCol, bucketKey)
+      .select("doc_a", "doc_b")
     val inter = cand
       .join(tok.select(col("id").as("doc_a"), col("word")), Seq("doc_a"))
       .join(tok.select(col("id").as("doc_b"), col("word")), Seq("doc_b", "word"))

@@ -119,18 +119,24 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: all pairs above a cosine
     * threshold, restricted to within-cluster pairs (the IVF blocking —
-    * linear in cluster size, not corpus size). */
+    * linear in cluster size, not corpus size). Pair generation goes
+    * through PairBuckets.selfPairs so one fat cluster is triangle-salted
+    * across tasks instead of serializing O(c²) pairs into one; the
+    * vectors are then fetched back by id with two hash joins (shuffle on
+    * id — scales, unlike carrying both vectors through the pair join). */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, threshold: Double): DataFrame = {
-    val v = embeddings.select(col(clusterCol).as("cluster"),
-      col(idCol).as("id"), col(vecCol).as("e"))
+    val v = embeddings.select(col(idCol).as("id"), col(vecCol).as("e"))
       .withColumn("n", norm("e"))
-    val a = v.select(col("cluster"), col("id").as("qid"), col("e").as("qe"), col("n").as("qn"))
-    val b = v.select(col("cluster"), col("id").as("cid"), col("e").as("ce"), col("n").as("cn"))
-    a.join(b, Seq("cluster")).filter(col("qid") < col("cid"))
+    val pairs = graft.ops.PairBuckets.selfPairs(embeddings, idCol, col(clusterCol))
+    pairs
+      .join(v.select(col("id").as("doc_a"), col("e").as("qe"), col("n").as("qn")),
+        Seq("doc_a"))
+      .join(v.select(col("id").as("doc_b"), col("e").as("ce"), col("n").as("cn")),
+        Seq("doc_b"))
       .withColumn("cosine",
         floor(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("cn"))) * 1000000.0) / 1000000.0)
       .filter(col("cosine") >= threshold)
-      .select(col("qid").as("doc_a"), col("cid").as("doc_b"), col("cosine"))
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
   }
 }

@@ -67,36 +67,22 @@ object TextAnalysis {
     * fingerprint set. Guarantees any shared run of ≥ w+k-1 chars shares a
     * fingerprint.
     *
-    * Scale shape: everything happens INSIDE the row with higher-order
-    * functions — the k-gram hash array, the per-window minima
-    * (slice + array_min over full windows, clipped only when the doc has
-    * fewer than w grams), and the doc-local dedup (array_distinct; doc ids
-    * are unique, so doc-local distinct IS global distinct). Zero shuffle:
-    * the earlier explode-one-row-per-character-position + two window
-    * functions shape shuffled ~|corpus bytes| rows per run, which is the
-    * canonical scale-killer at 100 TB. The one explode left emits only the
-    * final fingerprint set (≈ n/w per doc).
-    *
-    * The `transform(array(<grams>), g -> …)` wrapper is a deliberate LET
-    * BINDING, not noise: with a plain `withColumn("grams", …)`,
-    * CollapseProject inlines the gram-array expression into every
-    * reference inside the window lambda, so the whole n-hash array is
-    * recomputed for each of the n window positions — O(n²) md5 calls per
-    * document (measured: a single sf0.001 task pinned a core for 14+ min).
-    * Binding the array to a lambda variable forces one evaluation per row;
-    * the lambda body then slices the bound array. */
+    * Scale shape: the whole per-document computation — k-gram hashing,
+    * O(n) monotonic-deque window minima, doc-local dedup (doc ids are
+    * unique, so doc-local distinct IS global distinct) — runs inside ONE
+    * native expression eval per row (graft.functions.WinnowFps). Zero
+    * shuffle: the earlier explode-one-row-per-character-position + two
+    * window functions shape shuffled ~|corpus bytes| rows per run, the
+    * canonical scale-killer at 100 TB; a pure higher-order-function
+    * rewrite avoided the shuffle but paid interpreted-lambda overhead per
+    * position (3× slower than even the shuffle shape at sf0.1). The one
+    * explode left emits only the final fingerprint set (≈ n/w per doc). */
   def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 16, w: Int = 4): DataFrame = {
-    val gramsExpr =
-      s"transform(sequence(1, greatest(length(norm) - ${k - 1}, 1)), " +
-        s"p -> md5(substr(norm, p, $k)))"
+    graft.functions.WinnowFps.register(docs.sparkSession)
     docs
       .withColumn("norm", trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
-      .withColumn("fps", expr(
-        s"flatten(transform(array($gramsExpr), g -> " +
-          s"array_distinct(transform(sequence(1, greatest(size(g) - ${w - 1}, 1)), " +
-          s"p -> array_min(slice(g, p, $w))))))"))
-      .select(col(idCol), explode(col("fps")).as("fp"))
+      .select(col(idCol), explode(expr(s"winnow_fps(norm, $k, $w)")).as("fp"))
   }
 
   /** Whole-document fingerprint: md5 of whitespace-normalized text, plus a

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the full winnowing fingerprint set
+  * (Schleimer et al., SIGMOD'03) of a normalized string — md5-hex each
+  * k-gram, keep the minimum of every sliding window of w consecutive gram
+  * hashes (full windows only; one clipped window when the doc has fewer
+  * than w grams), return the distinct minima in first-occurrence order.
+  *
+  * Why an expression and not higher-order functions? The semantics ARE
+  * expressible as `transform` + `slice`/`array_min` — but interpreted HOF
+  * eval pays a boxed lambda call, a fresh digest, and a 4-element array
+  * copy PER POSITION, which benchmarked 3× slower than even the old
+  * explode+window-shuffle shape at sf0.1. This eval is the loop a native
+  * engine would run: one reused MessageDigest, one monotonic deque giving
+  * O(n) total window minima (not O(n·w)), zero per-position allocation
+  * beyond the hex strings themselves. Still zero shuffle: one call per
+  * row. Preference order per the design guide: built-ins where they're
+  * efficient, a custom Expression where the hot loop justifies it.
+  *
+  * Parity contract (the DuckDB oracle computes md5(substr(norm, p, k))):
+  * k-grams are taken with UTF8String.substringSQL — Spark's own substr —
+  * and hashed as their UTF-8 bytes, so results are bit-identical to the
+  * SQL form for any input, not just ASCII. Hex minima compare
+  * lexicographically = byte order = Spark/DuckDB string order.
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fps"
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
+    md.reset()
+    val d = md.digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val norm = input.asInstanceOf[UTF8String]
+    val len = norm.numChars()
+    val nGrams = math.max(len - (k - 1), 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = new Array[String](nGrams)
+    var p = 0
+    while (p < nGrams) {
+      // 1-based SQL substr semantics, clipped at the end like substr(norm,p,k)
+      hex(p) = md5Hex(md, norm.substringSQL(p + 1, k).getBytes)
+      p += 1
+    }
+    val out = new java.util.LinkedHashSet[String]
+    if (nGrams < w) {
+      // single clipped window = min over all grams
+      var best = hex(0); var i = 1
+      while (i < nGrams) { if (hex(i).compareTo(best) < 0) best = hex(i); i += 1 }
+      out.add(best)
+    } else {
+      // monotonic deque of indices with increasing hash values
+      val dq = new java.util.ArrayDeque[Int]
+      var i = 0
+      while (i < nGrams) {
+        while (!dq.isEmpty && hex(dq.peekLast()).compareTo(hex(i)) >= 0) dq.removeLast()
+        dq.addLast(i)
+        if (dq.peekFirst() <= i - w) dq.removeFirst()
+        if (i >= w - 1) out.add(hex(dq.peekFirst()))
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator(); var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+object WinnowFps {
+  /** SQL registration: winnow_fps(text, k, w) with literal int k/w. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps",
+      exprs => WinnowFps(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
+}
