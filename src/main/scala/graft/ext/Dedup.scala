@@ -88,6 +88,53 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over an undirected pair list — the CLUSTERING
+    * step of a dedup pipeline. LSH/Jaccard emit PAIRS, but dedup must keep
+    * one canonical doc per duplicate CLUSTER: pairs (a,b) and (b,c) must
+    * collapse into {a,b,c} even though (a,c) was never emitted. The
+    * component label is the minimum reachable id, so the label IS the
+    * canonical keeper.
+    *
+    * Algorithm: min-label propagation (the hash-join Pregel analog used by
+    * large-scale dedup pipelines): every iteration each node takes the min
+    * of its own label and its neighbors' labels — one shuffle join + one
+    * aggregate per round, converging after graph-diameter rounds (near-dup
+    * clusters are shallow, so the diameter is small). The driver loop is
+    * how iterative graph algorithms on Spark work (GraphX/Pregel do the
+    * same under the hood): each round's labels are persisted and the
+    * previous round unpersisted, so lineage stays flat and the convergence
+    * probe (`isEmpty` on changed labels) is the only driver-side data.
+    * Integer-only math — bit-exact in any engine. */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("component").as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component")))
+            .as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next
+        .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
+        .filter(col("component") < col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash bit expressions, shared with the DuckDB oracle: bit b of a
     * hex nibble is tested with a plain IN-list of the nibbles having that
     * bit set — portable SQL, no engine-specific bit ops. */

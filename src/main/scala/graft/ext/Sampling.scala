@@ -1,0 +1,37 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-addressed sampling for training-data curation.
+  *
+  * Why not `df.sample(fraction, seed)`? RNG sampling is tied to partition
+  * layout: repartition the corpus (or retry a failed stage on a cluster)
+  * and a different subset survives, which breaks audits and incremental
+  * reruns. Here the keep/drop decision is a pure function of the row's own
+  * id: keep iff the md5 hex prefix of the id sorts below the stratum's
+  * cutoff. Same subset in every engine, at any parallelism, on every
+  * rerun — and the DuckDB oracle can verify the exact membership.
+  *
+  * Cutoffs are 2-hex-char thresholds: md5 is uniform, so cutoff "40"
+  * keeps 0x40/0x100 = 25%, "80" keeps 50%. Per-stratum cutoffs give
+  * stratified downsampling (e.g. keep half the English corpus, a quarter
+  * of everything else) — the standard mixture-balancing move.
+  */
+object Sampling {
+
+  /** Keep rows whose md5(id) 2-hex prefix sorts strictly below the cutoff
+    * of their stratum. `cutoffs` maps stratum value → cutoff; strata not
+    * listed use `defaultCutoff`. Adds `stratum` and keeps all columns. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: Column,
+      cutoffs: Map[String, String], defaultCutoff: String): DataFrame = {
+    val cutoff = cutoffs.foldLeft(lit(defaultCutoff)) {
+      case (acc, (stratum, c)) =>
+        when(col("stratum") === stratum, lit(c)).otherwise(acc)
+    }
+    df.withColumn("stratum", stratumCol)
+      .withColumn("_hx", substring(md5(col(idCol).cast("string")), 1, 2))
+      .filter(col("_hx") < cutoff)
+      .drop("_hx")
+  }
+}

@@ -94,6 +94,41 @@ object ExtOps {
             WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0) / 10000.0 >= 0.5
             ORDER BY doc_a, doc_b"""))
 
+  /** Shared banded/pairs CTE text (the LSH pipeline of x_lsh_candidate_pairs),
+    * reused by the components oracle. */
+  private val lshPairsCte =
+    """banded AS (
+      |  SELECT doc_id, md5('0'||'|'||h0||'|'||h1||'|'||h2||'|'||h3) AS band FROM sig
+      |  UNION ALL
+      |  SELECT doc_id, md5('1'||'|'||h4||'|'||h5||'|'||h6||'|'||h7) FROM sig),
+      |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |        FROM banded a JOIN banded b USING (band)
+      |        WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  val xDedupComponents = OpQuery(
+    "x_dedup_components",
+    "connected components over LSH candidate pairs → duplicate clusters " +
+      "(component = min reachable id = canonical keeper)",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, "text", "doc_id", k = 8),
+        "doc_id", k = 8, bands = 2)
+      Dedup.connectedComponents(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $sigCte,
+            $lshPairsCte,
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                      UNION SELECT doc_b, doc_a FROM prs),
+            reach(id, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+            SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS component
+            FROM reach GROUP BY id ORDER BY doc_id"""))
+
   private val simhashBitsSql = (0 until 16).map(b =>
     s"sum(${Dedup.simhashBitSql("hh", b)}) AS b$b").mkString(", ")
 
@@ -318,6 +353,58 @@ object ExtOps {
         .orderBy("event_type"),
     None)
 
+  val xSampleStratified = OpQuery(
+    "x_sample_stratified",
+    "deterministic md5-threshold stratified sample (50% of 'en', 25% of the rest)",
+    (s, dir) =>
+      graft.ext.Sampling.stratifiedSample(
+        TextAnalysis.langId(t(s, dir, "documents"), "text"),
+        "doc_id", col("lang_pred"),
+        cutoffs = Map("en" -> "80"), defaultCutoff = "40")
+        .select("doc_id", "stratum")
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+              FROM documents),
+            s AS (SELECT doc_id,
+              CAST(len(w) AS BIGINT) AS n_tok,
+              CAST(len(list_filter(w, x -> x IN ($stopList))) AS BIGINT) AS n_stop
+              FROM t),
+            l AS (SELECT doc_id,
+              CASE WHEN n_stop * 20 >= n_tok THEN 'en' ELSE 'und' END AS stratum
+              FROM s)
+            SELECT doc_id, stratum FROM l
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+              (CASE WHEN stratum = 'en' THEN '80' ELSE '40' END)
+            ORDER BY doc_id"""))
+
+  val xProfilePercentiles = OpQuery(
+    "x_profile_percentiles",
+    "exact disc percentiles (p50/p90/p99) of doc length and token count",
+    (s, dir) =>
+      graft.ext.Profiling.discPercentiles(
+        TextAnalysis.tokenCounts(t(s, dir, "documents"), "text"),
+        metrics = Seq("n_chars", "ws_tokens"))
+        .withColumn("value", col("value").cast("long"))
+        .orderBy("metric", "q"),
+    Some("""WITH d AS (SELECT n_chars,
+              CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+                AS BIGINT) AS ws_tokens
+              FROM documents),
+            mc AS (SELECT 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS v FROM d
+                   UNION ALL SELECT 'ws_tokens', ws_tokens FROM d),
+            counts AS (SELECT metric, v, count(*) AS cnt FROM mc GROUP BY metric, v),
+            cum AS (SELECT metric, v,
+              sum(cnt) OVER (PARTITION BY metric ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              sum(cnt) OVER (PARTITION BY metric) AS n
+              FROM counts),
+            qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                  CAST(0.99 AS DOUBLE)]) AS q)
+            SELECT metric, q, CAST(min(v) AS BIGINT) AS value
+            FROM cum JOIN qs ON cum.cum >= ceil(q * n)
+            GROUP BY metric, q ORDER BY metric, q"""))
+
   // ---------- multimodal ----------
 
   val xMultimodalFeatures = OpQuery(
@@ -346,6 +433,7 @@ object ExtOps {
 
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
-    xSimhash, xAnnBruteforce, xAnnNative, xAnnIvf, xCosineNeardup,
-    xTextStats, xFingerprint, xWinnow, xApproxDistinct, xMultimodalFeatures)
+    xSimhash, xDedupComponents, xAnnBruteforce, xAnnNative, xAnnIvf,
+    xCosineNeardup, xTextStats, xFingerprint, xWinnow, xApproxDistinct,
+    xSampleStratified, xProfilePercentiles, xMultimodalFeatures)
 }

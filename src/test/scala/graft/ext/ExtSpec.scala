@@ -109,6 +109,51 @@ class ExtSpec extends SparkTestBase {
     assert(fp(1L) == fp(2L))
   }
 
+  test("connected components: chains collapse transitively, singletons stay") {
+    // pairs (1,2),(2,3) must collapse to {1,2,3} though (1,3) never emitted;
+    // a second cluster {10,11}; 99 has no pair — its own component
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("connected components: a long path needs diameter rounds and converges") {
+    // path 1-2-3-...-8: min label must walk the whole chain
+    val n = 8L
+    val nodes = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L))
+  }
+
+  test("stratified sample is deterministic and membership is content-addressed") {
+    val docsDf = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "und"))
+      .toDF("doc_id", "lang")
+    def run() = Sampling.stratifiedSample(docsDf, "doc_id", col("lang"),
+      Map("en" -> "80"), "40").select("doc_id").as[Long].collect().toSet
+    val s1 = run()
+    assert(s1 == run()) // same subset every run
+    // uniform md5 → roughly 50% of en (200), 25% of und (200)
+    val en = s1.count(_ % 2 == 0); val und = s1.size - en
+    assert(en > 60 && en < 140, s"en=$en")
+    assert(und > 20 && und < 80, s"und=$und")
+    // membership is a pure function of the id
+    assert(s1.forall(id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).take(1).head.toInt.&(0xff) <
+        (if (id % 2 == 0) 0x80 else 0x40)))
+  }
+
+  test("disc percentiles select real corpus values at exact ranks") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("n_chars", "ws_tokens")
+    val p = Profiling.discPercentiles(df, Seq("n_chars"), Seq(0.5, 0.9, 0.99))
+      .select("q", "value").as[(Double, Long)].collect().toMap
+    assert(p == Map(0.5 -> 50L, 0.9 -> 90L, 0.99 -> 99L))
+  }
+
   test("multimodal: asset schema + batched stub extraction round-trips") {
     val feats = Multimodal.extractFeatures(
       Multimodal.toAssets(docs, "doc_id", "text"), dim = 4)
