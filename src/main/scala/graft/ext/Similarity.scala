@@ -126,6 +126,57 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Distributed Lloyd's k-means over the embedding column — the
+    * ingest-side coarse quantizer that makes ivfTopK a real IVF (the
+    * synthetic `label` column is random, so probing it is chance; probing
+    * k-means cells prunes genuinely similar vectors into the same cells —
+    * examples.IvfRecallDemo measures the recall difference).
+    *
+    * Scale shape per iteration (k centroids are always tiny): broadcast
+    * the centroids, score every vector against all k in one scan (argmax
+    * of dot/|c| — |e| is constant per vector so true-cosine argmax is
+    * unchanged), pick the best cell with the bounded top-1 heap
+    * (TopKAgg — no window sort), and recompute centroids with one
+    * posexplode + groupBy average. No driver-side data beyond the loop
+    * counter; assignments persist per round so lineage stays flat.
+    * Deterministic: seeds are the k smallest ids' vectors, ties break
+    * toward the lower cell id. */
+  def kmeansAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    require(k > 0 && iters > 0)
+    val emb = embeddings.select(col(idCol).as("id"), col(vecCol).as("e"))
+    // deterministic seeds: the k smallest ids' vectors, cells 0..k-1
+    var cents = emb.orderBy("id").limit(k)
+      .withColumn("cluster",
+        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+      .select(col("cluster"),
+        expr("transform(e, x -> CAST(x AS DOUBLE))").as("c"))
+    val scaledDot =
+      "aggregate(zip_with(e, c, (x, y) -> CAST(x AS DOUBLE) * y), " +
+        "CAST(0 AS DOUBLE), (a, x) -> a + x) / " +
+        "sqrt(aggregate(c, CAST(0 AS DOUBLE), (a, y) -> a + y * y))"
+    var assign: DataFrame = null
+    for (_ <- 1 to iters) {
+      val best = graft.functions.TopK.topK(1)
+      val next = emb.crossJoin(broadcast(cents))
+        .withColumn("s", expr(scaledDot))
+        .groupBy("id")
+        // top-1 by (score desc, cluster asc) — TopKAgg's tie-break toward
+        // the smaller stored id IS cluster-asc here
+        .agg(best(col("s"), col("cluster").cast("long")).as("tk"))
+        .select(col("id"), col("tk.items")(0).getField("id").cast("int").as("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before unpersisting the previous round
+      if (assign != null) assign.unpersist()
+      assign = next
+      cents = centroids(emb.join(assign, Seq("id")), "cluster", "e")
+        .select(col("cluster"), col("centroid").as("c"))
+    }
+    assign
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs above a cosine
     * threshold, restricted to within-cluster pairs (the IVF blocking —
     * linear in cluster size, not corpus size). Pair generation goes

@@ -154,6 +154,27 @@ class ExtSpec extends SparkTestBase {
     assert(p == Map(0.5 -> 50L, 0.9 -> 90L, 0.99 -> 99L))
   }
 
+  test("k-means recovers well-separated clusters deterministically") {
+    // three orthogonal bundles of 10 vectors each; k-means with k=3 must
+    // put each bundle in one cell, and rerunning must give the same cells
+    val vecs = (0 until 30).map { i =>
+      val axis = i % 3
+      val base = Array.fill(6)(0.1f)
+      base(axis * 2) = 10f + (i / 3) * 0.1f
+      (i.toLong, base)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def run() = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 3, iters = 4)
+      .as[(Long, Int)].collect().toMap
+    val cells = run()
+    assert(cells == run()) // deterministic
+    for (axis <- 0 until 3) {
+      val bundle = (0 until 30).filter(_ % 3 == axis).map(i => cells(i.toLong))
+      assert(bundle.distinct.size == 1, s"axis $axis split across cells: $bundle")
+    }
+    assert(cells.values.toSet.size == 3)
+  }
+
   test("multimodal: asset schema + batched stub extraction round-trips") {
     val feats = Multimodal.extractFeatures(
       Multimodal.toAssets(docs, "doc_id", "text"), dim = 4)
