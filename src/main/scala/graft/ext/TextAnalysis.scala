@@ -46,6 +46,32 @@ object TextAnalysis {
       .drop("w")
   }
 
+  /** The 20 highest-frequency English character trigrams (space-padded —
+    * word boundaries carry signal), the classic n-gram language profile
+    * (Cavnar & Trenkle '94, public method). */
+  val EnTrigrams: Seq[String] = Seq(
+    "the", "he ", " th", "ing", "and", "nd ", " an", "ion", "ent", " of",
+    "of ", "ed ", " in", "in ", "er ", " to", "to ", "on ", "at ", "ng ")
+
+  /** Character-trigram language ID: english iff ≥10% of the document's
+    * char trigrams belong to the core-English profile. Complements the
+    * word/stopword heuristic of [[langId]] — trigrams survive missing
+    * whitespace and inflected forms that defeat a stopword list. In-row
+    * higher-order functions, zero shuffle; integer decision arithmetic
+    * keeps the boundary exact and oracle-reproducible. */
+  def langIdNgram(docs: DataFrame, textCol: String): DataFrame = {
+    val profile = EnTrigrams.map(t => s"'$t'").mkString("(", ", ", ")")
+    docs
+      .withColumn("norm", trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+      .withColumn("n_tri", greatest(length(col("norm")) - 2, lit(1)).cast("long"))
+      .withColumn("tri_hits", expr(
+        "CAST(size(filter(transform(sequence(1, greatest(length(norm) - 2, 1)), " +
+          s"i -> substr(norm, i, 3)), t -> t IN $profile)) AS BIGINT)"))
+      .withColumn("lang_tri",
+        when(col("tri_hits") * 10 >= col("n_tri"), "en").otherwise("und"))
+      .drop("norm")
+  }
+
   /** Quality score ∈ [0,1]: length saturation + non-stopword density +
     * average word length saturation. Deterministic double math, rounded. */
   def qualityScore(docs: DataFrame, textCol: String,

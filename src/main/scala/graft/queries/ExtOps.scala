@@ -353,6 +353,30 @@ object ExtOps {
         .orderBy("event_type"),
     None)
 
+  private val triProfile = TextAnalysis.EnTrigrams.map(t => s"'$t'").mkString(", ")
+
+  val xLangidNgram = OpQuery(
+    "x_langid_ngram",
+    "char-trigram language ID (Cavnar-Trenkle profile) per document",
+    (s, dir) =>
+      TextAnalysis.langIdNgram(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_tri", "tri_hits", "lang_tri")
+        .orderBy("doc_id"),
+    Some(s"""WITH n AS (SELECT doc_id,
+              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+              FROM documents),
+            pos AS (SELECT doc_id, norm,
+              unnest(generate_series(1, greatest(length(norm) - 2, 1))) AS i
+              FROM n),
+            tri AS (SELECT doc_id, substr(norm, CAST(i AS INT), 3) AS t FROM pos),
+            agg AS (SELECT doc_id, count(*) AS n_tri,
+              sum(CASE WHEN t IN ($triProfile) THEN 1 ELSE 0 END) AS tri_hits
+              FROM tri GROUP BY doc_id)
+            SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri,
+              CAST(tri_hits AS BIGINT) AS tri_hits,
+              CASE WHEN tri_hits * 10 >= n_tri THEN 'en' ELSE 'und' END AS lang_tri
+            FROM agg ORDER BY doc_id"""))
+
   val xSampleStratified = OpQuery(
     "x_sample_stratified",
     "deterministic md5-threshold stratified sample (50% of 'en', 25% of the rest)",
@@ -434,6 +458,7 @@ object ExtOps {
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
     xSimhash, xDedupComponents, xAnnBruteforce, xAnnNative, xAnnIvf,
-    xCosineNeardup, xTextStats, xFingerprint, xWinnow, xApproxDistinct,
-    xSampleStratified, xProfilePercentiles, xMultimodalFeatures)
+    xCosineNeardup, xTextStats, xLangidNgram, xFingerprint, xWinnow,
+    xApproxDistinct, xSampleStratified, xProfilePercentiles,
+    xMultimodalFeatures)
 }
