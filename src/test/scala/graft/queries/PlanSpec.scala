@@ -69,13 +69,16 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("text analysis is a pure map pipeline: no shuffle except final sort") {
-    val p = planOf("x_text_stats")
-    // Project chain straight over the scan; the only Exchange is the
-    // deterministic ORDER BY required for oracle comparison. Formatted
-    // explain lists each node twice (tree + "(n) Node" details) — count
-    // the detail headers.
-    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
-    assert(exchanges <= 1, p)
-    assert(!p.contains("HashAggregate"), p)
+    for (q <- Seq("x_text_stats", "x_langid_ngram", "x_winnow_fingerprints")) {
+      val p = planOf(q)
+      // Project chain straight over the scan; the only Exchange is the
+      // deterministic ORDER BY required for oracle comparison. Formatted
+      // explain lists each node twice (tree + "(n) Node" details) — count
+      // the detail headers.
+      val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+      assert(exchanges <= 1, s"$q shuffles:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q aggregates:\n$p")
+      assert(!p.contains("Window"), s"$q window-shuffles:\n$p")
+    }
   }
 }
