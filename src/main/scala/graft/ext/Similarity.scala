@@ -177,6 +177,16 @@ object Similarity {
     assign
   }
 
+  /** Persist the corpus partitioned by cluster cell, so an IVF probe is
+    * PHYSICAL partition pruning: `ivfTopK` over a frame read from this
+    * layout scans only the probed cells' files (PartitionFilters on the
+    * parquet scan, asserted in ExtSpec) — the nProbe/nLists scan fraction
+    * stops being a row filter and becomes I/O never issued. Pair with
+    * kmeansAssign at ingest. */
+  def writeClustered(embeddings: DataFrame, clusterCol: String,
+      path: String): Unit =
+    embeddings.write.partitionBy(clusterCol).mode("overwrite").parquet(path)
+
   /** Embedding-cosine near-duplicate pairs: all pairs above a cosine
     * threshold, restricted to within-cluster pairs (the IVF blocking —
     * linear in cluster size, not corpus size). Pair generation goes

@@ -175,6 +175,27 @@ class ExtSpec extends SparkTestBase {
     assert(cells.values.toSet.size == 3)
   }
 
+  test("clustered layout turns an IVF probe into physical partition pruning") {
+    val dir = tmpDir() + "/clustered"
+    val vecs = (0 until 40).map(i => (i.toLong, Array.fill(4)(i.toFloat), i % 4))
+      .toDF("vec_id", "embedding", "cluster")
+    Similarity.writeClustered(vecs, "cluster", dir)
+    val probedScan = spark.read.parquet(dir).filter(col("cluster").isin(1, 2))
+    val plan = probedScan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(probedScan.select("cluster").distinct().count() == 2)
+    // the probe reads 2 of 4 cells' files — I/O for the other cells is
+    // never issued (inputFiles reports pre-pruning, so read the scan's
+    // runtime metric after materializing through this exact plan)
+    probedScan.queryExecution.toRdd.count()
+    val scan = probedScan.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val allFiles = spark.read.parquet(dir).inputFiles.length
+    assert(scan.metrics("numFiles").value < allFiles,
+      s"probed scan read all $allFiles files")
+  }
+
   test("multimodal: asset schema + batched stub extraction round-trips") {
     val feats = Multimodal.extractFeatures(
       Multimodal.toAssets(docs, "doc_id", "text"), dim = 4)
