@@ -41,6 +41,29 @@ object Multimodal {
     Array.tabulate(dim)(i =>
       if (i < payload.length) (payload(i) & 0xff) / 255.0 else 0.0)
 
+  /** Frame sampling — the video/audio frame-extraction shape without the
+    * codec: up to `maxFrames` fixed-width byte windows at `stride` offsets
+    * from each payload, one row per frame with its own md5. Pure codegen'd
+    * binary ops (substring works on BinaryType), zero UDF, zero shuffle —
+    * the seek-and-slice plan a real frame sampler needs; swap the window
+    * for a codec keyframe read and the plumbing (explode shape, ids,
+    * hashes) is unchanged. Frames are joinable back by (asset_id,
+    * frame_idx). */
+  def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int,
+      maxFrames: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0 && maxFrames > 0)
+    assets
+      .withColumn("n_frames",
+        least(lit(maxFrames.toLong),
+          greatest(floor((col("meta.byte_len") - frameBytes) / stride) + 1, lit(1L))))
+      .select(col("asset_id"), col("payload"),
+        explode(expr("sequence(0, CAST(n_frames AS INT) - 1)")).as("frame_idx"))
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+        expr(s"substring(payload, frame_idx * $stride + 1, $frameBytes)").as("frame"))
+      .withColumn("frame_md5", md5(col("frame")))
+      .withColumn("frame_len", octet_length(col("frame")).cast("long"))
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType),
     StructField("byte_len", LongType),

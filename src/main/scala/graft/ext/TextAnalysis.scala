@@ -56,17 +56,28 @@ object TextAnalysis {
   /** Character-trigram language ID: english iff ≥10% of the document's
     * char trigrams belong to the core-English profile. Complements the
     * word/stopword heuristic of [[langId]] — trigrams survive missing
-    * whitespace and inflected forms that defeat a stopword list. In-row
-    * higher-order functions, zero shuffle; integer decision arithmetic
-    * keeps the boundary exact and oracle-reproducible. */
+    * whitespace and inflected forms that defeat a stopword list.
+    *
+    * Counting trick that keeps this inside whole-stage codegen: no profile
+    * trigram is self-overlapping (verified by the require below), so a
+    * needle's occurrences are disjoint and `(len − len(replace(norm,
+    * needle))) div 3` counts ALL its positions; and a position's trigram
+    * equals exactly one needle, so summing per-needle counts equals
+    * counting matching positions. Pure codegen'd string ops — the
+    * position-enumerating `transform` + IN-list form is semantically
+    * identical (the oracle computes that form) but runs interpreted,
+    * measured 2× slower at sf0.1. Integer decision arithmetic keeps the
+    * boundary exact and oracle-reproducible. */
   def langIdNgram(docs: DataFrame, textCol: String): DataFrame = {
-    val profile = EnTrigrams.map(t => s"'$t'").mkString("(", ", ", ")")
+    require(EnTrigrams.forall(t => t(0) != t(2) && !(t(0) == t(1) && t(1) == t(2))),
+      "profile trigrams must not self-overlap or per-needle counts overcount")
+    val hits = EnTrigrams
+      .map(t => s"((length(norm) - length(replace(norm, '$t'))) div 3)")
+      .mkString(" + ")
     docs
       .withColumn("norm", trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
       .withColumn("n_tri", greatest(length(col("norm")) - 2, lit(1)).cast("long"))
-      .withColumn("tri_hits", expr(
-        "CAST(size(filter(transform(sequence(1, greatest(length(norm) - 2, 1)), " +
-          s"i -> substr(norm, i, 3)), t -> t IN $profile)) AS BIGINT)"))
+      .withColumn("tri_hits", expr(s"CAST($hits AS BIGINT)"))
       .withColumn("lang_tri",
         when(col("tri_hits") * 10 >= col("n_tri"), "en").otherwise("und"))
       .drop("norm")

@@ -196,6 +196,28 @@ class ExtSpec extends SparkTestBase {
       s"probed scan read all $allFiles files")
   }
 
+  test("frame sampling slices exact byte windows at stride offsets") {
+    val assets = Multimodal.toAssets(
+      Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 4, stride = 3,
+        maxFrames = 10)
+      .orderBy("frame_idx")
+      .select("frame_idx", "frame", "frame_len")
+      .as[(Long, Array[Byte], Long)].collect()
+    // byte_len 10, frame 4, stride 3 → floor((10-4)/3)+1 = 3 frames
+    assert(frames.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(frames.map(f => new String(f._2, "UTF-8")).toSeq ==
+      Seq("abcd", "defg", "ghij"))
+    assert(frames.forall(_._3 == 4L))
+    // maxFrames caps the explode; a short payload yields one clipped frame
+    assert(Multimodal.sampleFrames(assets, 4, 3, maxFrames = 2).count() == 2)
+    val short = Multimodal.toAssets(
+      Seq((2L, "ab")).toDF("doc_id", "text"), "doc_id", "text")
+    val sf = Multimodal.sampleFrames(short, 4, 3, 10)
+      .select("frame_len").as[Long].collect()
+    assert(sf.toSeq == Seq(2L))
+  }
+
   test("multimodal: asset schema + batched stub extraction round-trips") {
     val feats = Multimodal.extractFeatures(
       Multimodal.toAssets(docs, "doc_id", "text"), dim = 4)
