@@ -65,13 +65,23 @@ object Dedup {
     * triangle-salted across tasks instead of serializing O(c²) pairs
     * into one. */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      bucketKey: org.apache.spark.sql.Column, threshold: Double): DataFrame = {
+      bucketKey: org.apache.spark.sql.Column, threshold: Double): DataFrame =
+    jaccardOnPairs(docs, textCol, idCol,
+      graft.ops.PairBuckets.selfPairs(docs, idCol, bucketKey)
+        .select("doc_a", "doc_b"),
+      threshold)
+
+  /** Exact word-set Jaccard scored over an EXPLICIT candidate pair list
+    * (doc_a, doc_b) — the verification stage of the dedup pipeline, fed by
+    * LSH candidates or any blocking scheme. Work is linear in
+    * Σ(pair word-set sizes): tokens join the pair list by id, never
+    * all-pairs. */
+  def jaccardOnPairs(docs: DataFrame, textCol: String, idCol: String,
+      cand: DataFrame, threshold: Double): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0).distinct()
     val sizes = tok.groupBy("id").agg(count(lit(1)).as("n"))
-    val cand = graft.ops.PairBuckets.selfPairs(docs, idCol, bucketKey)
-      .select("doc_a", "doc_b")
     val inter = cand
       .join(tok.select(col("id").as("doc_a"), col("word")), Seq("doc_a"))
       .join(tok.select(col("id").as("doc_b"), col("word")), Seq("doc_b", "word"))
@@ -86,6 +96,29 @@ object Dedup {
           (col("na") + col("nb") - col("inter")) * 10000.0) / 10000.0)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** The full corpus-dedup pipeline, composed end to end: MinHash
+    * signatures → LSH banding (candidate pairs) → exact Jaccard
+    * verification (kills LSH false positives) → connected components over
+    * verified pairs (transitive closure into duplicate clusters) →
+    * canonical keep (cluster label = min doc id). Returns one row per
+    * document: its cluster, the cluster size, and whether this document is
+    * the cluster's keeper — `filter(is_kept)` IS the deduplicated corpus.
+    * Every stage is the scale shape proven individually: bounded-key
+    * shuffles, guarded pair buckets, diameter-bounded label propagation. */
+  def dedupCorpus(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, bands: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val verified = jaccardOnPairs(docs, textCol, idCol,
+      lshCandidatePairs(minhashSignatures(docs, textCol, idCol, k),
+        idCol, k, bands),
+      threshold)
+    val comps = connectedComponents(docs, idCol, verified)
+    val clusterSizes = comps.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    comps.join(clusterSizes, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"), col("cluster_size"),
+        (col("id") === col("component")).as("is_kept"))
   }
 
   /** Connected components over an undirected pair list — the CLUSTERING

@@ -129,6 +129,47 @@ object ExtOps {
             SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS component
             FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  val xDedupPipeline = OpQuery(
+    "x_dedup_pipeline",
+    "END-TO-END dedup: MinHash → LSH → Jaccard verify → components → canonical keep",
+    (s, dir) =>
+      Dedup.dedupCorpus(t(s, dir, "documents"), "text", "doc_id",
+          k = 8, bands = 2, threshold = 0.5)
+        .withColumn("is_kept", col("is_kept").cast("long"))
+        .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $sigCte,
+            $lshPairsCte,
+            tok AS (SELECT DISTINCT doc_id, word FROM
+              (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+              WHERE length(word) > 0),
+            sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (SELECT doc_a, doc_b, count(*) AS i
+                      FROM prs
+                      JOIN tok ta ON ta.doc_id = doc_a
+                      JOIN tok tb ON tb.doc_id = doc_b AND tb.word = ta.word
+                      GROUP BY doc_a, doc_b),
+            verified AS (SELECT doc_a, doc_b
+                         FROM inter
+                         JOIN sizes sa ON sa.doc_id = doc_a
+                         JOIN sizes sb ON sb.doc_id = doc_b
+                         WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0)
+                               / 10000.0 >= 0.5),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+                      UNION SELECT doc_b, doc_a FROM verified),
+            reach(id, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+            comp AS (SELECT id AS doc_id, min(lab) AS component
+                     FROM reach GROUP BY id),
+            cs AS (SELECT component, count(*) AS cluster_size
+                   FROM comp GROUP BY component)
+            SELECT comp.doc_id, CAST(comp.component AS BIGINT) AS component,
+                   CAST(cs.cluster_size AS BIGINT) AS cluster_size,
+                   CAST(comp.doc_id = comp.component AS BIGINT) AS is_kept
+            FROM comp JOIN cs USING (component)
+            ORDER BY doc_id"""))
+
   private val simhashBitsSql = (0 until 16).map(b =>
     s"sum(${Dedup.simhashBitSql("hh", b)}) AS b$b").mkString(", ")
 
@@ -457,7 +498,7 @@ object ExtOps {
 
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
-    xSimhash, xDedupComponents, xAnnBruteforce, xAnnNative, xAnnIvf,
+    xSimhash, xDedupComponents, xDedupPipeline, xAnnBruteforce, xAnnNative, xAnnIvf,
     xCosineNeardup, xTextStats, xLangidNgram, xFingerprint, xWinnow,
     xApproxDistinct, xSampleStratified, xProfilePercentiles,
     xMultimodalFeatures)
