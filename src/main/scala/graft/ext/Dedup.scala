@@ -71,16 +71,33 @@ object Dedup {
         .select("doc_a", "doc_b"),
       threshold)
 
-  /** Exact word-set Jaccard scored over an EXPLICIT candidate pair list
+  /** Distinct word n-gram shingles per doc: (id, token) rows where each
+    * token is n consecutive words (n=1 → the word set itself). The same
+    * shingling the MinHash signatures hash, exposed for exact n-gram
+    * Jaccard. */
+  def shingleTokens(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    if (n == 1)
+      docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("word"))
+        .filter(length(col("word")) > 0).distinct()
+    else
+      docs.select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
+        .select(col("id"), expr(
+          s"explode(transform(sequence(1, greatest(size(w) - ${n - 1}, 1)), " +
+            s"i -> concat_ws(' ', slice(w, i, $n)))) AS word"))
+        .distinct()
+
+  /** Exact n-gram Jaccard scored over an EXPLICIT candidate pair list
     * (doc_a, doc_b) — the verification stage of the dedup pipeline, fed by
-    * LSH candidates or any blocking scheme. Work is linear in
-    * Σ(pair word-set sizes): tokens join the pair list by id, never
+    * LSH candidates or any blocking scheme. `ngram` = 1 compares word
+    * sets; higher n compares word-shingle sets (order-sensitive, the
+    * similarity MinHash approximates). Work is linear in
+    * Σ(pair token-set sizes): tokens join the pair list by id, never
     * all-pairs. */
   def jaccardOnPairs(docs: DataFrame, textCol: String, idCol: String,
-      cand: DataFrame, threshold: Double): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-      explode(split(col(textCol), " ")).as("word"))
-      .filter(length(col("word")) > 0).distinct()
+      cand: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
+    val tok = shingleTokens(docs, textCol, idCol, ngram)
     val sizes = tok.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(tok.select(col("id").as("doc_a"), col("word")), Seq("doc_a"))

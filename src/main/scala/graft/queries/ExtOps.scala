@@ -129,6 +129,37 @@ object ExtOps {
             SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS component
             FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  val xNeardupJaccard3 = OpQuery(
+    "x_neardup_jaccard3",
+    "3-gram-shingle Jaccard ≥0.5 over LSH candidate pairs (order-sensitive n-gram sets)",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardOnPairs(docs, "text", "doc_id",
+        Dedup.lshCandidatePairs(
+          Dedup.minhashSignatures(docs, "text", "doc_id", k = 8),
+          "doc_id", k = 8, bands = 2),
+        threshold = 0.5, ngram = 3)
+        .withColumn("jaccard", col("jaccard").cast("double"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $sigCte,
+            $lshPairsCte,
+            tok AS (SELECT DISTINCT doc_id, s AS word FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (SELECT doc_a, doc_b, count(*) AS i
+                      FROM prs
+                      JOIN tok ta ON ta.doc_id = doc_a
+                      JOIN tok tb ON tb.doc_id = doc_b AND tb.word = ta.word
+                      GROUP BY doc_a, doc_b)
+            SELECT doc_a, doc_b,
+              CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0) / 10000.0
+                AS DOUBLE) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0) / 10000.0 >= 0.5
+            ORDER BY doc_a, doc_b"""))
+
   val xDedupPipeline = OpQuery(
     "x_dedup_pipeline",
     "END-TO-END dedup: MinHash → LSH → Jaccard verify → components → canonical keep",
@@ -498,7 +529,8 @@ object ExtOps {
 
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
-    xSimhash, xDedupComponents, xDedupPipeline, xAnnBruteforce, xAnnNative, xAnnIvf,
+    xSimhash, xNeardupJaccard3, xDedupComponents, xDedupPipeline,
+    xAnnBruteforce, xAnnNative, xAnnIvf,
     xCosineNeardup, xTextStats, xLangidNgram, xFingerprint, xWinnow,
     xApproxDistinct, xSampleStratified, xProfilePercentiles,
     xMultimodalFeatures)
