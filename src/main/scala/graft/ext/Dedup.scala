@@ -151,9 +151,9 @@ object Dedup {
     * aggregate per round, converging after graph-diameter rounds (near-dup
     * clusters are shallow, so the diameter is small). The driver loop is
     * how iterative graph algorithms on Spark work (GraphX/Pregel do the
-    * same under the hood): each round's labels are persisted and the
-    * previous round unpersisted, so lineage stays flat and the convergence
-    * probe (`isEmpty` on changed labels) is the only driver-side data.
+    * same under the hood): each round's labels are locally checkpointed so
+    * lineage stays flat, and the convergence probe (`isEmpty` on changed
+    * labels) is the only driver-side data.
     * Integer-only math — bit-exact in any engine. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
@@ -163,8 +163,22 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+    // propagation runs ONLY over the pair-connected subgraph: a node with
+    // no edge is its own component forever, so the iterated frame is the
+    // near-dup subgraph (≪ corpus at scale — most documents pair with
+    // nothing), not the full node set. Singletons rejoin at the end.
+    //
+    // localCheckpoint (not persist) per round is load-bearing: persist
+    // caches DATA but the logical plan still nests, and with `labels`
+    // referenced twice per round the plan DOUBLES every iteration —
+    // exponential tree growth that OOMs plan stringification after ~8
+    // rounds. Checkpointing truncates the lineage so every round's plan
+    // has constant depth. (On a cluster with executor loss, swap for
+    // reliable checkpoint(); same shape.)
+    val paired = edges.select(col("src").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = paired.withColumn("component", col("id"))
+      .localCheckpoint(true)
     var converged = false
     while (!converged) {
       val nbrMin = edges
@@ -174,15 +188,17 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       converged = next
         .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
         .filter(col("component") < col("prev")).isEmpty
-      labels.unpersist()
       labels = next
     }
     edges.unpersist()
-    labels
+    val singletons = nodes.select(col(idCol).as("id"))
+      .join(paired, Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    labels.unionByName(singletons)
   }
 
   /** SimHash bit expressions, shared with the DuckDB oracle: bit b of a

@@ -144,7 +144,6 @@ object Similarity {
   def kmeansAssign(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.storage.StorageLevel
     require(k > 0 && iters > 0)
     val emb = embeddings.select(col(idCol).as("id"), col(vecCol).as("e"))
     // deterministic seeds: the k smallest ids' vectors, cells 0..k-1
@@ -167,9 +166,10 @@ object Similarity {
         // the smaller stored id IS cluster-asc here
         .agg(best(col("s"), col("cluster").cast("long")).as("tk"))
         .select(col("id"), col("tk.items")(0).getField("id").cast("int").as("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before unpersisting the previous round
-      if (assign != null) assign.unpersist()
+        // localCheckpoint truncates the per-round lineage (each round's
+        // plan would otherwise nest every previous round's — see the same
+        // pattern in Dedup.connectedComponents)
+        .localCheckpoint(true)
       assign = next
       cents = centroids(emb.join(assign, Seq("id")), "cluster", "e")
         .select(col("cluster"), col("centroid").as("c"))

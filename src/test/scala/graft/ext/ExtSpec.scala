@@ -121,7 +121,7 @@ class ExtSpec extends SparkTestBase {
 
   test("connected components: a long path needs diameter rounds and converges") {
     // path 1-2-3-...-8: min label must walk the whole chain
-    val n = 8L
+    val n = 16L  // 15 propagation rounds — the lineage-growth canary
     val nodes = (1L to n).toDF("doc_id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val cc = Dedup.connectedComponents(nodes, "doc_id", pairs)
