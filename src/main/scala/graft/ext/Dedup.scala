@@ -156,8 +156,9 @@ object Dedup {
     * labels) is the only driver-side data.
     * Integer-only math — bit-exact in any engine. */
   def connectedComponents(nodes: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    require(maxRounds > 0)
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -180,7 +181,16 @@ object Dedup {
     var labels = paired.withColumn("component", col("id"))
       .localCheckpoint(true)
     var converged = false
+    var rounds = 0
     while (!converged) {
+      // rounds needed = graph diameter; near-dup clusters are shallow, so
+      // a graph that hasn't converged after maxRounds signals a data bug
+      // (e.g. a chain of spurious pairs) — fail loudly, don't spin
+      rounds += 1
+      if (rounds > maxRounds) throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds — " +
+          "pair-graph diameter is pathological; inspect the pair generator " +
+          "or raise maxRounds")
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("component").as("nbr"))

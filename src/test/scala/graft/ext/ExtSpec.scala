@@ -127,6 +127,10 @@ class ExtSpec extends SparkTestBase {
     val cc = Dedup.connectedComponents(nodes, "doc_id", pairs)
       .as[(Long, Long)].collect().toMap
     assert(cc.values.toSet == Set(1L))
+    // a pathological diameter past the round cap fails loudly, not spins
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "doc_id", pairs, maxRounds = 3).count()
+    }
   }
 
   test("stratified sample is deterministic and membership is content-addressed") {
