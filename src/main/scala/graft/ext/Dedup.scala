@@ -122,14 +122,20 @@ object Dedup {
     * canonical keep (cluster label = min doc id). Returns one row per
     * document: its cluster, the cluster size, and whether this document is
     * the cluster's keeper — `filter(is_kept)` IS the deduplicated corpus.
-    * Every stage is the scale shape proven individually: bounded-key
-    * shuffles, guarded pair buckets, diameter-bounded label propagation. */
+    *
+    * Verification defaults to ngram = 3: the MinHash signatures hash
+    * 3-word shingles, so LSH recall is a guarantee about SHINGLE Jaccard —
+    * verifying with the same similarity keeps candidate generation and the
+    * acceptance predicate measuring one thing. Every stage is the scale
+    * shape proven individually: bounded-key shuffles, guarded pair
+    * buckets, diameter-bounded label propagation. */
   def dedupCorpus(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, bands: Int = 2, threshold: Double = 0.5): DataFrame = {
+      k: Int = 8, bands: Int = 2, threshold: Double = 0.5,
+      ngram: Int = 3): DataFrame = {
     val verified = jaccardOnPairs(docs, textCol, idCol,
       lshCandidatePairs(minhashSignatures(docs, textCol, idCol, k),
         idCol, k, bands),
-      threshold)
+      threshold, ngram)
     val comps = connectedComponents(docs, idCol, verified)
     val clusterSizes = comps.groupBy("component")
       .agg(count(lit(1)).as("cluster_size"))
@@ -204,7 +210,11 @@ object Dedup {
         .filter(col("component") < col("prev")).isEmpty
       labels = next
     }
+    // release loop-time caches: labels is checkpointed (self-contained),
+    // and the lazy singletons branch recomputes paired from the input
+    // pair list when materialized — correct, just uncached
     edges.unpersist()
+    paired.unpersist()
     val singletons = nodes.select(col(idCol).as("id"))
       .join(paired, Seq("id"), "left_anti")
       .withColumn("component", col("id"))

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
 object Profiling {
 
   /** (metric, q, value) rows: disc percentile per requested q for each
-    * named numeric column. */
+    * named numeric column. ONE pass per metric: the corpus aggregates to
+    * (value, count) once, then every quantile is answered from the same
+    * tiny cumulative frame (explode the q list, filter, min) — not one
+    * re-aggregation per (metric, q). */
   def discPercentiles(docs: DataFrame, metrics: Seq[String],
       qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     val perMetric = metrics.map { m =>
@@ -27,14 +30,14 @@ object Profiling {
         .agg(count(lit(1)).as("cnt"))
       val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
       val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val cum = counts
+      counts
         .withColumn("cum", sum("cnt").over(wCum))
         .withColumn("n", sum("cnt").over(wAll))
-      qs.map { q =>
-        cum.filter(col("cum") >= ceil(lit(q) * col("n")))
-          .agg(min("v").as("value"))
-          .select(lit(m).as("metric"), lit(q).as("q"), col("value"))
-      }.reduce(_ unionByName _)
+        .select(col("v"), col("cum"), col("n"),
+          explode(array(qs.map(lit): _*)).as("q"))
+        .filter(col("cum") >= ceil(col("q") * col("n")))
+        .groupBy("q").agg(min("v").as("value"))
+        .select(lit(m).as("metric"), col("q"), col("value"))
     }
     perMetric.reduce(_ unionByName _)
   }

@@ -44,7 +44,11 @@ object Similarity {
     * ranks are deterministic. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = graft.functions.TopK.topK(k)
-    scored.groupBy("qid")
+    scored
+      // a null cosine (null/zero-information vector) can't rank — drop it
+      // rather than crash Scored's non-nullable decode
+      .filter(col("cosine").isNotNull)
+      .groupBy("qid")
       .agg(topk(col("cosine"), col("cid")).as("tk"))
       .select(col("qid"), posexplode(col("tk.items")).as(Seq("pos", "s")))
       .select(col("qid"), col("s.id").as("cid"), col("s.score").as("cosine"),
@@ -100,16 +104,33 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
       .withColumn("qn", norm("qe"))
     // rank centroids per query (centroid set is tiny → broadcast); same
-    // bounded heap as the candidate ranking, keyed (cosine desc, cluster)
+    // bounded heap as the candidate ranking. Cluster ids can be any
+    // orderable type (string cells, 64-bit ids), so the heap ranks a
+    // dense order-preserving surrogate index — assigned once over the
+    // quantizer's cell list (bounded by nLists, the set MLlib keeps on
+    // the driver outright) — and maps back, instead of casting the id
+    // through long/int (which nulls strings and truncates wide longs).
+    // zipWithIndex over the sorted cells keeps the plan window-free.
+    val distinctC = cents.select(col("cluster")).distinct().orderBy("cluster")
+    val cidx = embeddings.sparkSession.createDataFrame(
+      distinctC.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i + 1L) },
+      org.apache.spark.sql.types.StructType(Seq(
+        distinctC.schema.fields.head.copy(name = "cluster"),
+        org.apache.spark.sql.types.StructField("_cidx",
+          org.apache.spark.sql.types.LongType))))
     val cScored = q.crossJoin(broadcast(
-        cents.select(col("cluster"), col("centroid").as("ce"))
+        cents.join(cidx, Seq("cluster"))
+          .select(col("cluster"), col("_cidx"), col("centroid").as("ce"))
           .withColumn("cn", norm("ce"))))
       .withColumn("cosine",
         floor(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("cn"))) * 1000000.0) / 1000000.0)
     val probed = rankTopK(
-        cScored.select(col("qid"), col("cluster").cast("long").as("cid"), col("cosine")),
+        cScored.select(col("qid"), col("_cidx").as("cid"), col("cosine")),
         nProbe)
-      .select(col("qid"), col("cid").cast("int").as("cluster"))
+      .select(col("qid"), col("cid").as("_cidx"))
+      .join(broadcast(cidx), Seq("_cidx"))
+      .select("qid", "cluster")
     // scan only the probed clusters; candidate scoring through the native
     // fused-loop expression (bit-identical to the composed zip_with form —
     // x_ann_native_expr shares x_ann_bruteforce's oracle). The centroid

@@ -76,16 +76,20 @@ object DimStore {
     }
 
   /** Guard against silently treating a non-DimStore parquet directory as a
-    * virgin store: a path with data files but no committed manifest is a
-    * layout this reader does not understand, and upserting "over" it would
-    * drop every pre-existing row from the snapshot. */
+    * virgin store: loose parquet files in the ROOT (the legacy plain-
+    * parquet layout) mean this reader does not understand the layout, and
+    * upserting "over" it would drop every pre-existing row from the
+    * snapshot. A `data/` dir WITHOUT a manifest is deliberately allowed:
+    * that is the debris of a first commit that crashed before writing any
+    * manifest, and the retry must succeed (the attempt-suffix probe picks
+    * a fresh v-dir; the debris is vacuumed once versions move past it). */
   private def requireNotLegacy(spark: SparkSession, path: String): Unit = {
     val fs = fileSystem(spark)
     val p = new Path(path)
     if (fs.exists(p) && !fs.exists(manifestDir(path)) &&
       fs.listStatus(p).exists { s =>
         val n = s.getPath.getName
-        n.endsWith(".parquet") || n == "_SUCCESS" || n == "data"
+        n.endsWith(".parquet") || n == "_SUCCESS"
       })
       throw new IllegalStateException(
         s"$path contains data but no _manifests dir — not a DimStore layout. " +

@@ -25,39 +25,45 @@ object PairBuckets {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Hard cap on the driver-side hot-bucket list. Buckets above the row
+    * cap are few by construction (they are the pathology being guarded);
+    * more than this many means the bucketing scheme itself is broken. */
+  val MaxHotBuckets = 100000
+
   /** All unordered pairs (doc_a < doc_b) of ids sharing `bucketKey`.
     * Returns columns (bk, doc_a, doc_b). */
   def selfPairs(df: DataFrame, idCol: String, bucketKey: Column,
       maxBucketRows: Int = 4096, maxSalts: Int = 256): DataFrame = {
     require(maxBucketRows > 0)
     val rows = df.select(col(idCol).as("id"), bucketKey.as("bk"))
-    val sizes = rows.groupBy("bk").agg(count(lit(1)).as("_bc"))
-    val hotKeys = sizes.filter(col("_bc") > maxBucketRows).select("bk")
+    // ONE action computes the guard stats: the hot-bucket keys and their
+    // sizes (bounded by MaxHotBuckets, loud failure beyond). The sizes
+    // aggregation — a single shuffle on (bk) — is the price of
+    // adaptivity and runs exactly once; hot tagging is then a driver-side
+    // in-set predicate, not a second aggregation + broadcast join.
+    val hot = rows.groupBy("bk").agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucketRows)
+      .limit(MaxHotBuckets + 1).collect()
+    if (hot.length > MaxHotBuckets) throw new IllegalStateException(
+      s"PairBuckets: more than $MaxHotBuckets buckets exceed $maxBucketRows " +
+        "rows — the bucket key is not selective enough to block pairs; fix " +
+        "the bucketing scheme instead of salting everything")
 
-    // one tiny (2-value) action to size the salting and log the split —
-    // the sizes aggregation is a single shuffle over (bk) and is the price
-    // of adaptivity; the driver only ever sees two longs
-    val Array(nHot, maxBc) = sizes
-      .agg(coalesce(sum(when(col("_bc") > maxBucketRows, 1L).otherwise(0L)), lit(0L)),
-        coalesce(max("_bc"), lit(0L)))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-
-    if (nHot == 0L) {
+    if (hot.isEmpty) {
       plainPairs(rows, rows)
     } else {
+      val maxBc = hot.map(_.getLong(1)).max
       val salts = math.min(
         math.ceil(maxBc.toDouble / maxBucketRows).toLong, maxSalts.toLong).toInt
-      log.warn(s"PairBuckets: $nHot bucket(s) over $maxBucketRows rows " +
+      log.warn(s"PairBuckets: ${hot.length} bucket(s) over $maxBucketRows rows " +
         s"(max $maxBc) — triangle-salting across $salts sub-tasks")
-      val tagged = rows.join(broadcast(hotKeys.withColumn("_hot", lit(true))),
-          Seq("bk"), "left")
-        .withColumn("_hot", coalesce(col("_hot"), lit(false)))
-      val cold = tagged.filter(!col("_hot")).drop("_hot")
-      val hot = tagged.filter(col("_hot")).drop("_hot")
+      val isHot = col("bk").isInCollection(hot.map(_.get(0)).toSeq)
+      val cold = rows.filter(!isHot)
+      val hotRows = rows.filter(isHot)
       // triangle split: pair (a,b) is matched exactly once, in the task
       // owning salt hash(a) — the replicated side carries every salt
-      val salted = hot.withColumn("_g", pmod(hash(col("id")), lit(salts)))
-      val replicated = hot.withColumn("_g",
+      val salted = hotRows.withColumn("_g", pmod(hash(col("id")), lit(salts)))
+      val replicated = hotRows.withColumn("_g",
         explode(sequence(lit(0), lit(salts - 1))))
       val hotPairs = salted.as("x").join(replicated.as("y"),
           col("x.bk") === col("y.bk") && col("x._g") === col("y._g") &&

@@ -170,9 +170,7 @@ object ExtOps {
         .orderBy("doc_id"),
     Some(s"""WITH RECURSIVE $sigCte,
             $lshPairsCte,
-            tok AS (SELECT DISTINCT doc_id, word FROM
-              (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-              WHERE length(word) > 0),
+            tok AS (SELECT DISTINCT doc_id, s AS word FROM sh),
             sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
             inter AS (SELECT doc_a, doc_b, count(*) AS i
                       FROM prs

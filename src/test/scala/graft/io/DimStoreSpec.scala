@@ -112,6 +112,18 @@ class DimStoreSpec extends SparkTestBase {
     intercept[IllegalStateException] { DimStore.read(spark, dir) }
   }
 
+  test("a crashed FIRST commit does not brick the virgin store") {
+    val dir = tmpDir() + "/dim"
+    // writer died after writing data but before ANY manifest existed:
+    // data/ present, _manifests absent — must be treated as virgin, not
+    // rejected as a legacy layout
+    Seq(("1", "CRASHED", 9L)).toDF("id", "nm", "ver")
+      .write.parquet(dir + "/data/v-000000001/_bucket=0")
+    DimStore.upsert(spark, Seq(("1", "a", 1L)).toDF("id", "nm", "ver"),
+      dir, "id", "ver")
+    assert(DimStore.read(spark, dir).select("nm").as[String].head() == "a")
+  }
+
   test("an existing v-dir at the next version is never deleted (live writer safety)") {
     val dir = tmpDir() + "/dim"
     DimStore.upsert(spark, Seq(("1", "a", 1L)).toDF("id", "nm", "ver"),
