@@ -200,15 +200,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("component").as("nbr"))
+      // the convergence flag is computed INSIDE the propagation join (the
+      // previous label is right there) and read back from the checkpointed
+      // blocks — no separate next⋈labels probe job per round
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr"), col("component")))
-            .as("component"))
+            .as("component"),
+          coalesce(col("nbr") < col("component"), lit(false)).as("_changed"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
-        .filter(col("component") < col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("_changed")).isEmpty
+      labels = next.drop("_changed")
     }
     // release loop-time caches: labels is checkpointed (self-contained),
     // and the lazy singletons branch recomputes paired from the input
