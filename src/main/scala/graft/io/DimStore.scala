@@ -123,18 +123,30 @@ object DimStore {
       nBuckets: Int = DefaultBuckets): Unit = {
     val fs = fileSystem(spark)
     requireNotLegacy(spark, path)
-    storedNBuckets(spark, path).foreach { stored =>
+    // one manifest read serves both the nBuckets check and the layout
+    val text = manifestText(spark, path)
+    text.flatMap(_._2.linesIterator.collectFirst {
+      case l if l.startsWith("#nBuckets=") => l.stripPrefix("#nBuckets=").toInt
+    }).foreach { stored =>
       require(stored == nBuckets,
         s"dim at $path was committed with nBuckets=$stored; upsert called " +
           s"with nBuckets=$nBuckets — refusing a silently-corrupting merge")
     }
-    val current = currentManifest(spark, path)
+    val current = text.map { case (v, t) =>
+      (v, t.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+        val Array(b, rel) = line.split('\t')
+        b.toInt -> rel
+      }.toMap)
+    }
     val nextV = current.map(_._1 + 1).getOrElse(1L)
     val oldBuckets = current.map(_._2).getOrElse(Map.empty)
 
     val batchB = batch.withColumn("_bucket", bucketOf(pk, nBuckets))
     val touched = batchB.select("_bucket").distinct()
       .collect().map(_.getInt(0)).toSet // ≤ nBuckets entries — driver-safe
+    // empty micro-batch (quiet streaming source): nothing to merge — do
+    // not churn a new identical manifest version per trigger
+    if (touched.isEmpty) return
 
     // existing rows of ONLY the touched buckets (partition-pruned by dir)
     val touchedDirs = oldBuckets.filter { case (b, _) => touched(b) }

@@ -34,14 +34,21 @@ object KafkaEdges {
     * defaults to latest, matching the reference's
     * 'scan.startup.mode' = 'latest-offset' (MyKafkaUtil.java:52);
     * recovery replays from the checkpoint's own offsets, which take
-    * precedence — same "group offsets under checkpoint" model as Flink. */
+    * precedence — same "group offsets under checkpoint" model as Flink.
+    *
+    * The group identity rides `groupIdPrefix`, NOT a fixed
+    * `kafka.group.id`: Spark documents that concurrent queries sharing
+    * one fixed group id are likely to interfere and each read only part
+    * of the data — and the deploy functions start several queries per
+    * app. The prefix keeps the reference's per-app identity for broker
+    * monitoring/ACLs while Spark appends a unique suffix per query. */
   def sourceOptions(bootstrap: String, topic: String, groupId: String,
       startingOffsets: String = "latest",
       maxOffsetsPerTrigger: Option[Long] = None): Map[String, String] =
     Map(
       "kafka.bootstrap.servers" -> bootstrap,
       "subscribe" -> topic,
-      "kafka.group.id" -> groupId,
+      "groupIdPrefix" -> groupId,
       "startingOffsets" -> startingOffsets,
       // a lost topic-partition should fail the query, not silently drop data
       "failOnDataLoss" -> "true"
@@ -91,7 +98,7 @@ object KafkaEdges {
        |OPTIONS (
        |  'kafka.bootstrap.servers' = '$bootstrap',
        |  'subscribe' = '$topic',
-       |  'kafka.group.id' = '$groupId',
+       |  'groupIdPrefix' = '$groupId',
        |  'startingOffsets' = 'latest',
        |  'failOnDataLoss' = 'true'
        |)""".stripMargin

@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.apps.Apps
 import graft.streaming.Schemas
 
@@ -139,37 +139,76 @@ object KafkaTopology {
 
   /** PaymentWideApp: dwd_payment_info ⋈ dwm_order_wide → dwm_payment_wide
     * (PaymentWideApp.java:29-36,64). The order-wide side re-enters from
-    * Kafka as the JSON the orderWide app produced. */
+    * Kafka as the JSON the orderWide app produced — i.e. with o_/d_-
+    * prefixed columns. PaymentWide keys its join on order_id/create_ts,
+    * so those are restored from the o_ prefix here (no-op if the caller
+    * already renamed them). */
   def paymentWide(paymentValues: DataFrame,
-      orderWideFrame: DataFrame): Map[String, DataFrame] =
+      orderWideFrame: DataFrame): Map[String, DataFrame] = {
+    val ow = orderWideFrame.withColumnsRenamed(
+      Map("o_id" -> "order_id", "o_create_ts" -> "create_ts"))
     Map(DwmPaymentWide ->
-      Apps.paymentWide(parsePaymentInfo(paymentValues), orderWideFrame))
+      Apps.paymentWide(parsePaymentInfo(paymentValues), ow))
+  }
 
   // ------------------------------------------------------------------
   // deploy: the same wiring with real Kafka edges (needs the
   // spark-sql-kafka connector jar; everything above runs without it)
   // ------------------------------------------------------------------
 
-  /** Start BaseLogApp against a broker: one consumer on ods_base_log,
-    * three checkpointed producers. */
+  /** Start BaseLogApp against a broker as ONE query: a single consumer
+    * on ods_base_log runs parse→clean→repairIsNew ONCE (one copy of the
+    * per-mid keyed state, one Kafka read), and a foreachBatch sink fans
+    * the stateless start/page/display splits out to their three topics.
+    * Three independent queries would triple the consumption and the
+    * is_new state, and could publish contradictory is_new values for the
+    * same record (each query batches independently).
+    *
+    * `trigger` defaults to a continuous 10s micro-batch — the reference's
+    * topology runs forever; pass Trigger.AvailableNow() for a drain-once
+    * run. `startingOffsets` mirrors the reference's latest-offset default;
+    * checkpointed offsets take precedence on restart either way. */
   def deployBaseLog(spark: SparkSession, bootstrap: String, groupId: String,
-      checkpointRoot: String): Seq[StreamingQuery] =
-    baseLog(KafkaEdges.readTopic(spark, bootstrap, OdsBaseLog, groupId))
-      .toSeq.map { case (topic, df) =>
-        KafkaEdges.writeTopic(df, bootstrap, topic, s"$checkpointRoot/$topic")
+      checkpointRoot: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      startingOffsets: String = "latest"): Seq[StreamingQuery] = {
+    import graft.streaming.dwd.BaseLog
+    val repaired = BaseLog.repairIsNew(BaseLog.clean(BaseLog.parse(
+      KafkaEdges.readTopic(spark, bootstrap, OdsBaseLog, groupId,
+        startingOffsets))))
+    val q = repaired.writeStream
+      .option("checkpointLocation", s"$checkpointRoot/base_log")
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Map(
+          DwdStartLog -> BaseLog.startLog(batch),
+          DwdPageLog -> BaseLog.pageLog(batch),
+          DwdDisplayLog -> BaseLog.displayLog(batch)
+        ).foreach { case (topic, df) =>
+          KafkaEdges.encode(df).write.format("kafka")
+            .options(KafkaEdges.sinkOptions(bootstrap, Some(topic))).save()
+        }
       }
+      .start()
+    Seq(q)
+  }
 
   /** Start BaseDBApp: dynamic Kafka routing per record + dim upsert sink
-    * through Runner.toBatchSink (the foreachBatch MERGE path). */
+    * through Runner.toBatchSink (the foreachBatch MERGE path). Trigger /
+    * startingOffsets as in [[deployBaseLog]]. */
   def deployBaseDb(spark: SparkSession, bootstrap: String, groupId: String,
-      checkpointRoot: String, config: DataFrame)(
+      checkpointRoot: String, config: DataFrame,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      startingOffsets: String = "latest")(
       dimSink: (DataFrame, Long) => Unit): Seq[StreamingQuery] = {
     val (kafkaWire, hbase) =
-      baseDb(KafkaEdges.readTopic(spark, bootstrap, OdsBaseDb, groupId), config)
+      baseDb(KafkaEdges.readTopic(spark, bootstrap, OdsBaseDb, groupId,
+        startingOffsets), config)
     Seq(
       KafkaEdges.writer(kafkaWire, bootstrap, None,
-        s"$checkpointRoot/base_db_kafka").start(),
+        s"$checkpointRoot/base_db_kafka", trigger).start(),
       graft.streaming.Runner.toBatchSink(hbase,
-        s"$checkpointRoot/base_db_hbase")(dimSink))
+        s"$checkpointRoot/base_db_hbase", trigger)(dimSink))
   }
 }

@@ -72,6 +72,12 @@ object Runner {
             s"wire-shaped frame with `topic` and `value` columns (got " +
             s"${df.columns.mkString(", ")}) — shape it with " +
             "KafkaEdges.encodeDynamic(df, topicCol, payload) first")
+        // the dynamic branch writes the frame as-is; a keyCol request
+        // would be silently dropped — fail loudly instead (put a `key`
+        // column in the wire frame to key dynamic-topic records)
+        require(keyCol.isEmpty,
+          "toKafka(topic = None) does not apply keyCol — add a `key` " +
+            "column to the wire-shaped frame instead")
         graft.io.KafkaEdges.writer(df, bootstrap, None, checkpoint, trigger).start()
     }
 

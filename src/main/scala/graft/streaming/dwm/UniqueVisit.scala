@@ -29,6 +29,12 @@ object UniqueVisit {
     * correctness never depends on the TTL — it is purely state hygiene). */
   def dedup(pageLog: DataFrame, ttlMs: Long = StateTtlMs): DataFrame = {
     import pageLog.sparkSession.implicits._
+    // day buckets follow the SESSION timezone like every other date
+    // derivation in the warehouse (stt/edt, to_date) — a hard-coded UTC
+    // here would shift UV day boundaries against the rest of the pipeline
+    // whenever the session runs in a non-UTC zone
+    val zoneId = pageLog.sparkSession.conf.get(
+      "spark.sql.session.timeZone", java.time.ZoneId.systemDefault().getId)
     val keyed = pageLog
       // entry pages only (UniqueVisitApp.java:60-66)
       .filter(col("page.last_page_id").isNull || col("page.last_page_id") === "")
@@ -42,7 +48,7 @@ object UniqueVisit {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       rows.toSeq.sortBy(_.ts).foreach { r =>
         val day = java.time.Instant.ofEpochMilli(r.ts)
-          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+          .atZone(java.time.ZoneId.of(zoneId)).toLocalDate.toString
         if (!state.getOption.contains(day)) {
           out += r.json
           state.update(day)                     // OnCreateAndWrite:

@@ -16,7 +16,11 @@ import graft.streaming.Constants
 object ProductStatsShaping {
 
   private val zero = lit(0L)
-  private val zeroAmt = lit(null).cast("decimal(18,2)")
+  // 0, not NULL: the reference's ProductStats bean defaults amounts to
+  // BigDecimal.ZERO (ProductStatsApp.java:60-192) and its ClickHouse
+  // columns are non-nullable — a window with no contributing rows for a
+  // measure must sum to 0.00, not NULL
+  private val zeroAmt = lit(0).cast("decimal(18,2)")
   private val noId = lit(null).cast("long")
 
   /** All measure columns with their neutral values. */

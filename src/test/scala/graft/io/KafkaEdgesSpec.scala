@@ -18,7 +18,11 @@ class KafkaEdgesSpec extends SparkTestBase {
       maxOffsetsPerTrigger = Some(100000L))
     assert(o("kafka.bootstrap.servers") == "b1:9092,b2:9092")
     assert(o("subscribe") == "ods_base_log")
-    assert(o("kafka.group.id") == "g1")
+    // groupIdPrefix, not a fixed kafka.group.id: concurrent queries on one
+    // fixed group interfere (each reads part of the data); the prefix
+    // keeps the per-app identity while Spark uniquifies per query
+    assert(o("groupIdPrefix") == "g1")
+    assert(!o.contains("kafka.group.id"))
     assert(o("startingOffsets") == "latest")
     assert(o("failOnDataLoss") == "true")
     assert(o("maxOffsetsPerTrigger") == "100000")
@@ -70,7 +74,7 @@ class KafkaEdgesSpec extends SparkTestBase {
     assert(ddl.contains("USING kafka"))
     assert(ddl.contains("'subscribe' = 'ods_base_log'"))
     assert(ddl.contains("'kafka.bootstrap.servers' = 'b:9092'"))
-    assert(ddl.contains("'kafka.group.id' = 'g1'"))
+    assert(ddl.contains("'groupIdPrefix' = 'g1'"))
   }
 
   test("writer builds a checkpointed kafka-format writer without a broker") {
