@@ -40,8 +40,8 @@ object IvfRecallDemo {
 
     recall(e.withColumn("cluster", col("label")), "random-label")
     val cells = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 3)
-    recall(e.join(cells.withColumnRenamed("id", "vec_id"), Seq("vec_id"))
-      .withColumn("cluster", col("cluster")), "kmeans-cells")
+    recall(e.join(cells.withColumnRenamed("id", "vec_id"), Seq("vec_id")),
+      "kmeans-cells")
     spark.stop()
   }
 }

@@ -67,14 +67,16 @@ object TopKBench {
         .select("qid", "cid", "cosine", "rank")
     }
 
-    // warmup + equivalence check on a slice
+    // warmup + equivalence check on a slice — BOTH directions, so extra
+    // or duplicate heap rows can't hide behind a one-sided except
     val small = scored.filter(col("cid") < 100000)
     val wH = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
-    assert(small.withColumn("rank", row_number().over(wH))
-      .filter(col("rank") <= k).select("qid", "cid").except(
-        small.groupBy("qid").agg(topk(col("cosine"), col("cid")).as("tk"))
-          .select(col("qid"), posexplode(col("tk.items")).as(Seq("p", "s")))
-          .select(col("qid"), col("s.id").as("cid"))).isEmpty,
+    val winTop = small.withColumn("rank", row_number().over(wH))
+      .filter(col("rank") <= k).select("qid", "cid")
+    val heapTop = small.groupBy("qid").agg(topk(col("cosine"), col("cid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk.items")).as(Seq("p", "s")))
+      .select(col("qid"), col("s.id").as("cid"))
+    assert(winTop.exceptAll(heapTop).isEmpty && heapTop.exceptAll(winTop).isEmpty,
       "heap and window top-k disagree")
 
     val tWin = time("window-sort") {

@@ -31,7 +31,9 @@ object Tokenize {
     try {
       if (text == null) Seq.empty
       else {
-        val runs = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+        // Locale.ROOT: default-locale lowercasing is machine-dependent
+        // (tr-TR maps I to dotless i) — a tokenizer must be deterministic
+        val runs = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
         runs.flatMap { run =>
           if (run.exists(isCjk)) {
             // split the run into CJK and non-CJK segments; CJK segments
@@ -53,7 +55,12 @@ object Tokenize {
           } else Seq(run)
         }.toSeq
       }
-    } catch { case _: Throwable => Seq(Option(text).getOrElse("")) }
+    } catch {
+      // failure passthrough mirrors the reference's IOException branch —
+      // but only for NON-fatal errors: swallowing OOM/task-kill would turn
+      // a dying task into a silently wrong token stream
+      case scala.util.control.NonFatal(_) => Seq(Option(text).getOrElse(""))
+    }
 
   /** Register as SQL function: LATERAL VIEW explode(split_words(s)). */
   def register(spark: SparkSession): Unit =

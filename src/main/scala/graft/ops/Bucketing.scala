@@ -31,10 +31,12 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       leftKey: String, rightKey: String,
       extraCond: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val l = spark.table(left)
     val r = spark.table(right)
-    val cond = extraCond.foldLeft(col(leftKey) === col(rightKey))(_ && _)
+    // side-qualified keys: unqualified col(key) is AMBIGUOUS_REFERENCE
+    // whenever both tables share the column name (the canonical
+    // same-key co-located case)
+    val cond = extraCond.foldLeft(l(leftKey) === r(rightKey))(_ && _)
     l.join(r, cond)
   }
 }

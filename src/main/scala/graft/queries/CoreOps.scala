@@ -42,10 +42,11 @@ object CoreOps {
           get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
         .filter(col("prop_k").isNotNull)
         .orderBy("event_id"),
-    Some("""SELECT event_id,
-            CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
-            FROM events
-            WHERE json_extract_string(props, '$.k') IS NOT NULL
+    Some("""SELECT event_id, prop_k
+            FROM (SELECT event_id,
+                    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+                  FROM events)
+            WHERE prop_k IS NOT NULL
             ORDER BY event_id"""))
 
   /** P3 — predicate filter dropping one CDC op type

@@ -163,9 +163,11 @@ object StreamingOps {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(window(col("o_orderdate"), "1 day").as("w"), col("n_name"))
         .agg(
-          // streaming aggs reject count(distinct): exact distinct via
-          // collect_set size (SURVEY §2.5 A3 caveat)
-          size(collect_set(col("o_orderkey"))).cast("long").as("order_count"),
+          // streaming aggs reject count(distinct): exact distinct via the
+          // BOUNDED set aggregate (collect_set's state is uncapped on a
+          // hot group — SURVEY §2.5 A3 caveat + functions.BoundedDistinctAgg)
+          graft.functions.TopK.boundedDistinct(1 << 20)(
+            col("o_orderkey").cast("string")).cast("long").as("order_count"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("order_amount"))
         .select(
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
