@@ -162,7 +162,8 @@ object Dedup {
     * labels) is the only driver-side data.
     * Integer-only math — bit-exact in any engine. */
   def connectedComponents(nodes: DataFrame, idCol: String,
-      pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+      pairs: DataFrame, maxRounds: Int = 64,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(maxRounds > 0)
     val edges = pairs
@@ -170,6 +171,39 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Size-adaptive execution: the VERIFIED pair graph is tiny relative
+    // to the corpus even at 100 TB (near-dup edges survive Jaccard, not
+    // the whole candidate set), so below `driverEdgeLimit` edges a single
+    // driver-side union-find replaces maxRounds× shuffle rounds — the
+    // same small-graph shortcut graph libraries take. Long-id graphs
+    // only; anything bigger or non-long falls through to distributed
+    // min-label propagation below.
+    val longIds = pairs.schema("doc_a").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (longIds && edges.count() <= 2 * driverEdgeLimit) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select("src", "dst").collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b } // min-root union
+      }
+      edges.unpersist()
+      val labels = parent.keys.map(k => (k, find(k))).toSeq
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labelDf = labels.toDF("id", "component")
+      // singletons (no edge) keep their own id
+      return nodes.select(col(idCol).cast("long").as("id"))
+        .join(broadcast(labelDf.select(col("id"), col("component"))), Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    }
     // propagation runs ONLY over the pair-connected subgraph: a node with
     // no edge is its own component forever, so the iterated frame is the
     // near-dup subgraph (≪ corpus at scale — most documents pair with

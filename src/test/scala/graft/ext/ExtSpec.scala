@@ -120,16 +120,24 @@ class ExtSpec extends SparkTestBase {
   }
 
   test("connected components: a long path needs diameter rounds and converges") {
-    // path 1-2-3-...-8: min label must walk the whole chain
-    val n = 16L  // 15 propagation rounds — the lineage-growth canary
+    // path 1-2-...-16: min label must walk the whole chain.
+    // driverEdgeLimit = 0 forces the DISTRIBUTED propagation path (the
+    // default would take the driver union-find shortcut on a graph this
+    // small) — 15 rounds is the lineage-growth canary
+    val n = 16L
     val nodes = (1L to n).toDF("doc_id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val cc = Dedup.connectedComponents(nodes, "doc_id", pairs)
+    val cc = Dedup.connectedComponents(nodes, "doc_id", pairs,
+        driverEdgeLimit = 0L)
       .as[(Long, Long)].collect().toMap
     assert(cc.values.toSet == Set(1L))
+    // both paths agree
+    assert(Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap == cc)
     // a pathological diameter past the round cap fails loudly, not spins
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(nodes, "doc_id", pairs, maxRounds = 3).count()
+      Dedup.connectedComponents(nodes, "doc_id", pairs, maxRounds = 3,
+        driverEdgeLimit = 0L).count()
     }
   }
 
