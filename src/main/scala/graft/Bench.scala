@@ -40,8 +40,13 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
+    // optional comma-separated query filter for local iteration; the
+    // driver never sets it, so per-round artifacts always cover everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to iters).iterator.map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -60,7 +65,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also write the bare JSON to a file: the stdout line is buried in the
+    // sbt log tail, which left the driver's artifact with "parsed": null
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -23,10 +23,27 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** MinHash signatures from an existing (id, word) token frame — one
+    * groupBy over rows already shingled elsewhere, so a pipeline that also
+    * needs the tokens for verification pays the shingle explode ONCE.
+    * min over the distinct token set equals min over the raw shingle
+    * stream, so a deduplicated frame yields identical signatures. */
+  def minhashFromTokens(tok: DataFrame, k: Int = 8): DataFrame = {
+    val hashes = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("word")))).as(s"h$i"))
+    tok.groupBy(col("id")).agg(hashes.head, hashes.tail: _*)
+  }
+
   /** MinHash signatures over word 3-shingles. k independent hash functions
     * are simulated by seeding md5 with the function index; the minhash is
     * the lexicographic min of the hex digests (a valid uniform min-hash —
-    * hex order = byte order). Returns one row per doc with h0..h{k-1}. */
+    * hex order = byte order). Returns one row per doc with h0..h{k-1}.
+    *
+    * Deliberately NOT routed through [[shingleTokens]]: signatures don't
+    * need set semantics, and explode → groupBy(id) collapses to one row
+    * per doc in the map-side partial aggregate — a distinct-first shape
+    * would shuffle every (id, shingle) row instead. Pipelines that need
+    * the token frame anyway compose [[minhashFromTokens]] over it. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8): DataFrame = {
     val shingled = docs
@@ -96,10 +113,27 @@ object Dedup {
     * Σ(pair token-set sizes): tokens join the pair list by id, never
     * all-pairs. */
   def jaccardOnPairs(docs: DataFrame, textCol: String, idCol: String,
-      cand: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
-    val tok = shingleTokens(docs, textCol, idCol, ngram)
+      cand: DataFrame, threshold: Double, ngram: Int = 1): DataFrame =
+    // materialize the token frame once: it feeds three plan branches below
+    // (sizes + both sides of the intersection join), and without a
+    // checkpoint each branch re-runs the dominant shingle explode
+    jaccardOnTokens(
+      shingleTokens(docs, textCol, idCol, ngram).localCheckpoint(),
+      cand, threshold)
+
+  /** Jaccard verification from an existing (id, word) token frame — the
+    * core of [[jaccardOnPairs]], exposed so a composed pipeline can feed
+    * signatures AND verification from one materialized shingle scan.
+    * Pass a checkpointed/persisted frame: `tok` is referenced three times.
+    * Duplicate (doc_a, doc_b) candidate rows would multiply the
+    * intersection count while sizes stay fixed, inflating jaccard — so
+    * candidates are deduplicated here (a no-op Aggregate that the
+    * optimizer removes when the caller already ended in distinct()). */
+  def jaccardOnTokens(tok: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val pairs = cand.select("doc_a", "doc_b").distinct()
     val sizes = tok.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = cand
+    val inter = pairs
       .join(tok.select(col("id").as("doc_a"), col("word")), Seq("doc_a"))
       .join(tok.select(col("id").as("doc_b"), col("word")), Seq("doc_b", "word"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
@@ -113,6 +147,27 @@ object Dedup {
           (col("na") + col("nb") - col("inter")) * 10000.0) / 10000.0)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** LSH-blocked, Jaccard-verified near-duplicate pairs — MinHash →
+    * banding → exact verification, from ONE shingle scan: the 3-shingle
+    * token frame is locally checkpointed and feeds both the signatures
+    * (via [[minhashFromTokens]]) and the verification joins (via
+    * [[jaccardOnTokens]]). The explode over corpus text — the dominant
+    * cost of the whole pipeline at scale — runs exactly once per distinct
+    * shingle size instead of 3-4 times as uncached plan branches.
+    * When `ngram != 3` the verification tokens differ from the signature
+    * shingles, costing one extra (also single) scan. */
+  def lshVerifiedPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, bands: Int = 2, threshold: Double = 0.5,
+      ngram: Int = 3): DataFrame = {
+    val tok3 = shingleTokens(docs, textCol, idCol, 3).localCheckpoint()
+    val vTok = if (ngram == 3) tok3
+      else shingleTokens(docs, textCol, idCol, ngram).localCheckpoint()
+    val cand = lshCandidatePairs(
+      minhashFromTokens(tok3, k).withColumnRenamed("id", idCol),
+      idCol, k, bands)
+    jaccardOnTokens(vTok, cand, threshold)
   }
 
   /** The full corpus-dedup pipeline, composed end to end: MinHash
@@ -132,9 +187,7 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, bands: Int = 2, threshold: Double = 0.5,
       ngram: Int = 3): DataFrame = {
-    val verified = jaccardOnPairs(docs, textCol, idCol,
-      lshCandidatePairs(minhashSignatures(docs, textCol, idCol, k),
-        idCol, k, bands),
+    val verified = lshVerifiedPairs(docs, textCol, idCol, k, bands,
       threshold, ngram)
     val comps = connectedComponents(docs, idCol, verified)
     val clusterSizes = comps.groupBy("component")

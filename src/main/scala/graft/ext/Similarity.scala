@@ -45,9 +45,10 @@ object Similarity {
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = graft.functions.TopK.topK(k)
     scored
-      // a null cosine (null/zero-information vector) can't rank — drop it
-      // rather than crash Scored's non-nullable decode
-      .filter(col("cosine").isNotNull)
+      // a null or NaN cosine (null / zero-norm vector) can't rank — drop
+      // it rather than crash Scored's non-nullable decode or let partition
+      // layout decide its fate (TopKAgg also guards, belt-and-braces)
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
       .groupBy("qid")
       .agg(topk(col("cosine"), col("cid")).as("tk"))
       .select(col("qid"), posexplode(col("tk.items")).as(Seq("pos", "s")))

@@ -36,6 +36,11 @@ class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
   override def zero: TopKBuf = TopKBuf(Vector.empty)
 
   override def reduce(b: TopKBuf, a: Scored): TopKBuf = {
+    // NaN scores (e.g. cosine of a zero-norm vector) are unrankable —
+    // `beats` is false both ways for NaN, so keeping them would make the
+    // result depend on partition/merge order. Dropping them makes the
+    // aggregate a total order regardless of input layout.
+    if (a.score.isNaN) return b
     val items = b.items
     // common case at full buffer: candidate worse than the current k-th
     if (items.length >= k && !beats(a, items.last)) b

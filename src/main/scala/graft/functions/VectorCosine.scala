@@ -73,9 +73,16 @@ case class VectorCosine(left: Expression, right: Expression)
 object VectorCosine {
   /** SQL registration: usable as vec_cosine(a, b) in SQL text and in
     * functions.expr("vec_cosine(a, b)") Column expressions. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_cosine", exprs => VectorCosine(exprs.head, exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    // idempotent: re-registering logs a "replaced a previously registered
+    // function" WARN per call site, noise when several queries share one
+    // session (the definition never changes)
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cosine")))
+      reg.createOrReplaceTempFunction(
+        "vec_cosine", exprs => VectorCosine(exprs.head, exprs(1)), "built-in")
+  }
 
   /** Column helper (registers on the session backing the calling plan). */
   def vecCosine(spark: SparkSession, a: String, b: String): Column = {

@@ -94,11 +94,17 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
 }
 
 object WinnowFps {
-  /** SQL registration: winnow_fps(text, k, w) with literal int k/w. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fps",
-      exprs => WinnowFps(exprs.head,
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
-      "built-in")
+  /** SQL registration: winnow_fps(text, k, w) with literal int k/w.
+    * Idempotent — skips the re-register (and its WARN) when already
+    * present; the definition never changes within a session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fps")))
+      reg.createOrReplaceTempFunction(
+        "winnow_fps",
+        exprs => WinnowFps(exprs.head,
+          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+        "built-in")
+  }
 }

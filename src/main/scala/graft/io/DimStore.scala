@@ -221,6 +221,9 @@ object DimStore {
       if (fs.exists(dataDir))
         fs.listStatus(dataDir).map(_.getPath)
           .filterNot(p => live(p.getName))
+          // only version-shaped names are vacuum candidates: a stray dir
+          // or staging artifact must be skipped, not crash the vacuum
+          .filter(p => p.getName.matches("v-\\d+.*"))
           .filter(p => versionOf(p.getName) < v)
           .foreach(fs.delete(_, true))
     }

@@ -181,14 +181,18 @@ object KafkaTopology {
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Map(
+        // three sinks read the same batch: without persist each write
+        // re-executes the whole source-read → parse → clean → repairIsNew
+        // pipeline (Kafka fetch + state-store load/commit) once per topic
+        batch.persist()
+        try Map(
           DwdStartLog -> BaseLog.startLog(batch),
           DwdPageLog -> BaseLog.pageLog(batch),
           DwdDisplayLog -> BaseLog.displayLog(batch)
         ).foreach { case (topic, df) =>
           KafkaEdges.encode(df).write.format("kafka")
             .options(KafkaEdges.sinkOptions(bootstrap, Some(topic))).save()
-        }
+        } finally batch.unpersist()
       }
       .start()
     Seq(q)

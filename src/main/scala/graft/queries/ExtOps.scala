@@ -132,16 +132,13 @@ object ExtOps {
   val xNeardupJaccard3 = OpQuery(
     "x_neardup_jaccard3",
     "3-gram-shingle Jaccard ≥0.5 over LSH candidate pairs (order-sensitive n-gram sets)",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.jaccardOnPairs(docs, "text", "doc_id",
-        Dedup.lshCandidatePairs(
-          Dedup.minhashSignatures(docs, "text", "doc_id", k = 8),
-          "doc_id", k = 8, bands = 2),
-        threshold = 0.5, ngram = 3)
+    (s, dir) =>
+      // single-scan composition: signatures AND verification derive from
+      // one checkpointed 3-shingle token frame (see Dedup.lshVerifiedPairs)
+      Dedup.lshVerifiedPairs(t(s, dir, "documents"), "text", "doc_id",
+          k = 8, bands = 2, threshold = 0.5, ngram = 3)
         .withColumn("jaccard", col("jaccard").cast("double"))
-        .orderBy("doc_a", "doc_b")
-    },
+        .orderBy("doc_a", "doc_b"),
     Some(s"""WITH $sigCte,
             $lshPairsCte,
             tok AS (SELECT DISTINCT doc_id, s AS word FROM sh),

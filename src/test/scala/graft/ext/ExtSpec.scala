@@ -38,6 +38,32 @@ class ExtSpec extends SparkTestBase {
     assert(jac((1L, 2L)) == 0.7777) // 7/9 union, floor-truncated to 4 dp
   }
 
+  test("lshVerifiedPairs shingles the corpus exactly once (single materialized scan)") {
+    val vp = Dedup.lshVerifiedPairs(docs, "text", "doc_id")
+    val plan = vp.queryExecution.optimizedPlan
+    // the shingle explode must NOT remain in the lazy plan — it ran once,
+    // into the checkpointed token frame, when the frame was built
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    assert(gens.forall(g => !g.generator.toString.contains("slice")),
+      gens.mkString("\n"))
+    // every leaf reads the SAME materialized RDD (signatures, sizes, and
+    // both intersection sides): one shingle scan total, nothing re-reads
+    // the raw corpus
+    val leaves = plan.collectLeaves()
+    val rddIds = leaves.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id }
+    assert(rddIds.nonEmpty && rddIds.toSet.size == 1, s"leaf RDD ids: $rddIds")
+    assert(rddIds.size == leaves.size,
+      "non-checkpoint leaves: " + leaves.filterNot(
+        _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]))
+    // semantics unchanged: the exact-dup pair verifies at jaccard 1.0
+    val m = vp.select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((1L, 3L)) == 1.0)
+  }
+
   test("simhash: identical docs equal, near-dups close, distinct docs far") {
     val sh = Dedup.simhash(docs, "text", "doc_id")
       .as[(Long, Long)].collect().toMap
