@@ -45,12 +45,14 @@ object Similarity {
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = graft.functions.TopK.topK(k)
     scored
-      // a null or NaN cosine (null / zero-norm vector) can't rank — drop
-      // it rather than crash Scored's non-nullable decode or let partition
-      // layout decide its fate (TopKAgg also guards, belt-and-braces)
-      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
       .groupBy("qid")
-      .agg(topk(col("cosine"), col("cid")).as("tk"))
+      // a null or NaN cosine (null / zero-norm vector) can't rank. Null is
+      // mapped to NaN and TopKAgg drops NaN, so unrankable rows vanish
+      // deterministically WITHOUT a filter node: a filter on the computed
+      // column would have CollapseProject inline the whole cosine
+      // expression into the predicate and re-evaluate it per conjunct —
+      // this way the score expression runs once per row.
+      .agg(topk(coalesce(col("cosine"), lit(Double.NaN)), col("cid")).as("tk"))
       .select(col("qid"), posexplode(col("tk.items")).as(Seq("pos", "s")))
       .select(col("qid"), col("s.id").as("cid"), col("s.score").as("cosine"),
         (col("pos") + 1).as("rank"))
@@ -132,15 +134,29 @@ object Similarity {
       .select(col("qid"), col("cid").as("_cidx"))
       .join(broadcast(cidx), Seq("_cidx"))
       .select("qid", "cluster")
-    // scan only the probed clusters; candidate scoring through the native
-    // fused-loop expression (bit-identical to the composed zip_with form —
-    // x_ann_native_expr shares x_ann_bruteforce's oracle). The centroid
-    // scoring above stays composed: centroids are double arrays,
-    // vec_cosine reads float inputs.
-    graft.functions.VectorCosine.register(embeddings.sparkSession)
-    val cand = embeddings.select(col(idCol).as("cid"), col(vecCol).as("ce"),
-      col(clusterCol).as("cluster"))
-    val scored = cand.join(broadcast(probed), Seq("cluster"))
+    // Materialize the probe set on the driver — bounded by contract at
+    // |queries| × nProbe rows (queries are broadcast-small). Two wins:
+    // the probed cells become a STATIC IN filter on the candidate scan,
+    // so a writeClustered layout prunes files at planning time (no
+    // reliance on dynamic partition pruning firing), and the centroid
+    // ranking runs once instead of re-executing under every downstream
+    // reference. This is the plan an IVF index issues natively: rank
+    // centroids, then read only the probed lists.
+    val probedRows = probed.collect()
+    val session = embeddings.sparkSession
+    val probedDf = session.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probed.schema)
+    val probedCells = probedRows.map(_.get(1)).distinct.toSeq
+    // candidate scoring through the native fused-loop expression
+    // (bit-identical to the composed zip_with form — x_ann_native_expr
+    // shares x_ann_bruteforce's oracle). The centroid scoring above stays
+    // composed: centroids are double arrays, vec_cosine reads floats.
+    graft.functions.VectorCosine.register(session)
+    val cand = embeddings
+      .filter(col(clusterCol).isInCollection(probedCells))
+      .select(col(idCol).as("cid"), col(vecCol).as("ce"),
+        col(clusterCol).as("cluster"))
+    val scored = cand.join(broadcast(probedDf), Seq("cluster"))
       .filter(col("cid") =!= col("qid"))
       .join(q.select("qid", "qe"), Seq("qid"))
       .withColumn("cosine",

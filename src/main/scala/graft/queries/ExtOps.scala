@@ -304,6 +304,34 @@ object ExtOps {
                    CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  /** The REAL IVF path: k-means cells (not the synthetic random `label`
+    * column) + the clustered physical layout, end to end — quantize at
+    * ingest ([[Similarity.kmeansAssign]], deterministic: seeded by the k
+    * smallest ids, fixed iterations), persist partitioned by cell
+    * ([[Similarity.writeClustered]]), then probe 2 cells per query over
+    * the partition-pruned layout. No SQL oracle — the k-means fixpoint is
+    * impractical to restate in SQL, so the driver records the rows-only
+    * check; ExtSpec pins the semantics instead (recall@5 vs the
+    * brute-force truth ≥ 0.6 and partition pruning on the probed scan). */
+  val xAnnIvfKmeans = OpQuery(
+    "x_ann_ivf_kmeans",
+    "IVF cosine top-5 probing k-means cells over the clustered parquet layout",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cells = Similarity
+        .kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 3)
+        .withColumnRenamed("id", "vec_id")
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_kmeans_layout_${new java.io.File(dir).getName}").getAbsolutePath
+      Similarity.writeClustered(e.join(cells, Seq("vec_id")), "cluster", path)
+      val layout = s.read.parquet(path)
+      Similarity.ivfTopK(layout, "vec_id", "embedding", "cluster",
+          layout.filter(col("vec_id") < 8), k = 5, nProbe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+    None)
+
   val xCosineNeardup = OpQuery(
     "x_cosine_neardup",
     "embedding-cosine near-dup pairs ≥0.35, blocked within label clusters",
@@ -525,7 +553,7 @@ object ExtOps {
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
     xSimhash, xNeardupJaccard3, xDedupComponents, xDedupPipeline,
-    xAnnBruteforce, xAnnNative, xAnnIvf,
+    xAnnBruteforce, xAnnNative, xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xTextStats, xLangidNgram, xFingerprint, xWinnow,
     xApproxDistinct, xSampleStratified, xProfilePercentiles,
     xMultimodalFeatures)

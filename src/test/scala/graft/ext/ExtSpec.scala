@@ -118,6 +118,35 @@ class ExtSpec extends SparkTestBase {
     assert(recallAt(2) >= 0.1)
   }
 
+  test("k-means IVF over the clustered layout: recall ≥ 0.6, scan pruned") {
+    // the x_ann_ivf_kmeans gate path end to end on real embeddings:
+    // quantize → clustered layout → probe. Random labels give ~nProbe/k
+    // chance recall (~0.25); a working quantizer must clear 0.6.
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cells = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 3)
+      .withColumnRenamed("id", "vec_id")
+    val dir = tmpDir() + "/kmeans_layout"
+    Similarity.writeClustered(e.join(cells, Seq("vec_id")), "cluster", dir)
+    val layout = spark.read.parquet(dir)
+    val q = layout.filter($"vec_id" < 16)
+    val ivf = Similarity.ivfTopK(layout, "vec_id", "embedding", "cluster",
+      q, k = 5, nProbe = 2)
+    val truth = Similarity.cosineTopK(e, "vec_id", "embedding",
+        e.filter($"vec_id" < 16), k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val got = ivf.select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.6, s"recall@5 vs brute force = $recall")
+    // the candidate scan must prune cells physically: ivfTopK's static
+    // probe materialization plants an IN over the partition column, which
+    // planning turns into a non-empty PartitionFilters on the parquet scan
+    // (the AQE wrapper hides scan NODES from collect, so assert on the
+    // rendered plan)
+    val planStr = ivf.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(planStr).isDefined,
+      s"no partition filter on the probed scan:\n$planStr")
+  }
+
   test("text analysis: lang-id flags stopword-rich docs, quality in [0,1]") {
     val q = TextAnalysis.qualityScore(
       TextAnalysis.tokenCounts(docs, "text"), "text", "n_chars")
@@ -187,9 +216,20 @@ class ExtSpec extends SparkTestBase {
 
   test("disc percentiles select real corpus values at exact ranks") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("n_chars", "ws_tokens")
-    val p = Profiling.discPercentiles(df, Seq("n_chars"), Seq(0.5, 0.9, 0.99))
+    val pdf = Profiling.discPercentiles(df, Seq("n_chars", "ws_tokens"),
+      Seq(0.5, 0.9, 0.99))
+    // scale shape: the two-phase prefix sum must never funnel the count
+    // frame through a partition-less (single-task) window
+    val windows = pdf.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "global (no-partition) window in:\n" + windows.mkString("\n"))
+    val p = pdf.filter($"metric" === "n_chars")
       .select("q", "value").as[(Double, Long)].collect().toMap
     assert(p == Map(0.5 -> 50L, 0.9 -> 90L, 0.99 -> 99L))
+    // both metrics answered from the one pass
+    assert(pdf.select("metric").distinct().count() == 2)
   }
 
   test("k-means recovers well-separated clusters deterministically") {
