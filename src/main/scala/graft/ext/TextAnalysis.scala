@@ -127,12 +127,17 @@ object TextAnalysis {
     * sharing any window hash share a 16-char run; the min over windows is
     * a cheap representative — full winnowing keeps the min per window
     * range, same building block). */
-  def fingerprint(docs: DataFrame, textCol: String): DataFrame =
+  def fingerprint(docs: DataFrame, textCol: String): DataFrame = {
+    // native strided min-hash (graft.functions.StridedMinHash): identical
+    // to array_min(transform(sequence(1, greatest(length(norm)-15, 1), 8),
+    // i -> md5(substr(norm, i, 16)))) but one reused digest + running min
+    // per row instead of an interpreted lambda per position — this was the
+    // last interpreted-HOF hotspot of the map-only queries
+    graft.functions.StridedMinHash.register(docs.sparkSession)
     docs.withColumn("norm",
         trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
       .withColumn("fp_md5", md5(col("norm")))
-      .withColumn("fp_winnow", expr(
-        "array_min(transform(sequence(1, greatest(length(norm) - 15, 1), 8), " +
-          "i -> md5(substr(norm, i, 16))))"))
+      .withColumn("fp_winnow", expr("strided_minhash(norm, 16, 8)"))
       .drop("norm")
+  }
 }

@@ -30,17 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * SQL form for any input, not just ASCII. Hex minima compare
   * lexicographically = byte order = Spark/DuckDB string order.
   */
-case class WinnowFps(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "winnow_fps"
-
+/** Shared hot-loop helper: md5 of a byte array as lowercase hex, with a
+  * caller-owned reusable digest (one allocation per row, not per gram). */
+private[functions] object HexMd5 {
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  private def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
+  def apply(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
     md.reset()
     val d = md.digest(bytes)
     val out = new Array[Char](32)
@@ -52,6 +47,18 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     }
     new String(out)
   }
+}
+
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fps"
+
+  private def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte]): String =
+    HexMd5(md, bytes)
 
   override def nullSafeEval(input: Any): Any = {
     val norm = input.asInstanceOf[UTF8String]
@@ -91,6 +98,59 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFps =
     copy(child = newChild)
+}
+
+/** Native strided window min-hash: md5-hex each k-char gram taken at
+  * positions 1, 1+stride, 1+2·stride, … (clipped SQL-substr semantics, one
+  * clipped gram when the string is shorter than k), return the
+  * lexicographic minimum. Exactly `array_min(transform(sequence(1,
+  * greatest(length(s)-k+1, 1), stride), i -> md5(substr(s, i, k))))` — the
+  * interpreted-HOF form pays a boxed lambda call, a fresh digest, and an
+  * array cell per position and was the last map-only bench hotspot
+  * (x_fingerprint); this eval is one reused digest and one running min,
+  * zero per-position allocation beyond the hex strings. Same parity
+  * contract as [[WinnowFps]]: UTF8String.substringSQL + UTF-8-byte md5 =
+  * bit-identical to the SQL form for any input. */
+case class StridedMinHash(child: Expression, k: Int, stride: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && stride > 0,
+    s"k and stride must be positive, got k=$k stride=$stride")
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "strided_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val last = math.max(s.numChars() - (k - 1), 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var best: String = null
+    var p = 1
+    while (p <= last) {
+      val h = HexMd5(md, s.substringSQL(p, k).getBytes)
+      if (best == null || h.compareTo(best) < 0) best = h
+      p += stride
+    }
+    UTF8String.fromString(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StridedMinHash =
+    copy(child = newChild)
+}
+
+object StridedMinHash {
+  /** SQL registration: strided_minhash(text, k, stride), literal ints.
+    * Idempotent like the other native registrations. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("strided_minhash")))
+      reg.createOrReplaceTempFunction(
+        "strided_minhash",
+        exprs => StridedMinHash(exprs.head,
+          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+        "built-in")
+  }
 }
 
 object WinnowFps {

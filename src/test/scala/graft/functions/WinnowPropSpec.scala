@@ -51,6 +51,21 @@ object WinnowPropSpec extends Properties("WinnowFps") {
       viaExpression(s, k, w) == naive(s, k, w)
     }
 
+  private def naiveStridedMin(s: String, k: Int, stride: Int): String = {
+    val n = s.codePointCount(0, s.length)
+    (1 to math.max(n - (k - 1), 1) by stride)
+      .map(p => md5Hex(substrCp(s, p, k))).min
+  }
+
+  property("strided min-hash equals the naive transform/array_min form") =
+    Prop.forAll(genText, Gen.chooseNum(1, 20), Gen.chooseNum(1, 9)) {
+      (s, k, stride) =>
+        val e = StridedMinHash(BoundReference(0, StringType, nullable = true),
+          k, stride)
+        e.eval(InternalRow(UTF8String.fromString(s)))
+          .asInstanceOf[UTF8String].toString == naiveStridedMin(s, k, stride)
+    }
+
   property("any shared run of ≥ w+k-1 chars shares a fingerprint (guarantee)") =
     Prop.forAll(Gen.listOfN(25, Gen.alphaLowerChar).map(_.mkString),
         Gen.listOfN(30, Gen.alphaLowerChar).map(_.mkString)) { (shared, tail) =>
