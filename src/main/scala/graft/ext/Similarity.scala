@@ -183,12 +183,29 @@ object Similarity {
     * Deterministic: seeds are the k smallest ids' vectors, ties break
     * toward the lower cell id. */
   def kmeansAssign(embeddings: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 3): DataFrame = {
+      k: Int, iters: Int = 3, fitFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0 && iters > 0)
+    require(fitFraction > 0.0 && fitFraction <= 1.0,
+      s"fitFraction must be in (0, 1], got $fitFraction")
     val emb = embeddings.select(col(idCol).as("id"), col(vecCol).as("e"))
-    // deterministic seeds: the k smallest ids' vectors, cells 0..k-1
-    var cents = emb.orderBy("id").limit(k)
+    // At 100 TB the quantizer is TRAINED on a sample and the full corpus
+    // is assigned once — iterating Lloyd's over every vector multiplies
+    // the dominant scan by `iters` for centroids that converge the same.
+    // Membership is content-addressed (md5 threshold, the
+    // Sampling.stratifiedSample scheme): deterministic and partition-
+    // layout-independent, so sample-fit cells are reproducible anywhere.
+    val fit =
+      if (fitFraction >= 1.0) emb
+      else {
+        val cutoff = f"${math.min(255L, math.round(fitFraction * 256))}%02x"
+        emb.filter(md5(col("id").cast("string")).substr(1, 2) < lit(cutoff))
+          // the sample is re-read every training round — materialize once
+          .localCheckpoint(true)
+      }
+    // deterministic seeds: the k smallest sampled ids' vectors, cells
+    // 0..k-1 (fewer than k sampled vectors → fewer cells, still valid)
+    var cents = fit.orderBy("id").limit(k)
       .withColumn("cluster",
         (row_number().over(Window.orderBy("id")) - 1).cast("int"))
       .select(col("cluster"),
@@ -197,31 +214,35 @@ object Similarity {
       "aggregate(zip_with(e, c, (x, y) -> CAST(x AS DOUBLE) * y), " +
         "CAST(0 AS DOUBLE), (a, x) -> a + x) / " +
         "sqrt(aggregate(c, CAST(0 AS DOUBLE), (a, y) -> a + y * y))"
-    var assign: DataFrame = null
-    for (_ <- 1 to iters) {
+    // top-1 by (score desc, cluster asc) — TopKAgg's tie-break toward
+    // the smaller stored id IS cluster-asc here. Degenerate guard: if
+    // EVERY centroid scored NaN for a vector (all-zero centroids), the
+    // NaN-dropping heap returns an empty buffer — assign cell 0
+    // deterministically rather than emit a null cluster into the
+    // partition layout. localCheckpoint truncates the per-round lineage
+    // (each round's plan would otherwise nest every previous round's —
+    // see the same pattern in Dedup.connectedComponents).
+    def assignTo(vecs: DataFrame, c: DataFrame): DataFrame = {
       val best = graft.functions.TopK.topK(1)
-      val next = emb.crossJoin(broadcast(cents))
+      vecs.crossJoin(broadcast(c))
         .withColumn("s", expr(scaledDot))
         .groupBy("id")
-        // top-1 by (score desc, cluster asc) — TopKAgg's tie-break toward
-        // the smaller stored id IS cluster-asc here
         .agg(best(col("s"), col("cluster").cast("long")).as("tk"))
-        // degenerate guard: if EVERY centroid scored NaN for a vector
-        // (all-zero centroids), the NaN-dropping heap returns an empty
-        // buffer — assign cell 0 deterministically rather than emit a
-        // null cluster into the partition layout
         .select(col("id"),
           coalesce(col("tk.items")(0).getField("id").cast("int"), lit(0))
             .as("cluster"))
-        // localCheckpoint truncates the per-round lineage (each round's
-        // plan would otherwise nest every previous round's — see the same
-        // pattern in Dedup.connectedComponents)
         .localCheckpoint(true)
-      assign = next
-      cents = centroids(emb.join(assign, Seq("id")), "cluster", "e")
+    }
+    // train: iters-1 centroid updates over the fit sample...
+    for (_ <- 1 until iters) {
+      val a = assignTo(fit, cents)
+      cents = centroids(fit.join(a, Seq("id")), "cluster", "e")
         .select(col("cluster"), col("centroid").as("c"))
     }
-    assign
+    // ...then ONE assignment pass over the full corpus. With
+    // fitFraction = 1 this is step-for-step the classic full Lloyd's
+    // (iters assignments, centroids recomputed between).
+    assignTo(emb, cents)
   }
 
   /** Persist the corpus partitioned by cluster cell, so an IVF probe is

@@ -251,6 +251,16 @@ class ExtSpec extends SparkTestBase {
       assert(bundle.distinct.size == 1, s"axis $axis split across cells: $bundle")
     }
     assert(cells.values.toSet.size == 3)
+    // sample-fit (the at-scale path: train the quantizer on a sample,
+    // assign the full corpus once): still deterministic, still assigns
+    // EVERY vector to a valid trained cell
+    def runSampled() = Similarity.kmeansAssign(df, "vec_id", "embedding",
+        k = 3, iters = 4, fitFraction = 0.5)
+      .as[(Long, Int)].collect().toMap
+    val sampled = runSampled()
+    assert(sampled == runSampled())
+    assert(sampled.keySet == (0 until 30).map(_.toLong).toSet)
+    assert(sampled.values.forall(c => c >= 0 && c < 3))
   }
 
   test("clustered layout turns an IVF probe into physical partition pruning") {

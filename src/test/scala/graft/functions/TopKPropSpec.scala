@@ -41,6 +41,22 @@ object TopKPropSpec extends Properties("TopKAgg/BoundedDistinctAgg") {
       agg.merge(ba, bb) == agg.merge(bb, ba)
     }
 
+  property("NaN scores never rank and never perturb the result, any split") =
+    Prop.forAll(genScored, Gen.chooseNum(1, 8), Gen.chooseNum(0, 100),
+        Gen.chooseNum(0, 100)) { (xs, k, nanSeed, cutSeed) =>
+      // inject NaN candidates at an arbitrary position: the result must
+      // equal running the clean input alone, for any partition split —
+      // i.e. NaN handling is layout-independent (the round-3 ADVICE bug
+      // let a NaN at the head of a non-full buffer survive merge-order-
+      // dependently)
+      val at = if (xs.isEmpty) 0 else nanSeed % (xs.size + 1)
+      val (l, r) = xs.splitAt(at)
+      val dirty = l ++ List(Scored(Double.NaN, 1L), Scored(Double.NaN, 99L)) ++ r
+      val agg = new TopKAgg(k)
+      val cut = cutSeed % (dirty.size + 1)
+      runSplit(agg, dirty, cut) == reference(xs, k)
+    }
+
   property("buffer never exceeds k regardless of input size") =
     Prop.forAll(genScored, Gen.chooseNum(1, 4)) { (xs, k) =>
       val agg = new TopKAgg(k)
