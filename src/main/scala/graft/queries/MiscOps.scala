@@ -27,7 +27,20 @@ object MiscOps {
     "s2_cdc_normalize",
     "CDC envelope encode→parse→normalize round-trip (CustomerDeserialization/BaseDBApp)",
     (s, dir) => {
-      val env = t(s, dir, "orders").select(to_json(struct(
+      // The envelope crosses a real WIRE between encode and parse, like
+      // the reference's Kafka topic. Composing encode→parse in one plan
+      // also mis-executes: predicate pushdown substitutes dropDeletes'
+      // condition below the exchange, inlining the whole
+      // to_json→from_json round-trip into a scan-side Filter — computed
+      // per CASE branch, single-task (the synthetic parquet is one
+      // unsplittable row group), then a third time for the projection.
+      // The wire hop is a source boundary the optimizer cannot push
+      // through: encode runs once (redistributed off the one-task scan),
+      // parse runs once, in parallel across the wire files.
+      val src = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val env = src.select(to_json(struct(
         lit("gmall").as("database"),
         lit("orders").as("tableName"),
         map().cast("map<string,string>").as("before"),
@@ -36,7 +49,10 @@ object MiscOps {
         when(col("o_orderstatus") === "O", "CREATE")
           .when(col("o_orderstatus") === "F", "Update")
           .otherwise("DELETE").as("type"))).as("value"))
-      DbRouting.dropDeletes(DbRouting.parseCdc(env))
+      val wire = java.nio.file.Files
+        .createTempDirectory("graft_cdc_wire_").toString
+      env.write.mode("overwrite").parquet(wire)
+      DbRouting.dropDeletes(DbRouting.parseCdc(s.read.parquet(wire)))
         .select(
           element_at(col("after"), "id").cast("long").as("id"),
           col("type").as("op"))
