@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Content-addressed keep predicate for a plain fraction: true iff the
+    * row's md5(id) 2-hex prefix sorts below the fraction's cutoff. The
+    * cutoff is clamped to at least "01" — rounding a small fraction to
+    * cutoff "00" would silently select NOTHING. Shared by ad-hoc samplers
+    * (e.g. the k-means sample-fit path) so the cutoff arithmetic and its
+    * guard live once. */
+  def keepFraction(idCol: Column, fraction: Double): Column = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    val cutoff = f"${math.min(255L, math.max(1L, math.round(fraction * 256)))}%02x"
+    substring(md5(idCol.cast("string")), 1, 2) < lit(cutoff)
+  }
+
   /** Keep rows whose md5(id) 2-hex prefix sorts strictly below the cutoff
     * of their stratum. `cutoffs` maps stratum value → cutoff; strata not
     * listed use `defaultCutoff`. Adds `stratum` and keeps all columns. */

@@ -198,10 +198,13 @@ object Similarity {
     val fit =
       if (fitFraction >= 1.0) emb
       else {
-        val cutoff = f"${math.min(255L, math.round(fitFraction * 256))}%02x"
-        emb.filter(md5(col("id").cast("string")).substr(1, 2) < lit(cutoff))
+        val sample = emb.filter(Sampling.keepFraction(col("id"), fitFraction))
           // the sample is re-read every training round — materialize once
           .localCheckpoint(true)
+        // an unlucky tiny sample on a tiny corpus must not collapse the
+        // quantizer to zero cells (empty seeds → empty assignment → the
+        // whole corpus silently dropped): train on everything instead
+        if (sample.isEmpty) emb else sample
       }
     // deterministic seeds: the k smallest sampled ids' vectors, cells
     // 0..k-1 (fewer than k sampled vectors → fewer cells, still valid)

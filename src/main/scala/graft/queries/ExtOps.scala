@@ -321,10 +321,8 @@ object ExtOps {
       val cells = Similarity
         .kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 3)
         .withColumnRenamed("id", "vec_id")
-      // fresh dir per invocation: a fixed shared path would let a second
-      // process overwrite the layout mid-read of this one's lazy scan
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_kmeans_layout_").toString
+      // fresh per-invocation dir, deleted on JVM exit (core.Scratch)
+      val path = graft.core.Scratch.tempDir("graft_kmeans_layout_")
       Similarity.writeClustered(e.join(cells, Seq("vec_id")), "cluster", path)
       val layout = s.read.parquet(path)
       Similarity.ivfTopK(layout, "vec_id", "embedding", "cluster",

@@ -49,8 +49,8 @@ object MiscOps {
         when(col("o_orderstatus") === "O", "CREATE")
           .when(col("o_orderstatus") === "F", "Update")
           .otherwise("DELETE").as("type"))).as("value"))
-      val wire = java.nio.file.Files
-        .createTempDirectory("graft_cdc_wire_").toString
+      // fresh per-invocation dir, deleted on JVM exit (core.Scratch)
+      val wire = graft.core.Scratch.tempDir("graft_cdc_wire_")
       env.write.mode("overwrite").parquet(wire)
       DbRouting.dropDeletes(DbRouting.parseCdc(s.read.parquet(wire)))
         .select(
