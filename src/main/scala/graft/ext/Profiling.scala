@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus profiling: exact discrete percentiles of per-document metrics
@@ -35,33 +34,17 @@ object Profiling {
         struct(lit(m).as("metric"), col(m).cast("long").as("v"))): _*)).as("mv"))
       .select(col("mv.metric").as("metric"), col("mv.v").as("v"))
     val counts = mv.groupBy("metric", "v").agg(count(lit(1)).as("cnt"))
-    // Phase 1: range-partition so partition p holds keys strictly below
-    // partition p+1's, tag rows with their physical partition, and
-    // materialize ONCE — the pid column must be identical for every
-    // consumer below, and two separate executions of a range exchange may
-    // sample different boundaries (RangePartitioner seeds by RDD id).
-    val parted = counts
-      .repartitionByRange(col("metric"), col("v"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    // partition-local running sums — parallel, bounded by partition size
-    val wPart = Window.partitionBy("pid", "metric").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val inPart = parted.withColumn("part_cum", sum("cnt").over(wPart))
-    // Phase 2: offsets = totals of all EARLIER partitions of the same
-    // metric. The partials frame has ≤ (shuffle partitions × |metrics|)
-    // rows — a bounded-by-config frame, so its ordered window is trivially
-    // cheap and always partitioned (no global-window WARN).
-    val partials = parted.groupBy("pid", "metric").agg(sum("cnt").as("pc"))
-    val wOff = Window.partitionBy("metric").orderBy("pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = partials
-      .withColumn("off", coalesce(sum("pc").over(wOff), lit(0L)))
-      .withColumn("n", sum("pc").over(Window.partitionBy("metric")))
-      .select("pid", "metric", "off", "n")
-    inPart.join(broadcast(offs), Seq("pid", "metric"))
-      .select(col("metric"), col("v"),
-        (col("part_cum") + col("off")).as("cum"), col("n"),
+    // cumulative counts via the shared two-phase prefix sum (range
+    // partition + partition-local windows + tiny offset merge — see
+    // PrefixSum for why no partition-less window ever appears)
+    val cum = PrefixSum.runningTotal(counts, Seq("metric"), Seq("v"),
+      "cnt", "cum")
+    // per-metric totals = the last running total: derived from the
+    // (checkpointed) cumulative frame, NOT by re-aggregating the corpus —
+    // counts has two consumers only inside runningTotal's materialization
+    val totals = cum.groupBy("metric").agg(max("cum").as("n"))
+    cum.join(broadcast(totals), Seq("metric"))
+      .select(col("metric"), col("v"), col("cum"), col("n"),
         explode(array(qs.map(lit): _*)).as("q"))
       .filter(col("cum") >= ceil(col("q") * col("n")))
       .groupBy("metric", "q").agg(min("v").as("value"))

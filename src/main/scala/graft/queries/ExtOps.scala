@@ -524,6 +524,33 @@ object ExtOps {
             FROM cum JOIN qs ON cum.cum >= ceil(q * n)
             GROUP BY metric, q ORDER BY metric, q"""))
 
+  /** Concat-and-chunk sequence packing — the batching step between a
+    * curated corpus and a pretraining run. Token offsets come from the
+    * shared distributed prefix sum (PrefixSum.runningTotal), so the
+    * assignment is exact, deterministic, and never funnels the corpus
+    * through one task; the window-cumsum oracle verifies every offset
+    * and pack id. */
+  val xPackChunks = OpQuery(
+    "x_pack_chunks",
+    "concat-and-chunk sequence packing: token offsets + 512-token pack ids",
+    (s, dir) =>
+      graft.ext.Packing.concatChunkPacks(
+        TextAnalysis.tokenCounts(t(s, dir, "documents"), "text"),
+        "doc_id", "ws_tokens", budget = 512)
+        .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id,
+              CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+                AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+              sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                AS start_offset
+              FROM d)
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 512 AS pack_id
+            FROM c ORDER BY doc_id"""))
+
   // ---------- multimodal ----------
 
   val xMultimodalFeatures = OpQuery(
@@ -555,6 +582,6 @@ object ExtOps {
     xSimhash, xNeardupJaccard3, xDedupComponents, xDedupPipeline,
     xAnnBruteforce, xAnnNative, xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xTextStats, xLangidNgram, xFingerprint, xWinnow,
-    xApproxDistinct, xSampleStratified, xProfilePercentiles,
+    xApproxDistinct, xSampleStratified, xProfilePercentiles, xPackChunks,
     xMultimodalFeatures)
 }

@@ -62,6 +62,22 @@ class ExtSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(m((1L, 3L)) == 1.0)
+    // the single-scan composition must be ROW-IDENTICAL to composing the
+    // stages separately (the refactor's invariant), on a corpus with
+    // repeated shingles, near-dups, and disjoint docs
+    val gen = (1 to 60).map { i =>
+      val words = (0 until 12).map(j => s"w${(i * 7 + j * (i % 5 + 1)) % 23}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val composed = Dedup.jaccardOnPairs(gen, "text", "doc_id",
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(gen, "text", "doc_id", k = 8),
+        "doc_id", k = 8, bands = 2),
+      threshold = 0.3, ngram = 3)
+    val single = Dedup.lshVerifiedPairs(gen, "text", "doc_id",
+      k = 8, bands = 2, threshold = 0.3, ngram = 3)
+    assert(single.collect().toSet == composed.collect().toSet)
+    assert(single.count() > 0) // non-vacuous
   }
 
   test("simhash: identical docs equal, near-dups close, distinct docs far") {
@@ -230,6 +246,38 @@ class ExtSpec extends SparkTestBase {
     assert(p == Map(0.5 -> 50L, 0.9 -> 90L, 0.99 -> 99L))
     // both metrics answered from the one pass
     assert(pdf.select("metric").distinct().count() == 2)
+  }
+
+  test("concat-and-chunk packing: exact offsets, contiguous packs, no global window") {
+    // token counts 300, 300, 300, 100, 600 with budget 512:
+    // offsets 0, 300, 600, 900, 1000 → packs 0, 0, 1, 1, 1
+    val df = Seq((1L, 300L), (2L, 300L), (3L, 300L), (4L, 100L), (5L, 600L))
+      .toDF("doc_id", "ws_tokens")
+    val packs = Packing.concatChunkPacks(df, "doc_id", "ws_tokens", budget = 512)
+    val rows = packs.orderBy("doc_id")
+      .select("doc_id", "start_offset", "pack_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 0L, 0L), (2L, 300L, 0L), (3L, 600L, 1L),
+      (4L, 900L, 1L), (5L, 1000L, 1L)))
+    // offsets are a valid exclusive prefix sum: doc i+1 starts where doc
+    // i ends — the invariant the distributed two-phase computation must
+    // preserve across any partitioning (checked again on a bigger frame
+    // that actually spans partitions)
+    val big = (1L to 5000L).map(i => (i, (i % 37) + 1)).toDF("doc_id", "ws_tokens")
+    val bigPacks = Packing.concatChunkPacks(big, "doc_id", "ws_tokens", 1000)
+      .orderBy("doc_id").select("start_offset", "n_tokens")
+      .as[(Long, Long)].collect()
+    bigPacks.sliding(2).foreach { case Array((s1, n1), (s2, _)) =>
+      assert(s2 == s1 + n1)
+    }
+    // scale shape: the prefix sum must never run a partition-less window
+    val windows = packs.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      windows.mkString("\n"))
+    // pack stats roll up to the corpus totals
+    val stats = Packing.packStats(packs, 512)
+    assert(stats.agg(sum("tokens")).as[Long].head() == 1600L)
   }
 
   test("k-means recovers well-separated clusters deterministically") {
