@@ -122,6 +122,35 @@ object TextAnalysis {
       .select(col(idCol), explode(expr(s"winnow_fps(norm, $k, $w)")).as("fp"))
   }
 
+  /** PII patterns for corpus scrubbing, written in the regex subset that
+    * Java regex (Spark) and RE2 (DuckDB) interpret identically — no
+    * backreferences, no lookaround, explicit character classes — so the
+    * oracle can verify scrubbing byte-for-byte. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "phone" -> "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+    "ipv4" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")
+
+  /** Scrub PII from a text column: each pattern's matches are counted and
+    * replaced with `<pii:kind>`. Pure regexp_count/regexp_replace chain —
+    * codegen'd, zero shuffle, the cheapest possible shape for a
+    * full-corpus rewrite at 100 TB. Patterns apply in declaration order
+    * (ipv4 last so phone-like digit runs are already gone). Adds
+    * `scrubbed` plus one `n_<kind>` count per pattern. */
+  def scrubPii(docs: DataFrame, textCol: String): DataFrame = {
+    // DSL regexp_count/lit, NOT expr(): a SQL string literal would
+    // re-interpret the pattern's backslashes before the regex engine sees
+    // them
+    val counted = PiiPatterns.foldLeft(docs) { case (df, (kind, re)) =>
+      df.withColumn(s"n_$kind",
+        regexp_count(col(textCol), lit(re)).cast("long"))
+    }
+    val scrubbed = PiiPatterns.foldLeft(col(textCol)) { case (c, (kind, re)) =>
+      regexp_replace(c, re, s"<pii:$kind>")
+    }
+    counted.withColumn("scrubbed", scrubbed)
+  }
+
   /** Whole-document fingerprint: md5 of whitespace-normalized text, plus a
     * winnowing-style min-hash over 16-char windows at stride 8 (two docs
     * sharing any window hash share a 16-char run; the min over windows is

@@ -472,6 +472,40 @@ object ExtOps {
               CASE WHEN tri_hits * 10 >= n_tri THEN 'en' ELSE 'und' END AS lang_tri
             FROM agg ORDER BY doc_id"""))
 
+  /** PII scrubbing gate: the synthetic corpus carries no PII, so a
+    * deterministic email/phone/IPv4 is injected per document and the
+    * scrubber must find and redact EXACTLY those — counts and the md5 of
+    * the scrubbed bytes are oracle-compared, so a pattern that
+    * over-matches (eating real text) or under-matches fails the gate. */
+  val xPiiScrub = OpQuery(
+    "x_pii_scrub",
+    "PII scrub: inject deterministic email/phone/IP per doc, redact, verify bytes",
+    (s, dir) => {
+      val injected = t(s, dir, "documents").withColumn("poisoned",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+      TextAnalysis.scrubPii(injected, "poisoned")
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ipv4"),
+          md5(col("scrubbed")).as("scrub_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH i AS (SELECT doc_id,
+              text || ' contact user' || doc_id || '@example.com or 555-867-' ||
+              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.0.' ||
+              CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+              FROM documents)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+              CAST(len(regexp_extract_all(t, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phone,
+              CAST(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+              md5(regexp_replace(regexp_replace(regexp_replace(t,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<pii:email>', 'g'),
+                '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<pii:phone>', 'g'),
+                '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<pii:ipv4>', 'g')) AS scrub_md5
+            FROM i ORDER BY doc_id"""))
+
   val xSampleStratified = OpQuery(
     "x_sample_stratified",
     "deterministic md5-threshold stratified sample (50% of 'en', 25% of the rest)",
@@ -583,5 +617,5 @@ object ExtOps {
     xAnnBruteforce, xAnnNative, xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xTextStats, xLangidNgram, xFingerprint, xWinnow,
     xApproxDistinct, xSampleStratified, xProfilePercentiles, xPackChunks,
-    xMultimodalFeatures)
+    xPiiScrub, xMultimodalFeatures)
 }

@@ -173,6 +173,23 @@ class ExtSpec extends SparkTestBase {
     assert(byId.values.forall(v => v._2 >= 0.0 && v._2 <= 1.0))
   }
 
+  test("PII scrub redacts email/phone/IP with exact counts, leaves clean text") {
+    val df = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.org today"),
+      (2L, "call 555-123-4567 or 555.987.6543 now"),
+      (3L, "server 192.168.0.1 is up"),
+      (4L, "nothing sensitive here at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(df, "text")
+      .select("doc_id", "n_email", "n_phone", "n_ipv4", "scrubbed")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 0L, 0L, "mail me at <pii:email> today")))
+    assert(out(2L) == ((2L, 0L, 2L, 0L, "call <pii:phone> or <pii:phone> now")))
+    assert(out(3L) == ((3L, 0L, 0L, 1L, "server <pii:ipv4> is up")))
+    assert(out(4L) == ((4L, 0L, 0L, 0L, "nothing sensitive here at all")))
+  }
+
   test("fingerprint: whitespace-insensitive md5; winnow shared for shared runs") {
     val fp = TextAnalysis.fingerprint(
       Seq((1L, "a  b   c"), (2L, "a b c")).toDF("doc_id", "text"), "text")
