@@ -122,6 +122,33 @@ object TextAnalysis {
       .select(col(idCol), explode(expr(s"winnow_fps(norm, $k, $w)")).as("fp"))
   }
 
+  /** Repetition quality signals (the Gopher/C4 family of filters):
+    * `rep_distinct_ratio` = distinct words / words (low → the document
+    * repeats a small vocabulary) and `dup_2gram_frac` = 1 − distinct
+    * word-2-grams / 2-grams (high → copy-pasted runs), plus a Gopher-ish
+    * `is_repetitive` flag (dup_2gram_frac > 0.3). Pure array expressions
+    * — zero shuffle, the cheapest shape for a full-corpus quality pass.
+    * Both ratios floor-truncated to 4 dp for engine-exact comparison.
+    * The 2-gram build guards size < 2 explicitly: Spark's
+    * sequence(1, 0) counts DOWN (yielding [1, 0]), it is not empty. */
+  def repetitionSignals(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("w", filter(split(col(textCol), " "), x => length(x) > 0))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("rep_distinct_ratio",
+        trunc4(size(array_distinct(col("w"))).cast("double") /
+          greatest(col("n_tok"), lit(1L))))
+      .withColumn("g2", expr(
+        "CASE WHEN size(w) < 2 THEN array() ELSE " +
+          "transform(sequence(1, size(w) - 1), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))) END"))
+      .withColumn("dup_2gram_frac",
+        when(size(col("g2")) === 0, lit(0.0)).otherwise(
+          trunc4(lit(1.0) - size(array_distinct(col("g2"))).cast("double") /
+            size(col("g2")))))
+      .withColumn("is_repetitive", col("dup_2gram_frac") > 0.3)
+      .drop("w", "g2")
+
   /** PII patterns for corpus scrubbing, written in the regex subset that
     * Java regex (Spark) and RE2 (DuckDB) interpret identically — no
     * backreferences, no lookaround, explicit character classes — so the

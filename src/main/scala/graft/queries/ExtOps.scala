@@ -472,6 +472,36 @@ object ExtOps {
               CASE WHEN tri_hits * 10 >= n_tri THEN 'en' ELSE 'und' END AS lang_tri
             FROM agg ORDER BY doc_id"""))
 
+  val xRepetition = OpQuery(
+    "x_repetition",
+    "repetition quality signals: distinct-token ratio + duplicate-2-gram fraction",
+    (s, dir) =>
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tok"), col("rep_distinct_ratio"),
+          col("dup_2gram_frac"), col("is_repetitive").cast("long").as("is_repetitive"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+              FROM documents),
+            g AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tok,
+              CASE WHEN len(w) < 2 THEN []
+                   ELSE list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1]) END AS g2
+              FROM t)
+            SELECT doc_id, n_tok,
+              CAST(floor(CAST(len(list_distinct(w)) AS DOUBLE)
+                / greatest(n_tok, 1) * 10000.0) / 10000.0 AS DOUBLE)
+                AS rep_distinct_ratio,
+              CAST(CASE WHEN len(g2) = 0 THEN 0.0
+                ELSE floor((1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                  / len(g2)) * 10000.0) / 10000.0 END AS DOUBLE)
+                AS dup_2gram_frac,
+              CAST(CASE WHEN len(g2) = 0 THEN 0.0
+                ELSE floor((1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                  / len(g2)) * 10000.0) / 10000.0 END > 0.3 AS BIGINT)
+                AS is_repetitive
+            FROM g ORDER BY doc_id"""))
+
   /** PII scrubbing gate: the synthetic corpus carries no PII, so a
     * deterministic email/phone/IPv4 is injected per document and the
     * scrubber must find and redact EXACTLY those — counts and the md5 of
@@ -617,5 +647,5 @@ object ExtOps {
     xAnnBruteforce, xAnnNative, xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xTextStats, xLangidNgram, xFingerprint, xWinnow,
     xApproxDistinct, xSampleStratified, xProfilePercentiles, xPackChunks,
-    xPiiScrub, xMultimodalFeatures)
+    xPiiScrub, xRepetition, xMultimodalFeatures)
 }

@@ -173,6 +173,23 @@ class ExtSpec extends SparkTestBase {
     assert(byId.values.forall(v => v._2 >= 0.0 && v._2 <= 1.0))
   }
 
+  test("repetition signals: spam scores high, varied text scores low, edges safe") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now"),       // 4x repeated 2-gram run
+      (2L, "the quick brown fox jumps over dogs"),   // all distinct
+      (3L, "solo"),                                  // < 2 tokens: no 2-grams
+      (4L, ""))                                      // empty
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "text")
+      .select("doc_id", "rep_distinct_ratio", "dup_2gram_frac", "is_repetitive")
+      .as[(Long, Double, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    // 8 tokens, 2 distinct → 0.25; 7 2-grams, 2 distinct → 1 - 2/7 = 0.7142
+    assert(out(1L) == ((1L, 0.25, 0.7142, true)))
+    assert(out(2L) == ((2L, 1.0, 0.0, false)))
+    assert(out(3L) == ((3L, 1.0, 0.0, false)))
+    assert(out(4L)._3 == 0.0 && !out(4L)._4)
+  }
+
   test("PII scrub redacts email/phone/IP with exact counts, leaves clean text") {
     val df = Seq(
       (1L, "mail me at bob.smith+x@corp.example.org today"),
