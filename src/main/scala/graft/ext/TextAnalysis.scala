@@ -178,6 +178,27 @@ object TextAnalysis {
     counted.withColumn("scrubbed", scrubbed)
   }
 
+  /** Benchmark decontamination: corpus documents sharing any winnowing
+    * fingerprint with a benchmark document are training-set contamination
+    * (the winnowing guarantee makes a shared fingerprint ⇒ a shared run
+    * of ≥ w+k−1 characters). Returns (id, n_shared_fps) for contaminated
+    * corpus docs only; `filter NOT IN` it to decontaminate.
+    *
+    * Scale shape: fingerprints come from the native per-row expression
+    * (zero shuffle to produce), then one join keyed on the fp hash —
+    * bounded keys, and the benchmark side is tiny relative to the corpus
+    * (broadcast-able; AQE decides). Self-matches are excluded so the
+    * benchmark may be carved out of the corpus itself. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, k: Int = 16, w: Int = 4): DataFrame = {
+    val cf = winnowFingerprints(corpus, textCol, idCol, k, w)
+    val bf = winnowFingerprints(benchmark, textCol, idCol, k, w)
+      .select(col(idCol).as("bench_id"), col("fp"))
+    cf.join(bf, cf("fp") === bf("fp") && cf(idCol) =!= col("bench_id"))
+      .groupBy(cf(idCol))
+      .agg(countDistinct(cf("fp")).as("n_shared_fps"))
+  }
+
   /** Whole-document fingerprint: md5 of whitespace-normalized text, plus a
     * winnowing-style min-hash over 16-char windows at stride 8 (two docs
     * sharing any window hash share a 16-char run; the min over windows is

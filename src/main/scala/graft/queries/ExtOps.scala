@@ -472,6 +472,39 @@ object ExtOps {
               CASE WHEN tri_hits * 10 >= n_tri THEN 'en' ELSE 'und' END AS lang_tri
             FROM agg ORDER BY doc_id"""))
 
+  /** Decontamination gate: docs with doc_id ≡ 0 (mod 7) act as the
+    * held-out benchmark; any other doc sharing a winnowing fingerprint
+    * (= a ≥19-char run) with one of them is flagged. The synthetic corpus
+    * contains exact/near duplicates, so the flagged set is non-empty and
+    * the fingerprint-join semantics get a real workout. */
+  val xDecontaminate = OpQuery(
+    "x_decontaminate",
+    "benchmark decontamination: corpus docs sharing winnow fingerprints with a held-out set",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contamination(docs,
+          docs.filter(col("doc_id") % 7 === 0), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH n AS (SELECT doc_id,
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+              FROM documents),
+            g AS (SELECT doc_id, p, md5(substr(norm, CAST(p AS INT), 16)) AS h
+                  FROM (SELECT doc_id, norm,
+                    unnest(generate_series(1, greatest(length(norm) - 15, 1))) AS p
+                    FROM n)),
+            wm AS (SELECT doc_id, p,
+                count(*) OVER (PARTITION BY doc_id) AS np,
+                min(h) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+              FROM g),
+            fps AS (SELECT DISTINCT doc_id, minh AS fp FROM wm
+                    WHERE p <= greatest(np - 3, 1))
+            SELECT c.doc_id, CAST(count(DISTINCT c.fp) AS BIGINT) AS n_shared_fps
+            FROM fps c JOIN fps b ON b.fp = c.fp
+              AND b.doc_id <> c.doc_id AND b.doc_id % 7 = 0
+            GROUP BY c.doc_id ORDER BY c.doc_id"""))
+
   val xRepetition = OpQuery(
     "x_repetition",
     "repetition quality signals: distinct-token ratio + duplicate-2-gram fraction",
@@ -647,5 +680,5 @@ object ExtOps {
     xAnnBruteforce, xAnnNative, xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xTextStats, xLangidNgram, xFingerprint, xWinnow,
     xApproxDistinct, xSampleStratified, xProfilePercentiles, xPackChunks,
-    xPiiScrub, xRepetition, xMultimodalFeatures)
+    xPiiScrub, xRepetition, xDecontaminate, xMultimodalFeatures)
 }

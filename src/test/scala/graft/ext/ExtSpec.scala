@@ -173,6 +173,23 @@ class ExtSpec extends SparkTestBase {
     assert(byId.values.forall(v => v._2 >= 0.0 && v._2 <= 1.0))
   }
 
+  test("decontamination flags docs sharing a long run with the benchmark, only those") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "completely unrelated content with different words entirely here"),
+      (3L, "prefix alpha beta gamma delta epsilon zeta eta theta iota kappa suffix"))
+      .toDF("doc_id", "text")
+    // benchmark = doc 1; doc 3 contains doc 1's text verbatim (≥19-char
+    // shared run) → flagged; doc 2 shares nothing → absent; the benchmark
+    // doc itself is not self-flagged
+    val bench = corpus.filter($"doc_id" === 1)
+    val out = TextAnalysis.contamination(corpus, bench, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out.contains(3L) && out(3L) >= 1L)
+    assert(!out.contains(2L))
+    assert(!out.contains(1L))
+  }
+
   test("repetition signals: spam scores high, varied text scores low, edges safe") {
     val df = Seq(
       (1L, "buy now buy now buy now buy now"),       // 4x repeated 2-gram run
