@@ -27,7 +27,11 @@ object Packing {
     * exclusive prefix sum of `tokenCol` in `idCol` order; `pack_id` =
     * start_offset div budget. Documents longer than the budget simply
     * span chunks (their tail tokens land in following packs at training
-    * time), matching concat-and-chunk exactly. */
+    * time), matching concat-and-chunk exactly.
+    *
+    * Precondition: `idCol` values are unique — the concatenation order
+    * is `idCol`, so duplicate ids make the relative order of their rows
+    * (and thus their offsets) undefined across runs. */
   def concatChunkPacks(docs: DataFrame, idCol: String, tokenCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
@@ -39,9 +43,12 @@ object Packing {
       .select("doc_id", "n_tokens", "start_offset", "pack_id")
   }
 
-  /** Per-pack utilization: documents started, tokens started in the pack,
-    * and the padding a non-spanning loader would waste. Tiny frame (one
-    * row per pack) aggregated from the assignment. */
+  /** Per-pack occupancy: documents starting in the pack and their total
+    * token count (a spanning document attributes ALL its tokens to the
+    * pack where it starts, so `tokens` can exceed `budget` — under
+    * concat-and-chunk every pack is exactly full except the last; this is
+    * a doc-distribution profile, not a padding metric). Tiny frame (one
+    * row per pack). */
   def packStats(packs: DataFrame, budget: Long): DataFrame =
     packs.groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))

@@ -54,8 +54,16 @@ object PrefixSum {
     val offs = a.join(broadcast(b), cond, "left")
       .groupBy((col("a._pid") +: partCols.map(c => col(s"a.$c"))): _*)
       .agg(coalesce(sum(col("b._pc")), lit(0L)).as("_off"))
-    inPart.join(broadcast(offs), "_pid" +: partCols)
+      // fresh names (and expr ids) so the merge join below is not a
+      // self-join on the checkpointed frame's attributes
+      .toDF(("_o_pid" +: partCols.map("_o_" + _) :+ "_off"): _*)
+    // null-SAFE equality on the group keys: groupBy keeps a NULL group,
+    // and plain equality would silently drop its rows here
+    val joinCond = ("_pid" +: partCols).zip("_o_pid" +: partCols.map("_o_" + _))
+      .map { case (l, r) => col(l) <=> col(r) }.reduce(_ && _)
+    inPart.join(broadcast(offs), joinCond)
       .withColumn(outCol, col("_pcum") + col("_off"))
-      .drop("_pid", "_pcum", "_off")
+      .drop(("_pid" +: "_pcum" +: "_off" +: "_o_pid" +:
+        partCols.map("_o_" + _)): _*)
   }
 }

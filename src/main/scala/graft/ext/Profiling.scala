@@ -37,11 +37,12 @@ object Profiling {
     // cumulative counts via the shared two-phase prefix sum (range
     // partition + partition-local windows + tiny offset merge — see
     // PrefixSum for why no partition-less window ever appears)
+    // the cumulative frame has two consumers (totals + the quantile
+    // filter) — materialize it (it is distinct-value-sized, tiny) so the
+    // window/offset subtree runs once, not once per consumer
     val cum = PrefixSum.runningTotal(counts, Seq("metric"), Seq("v"),
-      "cnt", "cum")
-    // per-metric totals = the last running total: derived from the
-    // (checkpointed) cumulative frame, NOT by re-aggregating the corpus —
-    // counts has two consumers only inside runningTotal's materialization
+      "cnt", "cum").localCheckpoint()
+    // per-metric totals = the last running total (no corpus re-aggregation)
     val totals = cum.groupBy("metric").agg(max("cum").as("n"))
     cum.join(broadcast(totals), Seq("metric"))
       .select(col("metric"), col("v"), col("cum"), col("n"),

@@ -132,50 +132,52 @@ object TextAnalysis {
     * The 2-gram build guards size < 2 explicitly: Spark's
     * sequence(1, 0) counts DOWN (yielding [1, 0]), it is not empty. */
   def repetitionSignals(docs: DataFrame, textCol: String): DataFrame =
+    // underscore-prefixed temporaries: plain names like `w` could clobber
+    // (and then drop) a caller's column
     docs
-      .withColumn("w", filter(split(col(textCol), " "), x => length(x) > 0))
-      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("_rw", filter(split(col(textCol), " "), x => length(x) > 0))
+      .withColumn("n_tok", size(col("_rw")).cast("long"))
       .withColumn("rep_distinct_ratio",
-        trunc4(size(array_distinct(col("w"))).cast("double") /
+        trunc4(size(array_distinct(col("_rw"))).cast("double") /
           greatest(col("n_tok"), lit(1L))))
-      .withColumn("g2", expr(
-        "CASE WHEN size(w) < 2 THEN array() ELSE " +
-          "transform(sequence(1, size(w) - 1), " +
-          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))) END"))
+      .withColumn("_rg2", expr(
+        "CASE WHEN size(_rw) < 2 THEN array() ELSE " +
+          "transform(sequence(1, size(_rw) - 1), " +
+          "i -> concat_ws(' ', element_at(_rw, i), element_at(_rw, i + 1))) END"))
       .withColumn("dup_2gram_frac",
-        when(size(col("g2")) === 0, lit(0.0)).otherwise(
-          trunc4(lit(1.0) - size(array_distinct(col("g2"))).cast("double") /
-            size(col("g2")))))
+        when(size(col("_rg2")) === 0, lit(0.0)).otherwise(
+          trunc4(lit(1.0) - size(array_distinct(col("_rg2"))).cast("double") /
+            size(col("_rg2")))))
       .withColumn("is_repetitive", col("dup_2gram_frac") > 0.3)
-      .drop("w", "g2")
+      .drop("_rw", "_rg2")
 
   /** PII patterns for corpus scrubbing, written in the regex subset that
     * Java regex (Spark) and RE2 (DuckDB) interpret identically — no
     * backreferences, no lookaround, explicit character classes — so the
     * oracle can verify scrubbing byte-for-byte. */
   val PiiPatterns: Seq[(String, String)] = Seq(
-    "email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "email" -> "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
     "phone" -> "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
     "ipv4" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")
 
   /** Scrub PII from a text column: each pattern's matches are counted and
     * replaced with `<pii:kind>`. Pure regexp_count/regexp_replace chain —
     * codegen'd, zero shuffle, the cheapest possible shape for a
-    * full-corpus rewrite at 100 TB. Patterns apply in declaration order
-    * (ipv4 last so phone-like digit runs are already gone). Adds
-    * `scrubbed` plus one `n_<kind>` count per pattern. */
+    * full-corpus rewrite at 100 TB. Patterns apply in declaration order,
+    * and each kind is COUNTED ON THE ALREADY-SCRUBBED text of the kinds
+    * before it, so `n_<kind>` equals the number of `<pii:kind>` tokens
+    * actually emitted (a digit run inside an email never double-counts as
+    * a phone/IP). Adds `scrubbed` plus one `n_<kind>` per pattern. */
   def scrubPii(docs: DataFrame, textCol: String): DataFrame = {
     // DSL regexp_count/lit, NOT expr(): a SQL string literal would
     // re-interpret the pattern's backslashes before the regex engine sees
     // them
-    val counted = PiiPatterns.foldLeft(docs) { case (df, (kind, re)) =>
-      df.withColumn(s"n_$kind",
-        regexp_count(col(textCol), lit(re)).cast("long"))
+    val (result, scrubbed) = PiiPatterns.foldLeft((docs, col(textCol))) {
+      case ((df, current), (kind, re)) =>
+        (df.withColumn(s"n_$kind", regexp_count(current, lit(re)).cast("long")),
+          regexp_replace(current, re, s"<pii:$kind>"))
     }
-    val scrubbed = PiiPatterns.foldLeft(col(textCol)) { case (c, (kind, re)) =>
-      regexp_replace(c, re, s"<pii:$kind>")
-    }
-    counted.withColumn("scrubbed", scrubbed)
+    result.withColumn("scrubbed", scrubbed)
   }
 
   /** Benchmark decontamination: corpus documents sharing any winnowing
@@ -190,11 +192,29 @@ object TextAnalysis {
     * (broadcast-able; AQE decides). Self-matches are excluded so the
     * benchmark may be carved out of the corpus itself. */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
-      textCol: String, idCol: String, k: Int = 16, w: Int = 4): DataFrame = {
-    val cf = winnowFingerprints(corpus, textCol, idCol, k, w)
-    val bf = winnowFingerprints(benchmark, textCol, idCol, k, w)
-      .select(col(idCol).as("bench_id"), col("fp"))
-    cf.join(bf, cf("fp") === bf("fp") && cf(idCol) =!= col("bench_id"))
+      textCol: String, idCol: String, k: Int = 16, w: Int = 4): DataFrame =
+    contaminationOnFps(
+      winnowFingerprints(corpus, textCol, idCol, k, w),
+      winnowFingerprints(benchmark, textCol, idCol, k, w), idCol)
+
+  /** Within-corpus decontamination: the benchmark is a predicate over the
+    * corpus's OWN id column (e.g. the held-out shard), so the dominant
+    * fingerprinting pass runs ONCE over the corpus — materialized, then
+    * filtered for the benchmark side — instead of re-normalizing and
+    * re-winnowing the benchmark rows a second time. */
+  def contaminationWithin(corpus: DataFrame, textCol: String, idCol: String,
+      isBench: org.apache.spark.sql.Column, k: Int = 16, w: Int = 4): DataFrame = {
+    val fps = winnowFingerprints(corpus, textCol, idCol, k, w).localCheckpoint()
+    contaminationOnFps(fps, fps.filter(isBench), idCol)
+  }
+
+  private def contaminationOnFps(cf: DataFrame, bench: DataFrame,
+      idCol: String): DataFrame = {
+    // fresh aliases on the bench side: in the within-corpus path both
+    // frames share the checkpointed fps plan, so unaliased columns would
+    // make this an ambiguous self-join
+    val bf = bench.select(col(idCol).as("_bench_id"), col("fp").as("_bfp"))
+    cf.join(bf, cf("fp") === col("_bfp") && cf(idCol) =!= col("_bench_id"))
       .groupBy(cf(idCol))
       .agg(countDistinct(cf("fp")).as("n_shared_fps"))
   }

@@ -480,12 +480,12 @@ object ExtOps {
   val xDecontaminate = OpQuery(
     "x_decontaminate",
     "benchmark decontamination: corpus docs sharing winnow fingerprints with a held-out set",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      TextAnalysis.contamination(docs,
-          docs.filter(col("doc_id") % 7 === 0), "text", "doc_id")
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      // within-corpus variant: ONE fingerprint pass, benchmark side
+      // filtered from the materialized fps frame
+      TextAnalysis.contaminationWithin(t(s, dir, "documents"),
+          "text", "doc_id", isBench = col("doc_id") % 7 === 0)
+        .orderBy("doc_id"),
     Some("""WITH n AS (SELECT doc_id,
               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
               FROM documents),
@@ -546,7 +546,7 @@ object ExtOps {
     (s, dir) => {
       val injected = t(s, dir, "documents").withColumn("poisoned",
         concat(col("text"),
-          lit(" contact user"), col("doc_id"), lit("@example.com or 555-867-"),
+          lit(" contact User"), col("doc_id"), lit("@Example.COM or 555-867-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
           lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
       TextAnalysis.scrubPii(injected, "poisoned")
@@ -554,20 +554,25 @@ object ExtOps {
           md5(col("scrubbed")).as("scrub_md5"))
         .orderBy("doc_id")
     },
+    // counts staged on progressively-scrubbed text, like the implementation
     Some("""WITH i AS (SELECT doc_id,
-              text || ' contact user' || doc_id || '@example.com or 555-867-' ||
+              text || ' contact User' || doc_id || '@Example.COM or 555-867-' ||
               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.0.' ||
               CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
-              FROM documents)
+              FROM documents),
+            s1 AS (SELECT doc_id, t,
+              regexp_replace(t, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                '<pii:email>', 'g') AS t1 FROM i),
+            s2 AS (SELECT doc_id, t, t1,
+              regexp_replace(t1, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}',
+                '<pii:phone>', 'g') AS t2 FROM s1)
             SELECT doc_id,
-              CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
-              CAST(len(regexp_extract_all(t, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phone,
-              CAST(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
-              md5(regexp_replace(regexp_replace(regexp_replace(t,
-                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<pii:email>', 'g'),
-                '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<pii:phone>', 'g'),
+              CAST(len(regexp_extract_all(t, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+              CAST(len(regexp_extract_all(t1, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phone,
+              CAST(len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+              md5(regexp_replace(t2,
                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<pii:ipv4>', 'g')) AS scrub_md5
-            FROM i ORDER BY doc_id"""))
+            FROM s2 ORDER BY doc_id"""))
 
   val xSampleStratified = OpQuery(
     "x_sample_stratified",

@@ -212,7 +212,8 @@ class ExtSpec extends SparkTestBase {
       (1L, "mail me at bob.smith+x@corp.example.org today"),
       (2L, "call 555-123-4567 or 555.987.6543 now"),
       (3L, "server 192.168.0.1 is up"),
-      (4L, "nothing sensitive here at all"))
+      (4L, "nothing sensitive here at all"),
+      (5L, "or John.Doe@Example.COM works"))  // real-world casing
       .toDF("doc_id", "text")
     val out = TextAnalysis.scrubPii(df, "text")
       .select("doc_id", "n_email", "n_phone", "n_ipv4", "scrubbed")
@@ -222,6 +223,7 @@ class ExtSpec extends SparkTestBase {
     assert(out(2L) == ((2L, 0L, 2L, 0L, "call <pii:phone> or <pii:phone> now")))
     assert(out(3L) == ((3L, 0L, 0L, 1L, "server <pii:ipv4> is up")))
     assert(out(4L) == ((4L, 0L, 0L, 0L, "nothing sensitive here at all")))
+    assert(out(5L) == ((5L, 1L, 0L, 0L, "or <pii:email> works")))
   }
 
   test("fingerprint: whitespace-insensitive md5; winnow shared for shared runs") {
@@ -285,11 +287,12 @@ class ExtSpec extends SparkTestBase {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("n_chars", "ws_tokens")
     val pdf = Profiling.discPercentiles(df, Seq("n_chars", "ws_tokens"),
       Seq(0.5, 0.9, 0.99))
-    // scale shape: the two-phase prefix sum must never funnel the count
-    // frame through a partition-less (single-task) window
+    // scale shape: no partition-less (single-task) window anywhere in the
+    // lazy plan (the prefix-sum windows themselves are materialized behind
+    // discPercentiles' checkpoint; the packing test asserts their
+    // partitioned shape in-plan)
     val windows = pdf.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
-    assert(windows.nonEmpty)
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "global (no-partition) window in:\n" + windows.mkString("\n"))
     val p = pdf.filter($"metric" === "n_chars")
