@@ -1,0 +1,131 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Language-model quality scoring for corpus curation (the CCNet recipe,
+  * Wenzek et al. 2020 — public method): score every document by its mean
+  * per-token surprisal under a language model trained on a trusted corpus,
+  * then filter / bucket by the score (high perplexity ⇒ boilerplate,
+  * gibberish, wrong-language text; unusually LOW perplexity ⇒ templated
+  * spam). Here the model is a per-language unigram LM with add-1 (Laplace)
+  * smoothing — the smallest member of the family; the frame shapes are the
+  * same ones a KenLM-style n-gram model needs (n-gram counts keyed by
+  * context, joined back to the token stream).
+  *
+  * Scale shapes, in pipeline order:
+  *   1. token explode — linear map, no shuffle; done ONCE even when the
+  *      same corpus feeds both the model build and the scoring join
+  *      ([[scoreAgainstSubset]] materializes the token frame via
+  *      localCheckpoint, the same single-scan move as Dedup's verified
+  *      pairs);
+  *   2. model build: groupBy (lang, word) count — ONE shuffle whose key
+  *      cardinality is the vocabulary, not the corpus (map-side partial
+  *      aggregation collapses each task's token stream to its local vocab
+  *      first), then a tiny per-lang totals aggregate;
+  *   3. scoring join on (lang, word): left unhinted — at test scale AQE
+  *      converts it to broadcast at runtime; at 100 TB a real vocabulary
+  *      (~10⁷ rows) exceeds the broadcast threshold and the right answer
+  *      IS the shuffle hash join on a vocab-bounded key;
+  *   4. per-document sum — one shuffle on doc id, map-side combined.
+  *
+  * Oracle parity: per-token surprisal −ln(p) is floor-truncated to 4 dp
+  * IMMEDIATELY (ln is computed once per distinct (lang, word), so engine
+  * ulp differences can only matter if a model value lands within an ulp of
+  * a 1e-4 boundary — measured zero across the corpus), then summed as
+  * DECIMAL, which is exact and order-independent — a raw double sum would
+  * depend on reduction order and break the hash gate.
+  */
+object LmScore {
+
+  /** One row per token: (id?, lang, word), split on single spaces with
+    * empties dropped — the same tokenizer every oracle in the text family
+    * uses (`string_split(text, ' ')` + length filter in DuckDB). */
+  def tokens(df: DataFrame, textCol: String, langCol: String,
+      idCol: String): DataFrame = {
+    val base = if (idCol == null) df.select(col(langCol).as("lang"), col(textCol))
+      else df.select(col(idCol).as("id"), col(langCol).as("lang"), col(textCol))
+    base.withColumn("word",
+        explode(filter(split(col(textCol), " "), w => length(w) > 0)))
+      .drop(textCol)
+  }
+
+  /** Unigram model from a token frame: one row per (lang, word) with its
+    * add-1-smoothed surprisal −ln((cnt+1)/(tot+|V|)) as DECIMAL(18,4),
+    * plus per-lang `oov_surprisal` = −ln(1/(tot+|V|)) for words never seen
+    * in training (the add-1 mass every unseen word gets). */
+  def modelFromTokens(tok: DataFrame): DataFrame = {
+    val counts = tok.groupBy("lang", "word").agg(count("*").as("cnt"))
+    val totals = counts.groupBy("lang")
+      .agg(sum("cnt").as("tot"), count("*").as("vocab"))
+    counts.join(totals, Seq("lang"))
+      .withColumn("surprisal",
+        surprisalOf((col("cnt") + 1).cast("double") / (col("tot") + col("vocab"))))
+      .withColumn("oov_surprisal",
+        surprisalOf(lit(1.0) / (col("tot") + col("vocab"))))
+      .select("lang", "word", "surprisal", "oov_surprisal")
+  }
+
+  /** Unigram model over a training corpus (convenience scan wrapper). */
+  def unigramModel(train: DataFrame, textCol: String,
+      langCol: String): DataFrame =
+    modelFromTokens(tokens(train, textCol, langCol, idCol = null))
+
+  /** Score a token frame (id, lang, word) against `model`: returns
+    * (id, lang, n_tok, cross_entropy) — mean per-token surprisal in nats,
+    * floor-truncated to 4 dp. Out-of-vocabulary tokens take the model's
+    * per-lang OOV surprisal; documents whose language has no model rows at
+    * all are dropped (no model ⇒ no score — filter upstream). Documents
+    * with zero tokens produce no row (nothing to score). */
+  def scoreTokens(tok: DataFrame, model: DataFrame): DataFrame = {
+    // per-lang OOV default: genuinely tiny (one row per language) —
+    // broadcast is ALWAYS right for this side
+    val oov = model.groupBy("lang").agg(max("oov_surprisal").as("_oov"))
+    tok
+      .join(model.select("lang", "word", "surprisal"), Seq("lang", "word"), "left")
+      .join(broadcast(oov), Seq("lang"))
+      .withColumn("_s", coalesce(col("surprisal"), col("_oov")))
+      .groupBy(col("id"), col("lang"))
+      .agg(count("*").as("n_tok"), sum("_s").as("_sum"))
+      // exact decimal sum → double once, then a single correctly-rounded
+      // division + truncation: bit-identical in every IEEE engine
+      .withColumn("cross_entropy",
+        floor(col("_sum").cast("double") / col("n_tok") * 10000.0) / 10000.0)
+      .select(col("id"), col("lang"), col("n_tok"), col("cross_entropy"))
+  }
+
+  /** Score each document of `docs` against a model built elsewhere (the
+    * CCNet arrangement trains on a trusted reference corpus and scores
+    * the crawl — `model` from [[unigramModel]] over a DIFFERENT frame). */
+  def scoreDocs(docs: DataFrame, model: DataFrame, textCol: String,
+      idCol: String, langCol: String): DataFrame =
+    scoreTokens(tokens(docs, textCol, langCol, idCol), model)
+
+  /** One-corpus arrangement: train the model on the `trusted` subset of
+    * `docs` and score ALL of `docs` against it (untrusted documents pay
+    * OOV surprisal for words the trusted slice never saw — exactly the
+    * signal the filter thresholds on). The corpus is tokenized ONCE:
+    * the token frame is localCheckpoint'd so the model branch and the
+    * scoring branch share one materialized scan instead of re-exploding
+    * the corpus per branch. */
+  def scoreAgainstSubset(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, trusted: Column): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("id"), col(langCol).as("lang"),
+        trusted.as("_trusted"), col(textCol))
+      .withColumn("word",
+        explode(filter(split(col(textCol), " "), w => length(w) > 0)))
+      .drop(textCol)
+      .localCheckpoint()
+    scoreTokens(tok.drop("_trusted"),
+      modelFromTokens(tok.filter(col("_trusted")).drop("id", "_trusted")))
+  }
+
+  /** Train-on-self scoring: model and scored corpus are the same frame. */
+  def selfScore(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String): DataFrame =
+    scoreAgainstSubset(docs, textCol, idCol, langCol, trusted = lit(true))
+
+  private def surprisalOf(p: Column): Column =
+    (floor(-log(p) * 10000.0) / 10000.0).cast("decimal(18,4)")
+}

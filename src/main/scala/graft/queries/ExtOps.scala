@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, LmScore, Multimodal, Similarity, TextAnalysis}
 
 /** Extension operators for large-scale training-data pipelines (north
   * star): dedup family, similarity search, text analysis, multimodal
@@ -574,6 +574,45 @@ object ExtOps {
                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<pii:ipv4>', 'g')) AS scrub_md5
             FROM s2 ORDER BY doc_id"""))
 
+  /** CCNet-style LM quality scoring: a per-language unigram LM is trained
+    * on the trusted two-thirds of the corpus (doc_id % 3 ≠ 0) and EVERY
+    * document is scored by mean per-token surprisal — held-out documents
+    * pay OOV surprisal for vocabulary the trusted slice never saw, which
+    * is exactly the signal CCNet thresholds on. Single corpus scan: the
+    * token frame is materialized once and feeds both the model build and
+    * the scoring join. */
+  val xLmQuality = OpQuery(
+    "x_lm_quality",
+    "unigram-LM cross-entropy per doc (CCNet quality signal), model from trusted subset",
+    (s, dir) =>
+      LmScore.scoreAgainstSubset(t(s, dir, "documents"),
+          "text", "doc_id", "lang", trusted = col("doc_id") % 3 =!= 0)
+        .orderBy("id"),
+    Some("""WITH tok AS (SELECT doc_id, lang,
+              unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word
+              FROM documents),
+            counts AS (SELECT lang, word, count(*) AS cnt FROM tok
+                       WHERE doc_id % 3 <> 0 GROUP BY lang, word),
+            totals AS (SELECT lang, sum(cnt) AS tot, count(*) AS vocab
+                       FROM counts GROUP BY lang),
+            model AS (SELECT counts.lang, word,
+                CAST(floor(-ln((cnt + 1.0) / (tot + vocab)) * 10000.0)
+                     / 10000.0 AS DECIMAL(18,4)) AS surprisal,
+                CAST(floor(-ln(1.0 / (tot + vocab)) * 10000.0)
+                     / 10000.0 AS DECIMAL(18,4)) AS oov
+              FROM counts JOIN totals ON totals.lang = counts.lang),
+            ml AS (SELECT lang, max(oov) AS oov FROM model GROUP BY lang),
+            scored AS (SELECT doc_id, tok.lang AS lang, count(*) AS n_tok,
+                sum(coalesce(m.surprisal, ml.oov)) AS s
+              FROM tok
+              LEFT JOIN model m ON m.lang = tok.lang AND m.word = tok.word
+              JOIN ml ON ml.lang = tok.lang
+              GROUP BY doc_id, tok.lang)
+            SELECT doc_id AS id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+              floor(CAST(s AS DOUBLE) / n_tok * 10000.0) / 10000.0
+                AS cross_entropy
+            FROM scored ORDER BY id"""))
+
   val xSampleStratified = OpQuery(
     "x_sample_stratified",
     "deterministic md5-threshold stratified sample (50% of 'en', 25% of the rest)",
@@ -685,5 +724,5 @@ object ExtOps {
     xAnnBruteforce, xAnnNative, xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xTextStats, xLangidNgram, xFingerprint, xWinnow,
     xApproxDistinct, xSampleStratified, xProfilePercentiles, xPackChunks,
-    xPiiScrub, xRepetition, xDecontaminate, xMultimodalFeatures)
+    xPiiScrub, xRepetition, xDecontaminate, xLmQuality, xMultimodalFeatures)
 }

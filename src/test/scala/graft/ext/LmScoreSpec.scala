@@ -1,0 +1,93 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM quality scoring (CCNet recipe): smoothing math, OOV
+  * fallback, unmodeled-language drop, and the single-scan contract of the
+  * one-corpus arrangement. */
+class LmScoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // train corpus: lang "en", tokens a a b → cnt(a)=2, cnt(b)=1,
+  // tot=3, vocab=2 → p(a)=3/5, p(b)=2/5, p(oov)=1/5
+  private lazy val train = Seq((1L, "en", "a a b")).toDF("doc_id", "lang", "text")
+  private lazy val model = LmScore.unigramModel(train, "text", "lang")
+
+  test("unigramModel: add-1 smoothed surprisals, floor-truncated to 4 dp") {
+    val m = model.select("word", "surprisal", "oov_surprisal")
+      .as[(String, BigDecimal, BigDecimal)].collect()
+      .map(r => r._1 -> (r._2.toDouble, r._3.toDouble)).toMap
+    assert(m("a")._1 == 0.5108) // -ln(3/5) = 0.51082...
+    assert(m("b")._1 == 0.9162) // -ln(2/5) = 0.91629...
+    assert(m("a")._2 == 1.6094) // -ln(1/5) = 1.60943...
+  }
+
+  test("scoreDocs: in-vocab words use model rows, OOV words the add-1 mass") {
+    val docs = Seq((10L, "en", "a b c"), (11L, "en", "a a a a"))
+      .toDF("doc_id", "lang", "text")
+    val s = LmScore.scoreDocs(docs, model, "text", "doc_id", "lang")
+      .select("id", "n_tok", "cross_entropy")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // (0.5108 + 0.9162 + 1.6094) / 3 = 1.01213... → 1.0121
+    assert(s(10L) == (3L, 1.0121))
+    assert(s(11L) == (4L, 0.5108)) // all in-vocab, uniform
+  }
+
+  test("scoreDocs drops unmodeled languages and zero-token documents") {
+    val docs = Seq((20L, "fr", "a b"), (21L, "en", "   "), (22L, "en", "b"))
+      .toDF("doc_id", "lang", "text")
+    val s = LmScore.scoreDocs(docs, model, "text", "doc_id", "lang")
+      .select("id").as[Long].collect().toSet
+    assert(s == Set(22L)) // no fr model; no tokens in 21
+  }
+
+  test("scoreAgainstSubset: untrusted-only vocabulary pays OOV surprisal") {
+    val docs = Seq(
+      (1L, "en", "a a b"),   // trusted (model = the toy model above)
+      (2L, "en", "c c c"))   // untrusted: c is OOV everywhere
+      .toDF("doc_id", "lang", "text")
+    val s = LmScore.scoreAgainstSubset(docs, "text", "doc_id", "lang",
+        trusted = col("doc_id") === 1)
+      .select("id", "cross_entropy").as[(Long, Double)].collect().toMap
+    assert(s(2L) == 1.6094) // every token at the oov surprisal
+    // trusted doc scores exactly as under the separately-built model
+    val ref = LmScore.scoreDocs(docs.filter("doc_id = 1"), model,
+      "text", "doc_id", "lang")
+      .select("id", "cross_entropy").as[(Long, Double)].collect().toMap
+    assert(s(1L) == ref(1L))
+  }
+
+  test("scoreAgainstSubset tokenizes the corpus exactly once (shared scan)") {
+    val docs = Seq((1L, "en", "a a b"), (2L, "en", "a b c"))
+      .toDF("doc_id", "lang", "text")
+    val plan = LmScore.scoreAgainstSubset(docs, "text", "doc_id", "lang",
+      trusted = col("doc_id") % 2 === 1).queryExecution.optimizedPlan
+    // no Generate (token explode) survives in the lazy plan — it ran once
+    // into the checkpointed token frame
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    assert(gens.isEmpty, gens.mkString("\n"))
+    // every leaf (scoring side, model counts, oov defaults) reads the SAME
+    // materialized token RDD
+    val leaves = plan.collectLeaves()
+    val rddIds = leaves.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id }
+    assert(rddIds.nonEmpty && rddIds.toSet.size == 1, s"leaf RDD ids: $rddIds")
+    assert(rddIds.size == leaves.size,
+      "non-checkpoint leaves: " + leaves.filterNot(
+        _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]))
+  }
+
+  test("selfScore equals scoring against the self-trained model") {
+    val docs = Seq((1L, "en", "a a b"), (2L, "en", "a b c"),
+      (3L, "de", "x y"), (4L, "de", "x x z z"))
+      .toDF("doc_id", "lang", "text")
+    val self = LmScore.selfScore(docs, "text", "doc_id", "lang")
+    val composed = LmScore.scoreDocs(docs,
+      LmScore.unigramModel(docs, "text", "lang"), "text", "doc_id", "lang")
+    assert(self.collect().toSet == composed.collect().toSet)
+    assert(self.count() == 4)
+  }
+}
