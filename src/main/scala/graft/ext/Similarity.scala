@@ -280,4 +280,31 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
   }
+
+  /** SemDedup (Abbas et al. 2023, public method): semantic deduplication
+    * over an embedding column. Documents whose embeddings are
+    * near-identical in cosine (templated rewrites, boilerplate variants —
+    * invisible to lexical MinHash) are grouped and all but one canonical
+    * representative is dropped. The composition is the dedup pipeline's
+    * tail on cosine edges: within-cluster near-dup pairs (the clustering
+    * IS the blocker — SemDedup only ever compares inside a cell, so
+    * cross-cluster duplicates are out of scope by design, same as the
+    * paper) → connected components → keep min-id per component.
+    *
+    * Scale: pair generation is linear in Σ cluster_size² through the
+    * salted PairBuckets path, the edge graph that reaches connected
+    * components is tiny (only pairs ABOVE the threshold survive), and
+    * components is the size-adaptive implementation shared with the
+    * lexical pipeline. Output: one row per input embedding —
+    * (idCol, component, cluster_size, is_kept). */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, threshold: Double): DataFrame = {
+    val edges = cosineNearDupPairs(embeddings, idCol, vecCol, clusterCol,
+      threshold).select("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(embeddings, idCol, edges)
+    val sizes = comps.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, Seq("component"))
+      .select(col("id").as(idCol), col("component"), col("cluster_size"),
+        (col("id") === col("component")).as("is_kept"))
+  }
 }

@@ -355,6 +355,50 @@ object ExtOps {
             SELECT doc_a, doc_b, CAST(cosine AS DOUBLE) AS cosine
             FROM scored WHERE cosine >= 0.35 ORDER BY doc_a, doc_b"""))
 
+  /** Semantic dedup over embeddings (SemDedup): cosine edges within label
+    * cells → connected components → canonical min-id keeper. The gated
+    * variant blocks on the synthetic `label` column so the whole
+    * composition is SQL-expressible; the kmeansAssign-blocked variant is
+    * the same code path with a computed cluster column (spec-covered,
+    * like x_ann_ivf_kmeans vs x_ann_ivf). */
+  val xSemDedup = OpQuery(
+    "x_semdedup",
+    "SemDedup: embedding-cosine edges (≥0.35) → components → canonical keep",
+    (s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", threshold = 0.35)
+        .withColumn("is_kept", col("is_kept").cast("long"))
+        .orderBy("vec_id"),
+    Some("""WITH RECURSIVE v AS (SELECT label, vec_id, unnest(embedding) AS x,
+                unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+            norms AS (SELECT vec_id AS id, sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nrm
+                      FROM v GROUP BY vec_id),
+            dots AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+              FROM v a JOIN v b ON a.label = b.label AND a.i = b.i
+                AND a.vec_id < b.vec_id
+              GROUP BY a.vec_id, b.vec_id),
+            verified AS (SELECT doc_a, doc_b
+              FROM dots JOIN norms na ON na.id = doc_a
+              JOIN norms nb ON nb.id = doc_b
+              WHERE floor(dot / (sqrt(na.nrm) * sqrt(nb.nrm)) * 1000000.0)
+                    / 1000000.0 >= 0.35),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+                      UNION SELECT doc_b, doc_a FROM verified),
+            reach(id, lab) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+            comp AS (SELECT id AS vec_id, min(lab) AS component
+                     FROM reach GROUP BY id),
+            cs AS (SELECT component, count(*) AS cluster_size
+                   FROM comp GROUP BY component)
+            SELECT comp.vec_id, CAST(comp.component AS BIGINT) AS component,
+                   CAST(cs.cluster_size AS BIGINT) AS cluster_size,
+                   CAST(comp.vec_id = comp.component AS BIGINT) AS is_kept
+            FROM comp JOIN cs USING (component)
+            ORDER BY vec_id"""))
+
   // ---------- text analysis ----------
 
   private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
@@ -722,7 +766,7 @@ object ExtOps {
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
     xSimhash, xNeardupJaccard3, xDedupComponents, xDedupPipeline,
     xAnnBruteforce, xAnnNative, xAnnIvf, xAnnIvfKmeans,
-    xCosineNeardup, xTextStats, xLangidNgram, xFingerprint, xWinnow,
+    xCosineNeardup, xSemDedup, xTextStats, xLangidNgram, xFingerprint, xWinnow,
     xApproxDistinct, xSampleStratified, xProfilePercentiles, xPackChunks,
     xPiiScrub, xRepetition, xDecontaminate, xLmQuality, xMultimodalFeatures)
 }

@@ -386,6 +386,50 @@ class ExtSpec extends SparkTestBase {
       s"probed scan read all $allFiles files")
   }
 
+  test("semantic dedup groups cosine-near embeddings, keeps min id") {
+    val e = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f), 0),
+      (11L, Array(2.0f, 0.0f, 0.0f), 0),   // same direction as 10 → cos 1.0
+      (12L, Array(0.96f, 0.28f, 0.0f), 0), // cos(10,12) = 0.96
+      (13L, Array(0.0f, 1.0f, 0.0f), 1),
+      (14L, Array(0.0f, 2.0f, 0.0f), 0))   // ∥ to 13 but in ANOTHER cell
+      .toDF("vec_id", "embedding", "label")
+    val d = Similarity.semanticDedup(e, "vec_id", "embedding", "label",
+        threshold = 0.95)
+      .select("vec_id", "component", "cluster_size", "is_kept")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(d.keySet == Set(10L, 11L, 12L, 13L, 14L)) // one row per input
+    // 10,11,12 merge transitively; canonical keeper = min id
+    assert(d(10L) == ((10L, 10L, 3L, true)))
+    assert(d(11L) == ((11L, 10L, 3L, false)))
+    assert(d(12L) == ((12L, 10L, 3L, false)))
+    // 14 is cosine-identical to 13 but blocked into a different cell:
+    // SemDedup only compares within a cell, so both survive as keepers
+    assert(d(13L)._4 && d(14L)._4)
+    assert(d(14L)._3 == 1L) // orthogonal to everything in its own cell
+  }
+
+  test("semantic dedup over k-means cells needs no synthetic label") {
+    // two duplicate bundles (same direction, different scales) interleaved
+    // by id so the deterministic seeds (two smallest ids) hit both bundles
+    val df = (0 until 6).map { i =>
+      val v = Array.fill(4)(0.0f)
+      v(i % 2) = 1.0f + i
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cells = Similarity.kmeansAssign(df, "vec_id", "embedding",
+        k = 2, iters = 3)
+      .withColumnRenamed("id", "vec_id")
+    val d = Similarity.semanticDedup(df.join(cells, Seq("vec_id")),
+        "vec_id", "embedding", "cluster", threshold = 0.99)
+      .select("vec_id", "component", "is_kept")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // evens collapse to keeper 0, odds to keeper 1 — found WITHOUT any
+    // precomputed label, purely from the trained quantizer's cells
+    for (i <- 0 until 6)
+      assert(d(i.toLong) == ((i.toLong, (i % 2).toLong, i < 2)), s"id $i: ${d(i.toLong)}")
+  }
+
   test("frame sampling slices exact byte windows at stride offsets") {
     val assets = Multimodal.toAssets(
       Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "doc_id", "text")
