@@ -47,4 +47,46 @@ object Sampling {
       .filter(col("_hx") < cutoff)
       .drop("_hx")
   }
+
+  /** Mixture rebalancing (the DoReMi/Pile-style domain-weights move, here
+    * as deterministic downsampling): keep per-domain fractions so the
+    * surviving corpus approaches the target mixture `weights`, discarding
+    * as little data as possible. The binding domain — the one whose
+    * observed share falls shortest of its target — is kept whole and
+    * every other domain is downsampled proportionally:
+    * scale = min_d(count_d / w_d), keep_d = scale·w_d / count_d.
+    * Domains with weight 0 (or absent from `weights`, via
+    * `defaultWeight`) are dropped entirely.
+    *
+    * Membership is content-addressed like everything in this file, so the
+    * realized subset is partition-layout-independent and auditable; keep
+    * fractions quantize to 1/256ths (cutoff 256 = keep all — the binding
+    * domain loses nothing). Scale shape: one per-domain count shuffle
+    * (map-side combined, key cardinality = |domains|), a few-row
+    * cutoff frame broadcast back over the corpus — no second scan, no
+    * global sort. Returns kept rows as (idCol, domain, cutoff). */
+  def domainMix(df: DataFrame, idCol: String, domainCol: Column,
+      weights: Map[String, Double], defaultWeight: Double = 0.0): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
+      "mixture weights must be non-negative")
+    require(weights.values.exists(_ > 0), "at least one positive weight")
+    val weighted = df.withColumn("domain", domainCol)
+    val wCol = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (d, w)) => when(col("domain") === d, lit(w)).otherwise(acc)
+    }
+    val counts = weighted.groupBy("domain").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_w", wCol)
+      .filter(col("_w") > 0)
+    val scale = counts.agg(min(col("_cnt") / col("_w")).as("_scale"))
+    val cutoffs = counts.crossJoin(broadcast(scale))
+      .withColumn("_keep_frac", col("_scale") * col("_w") / col("_cnt"))
+      .withColumn("cutoff",
+        greatest(lit(1), least(lit(256), floor(col("_keep_frac") * 256))).cast("int"))
+      .select("domain", "cutoff")
+    weighted.join(broadcast(cutoffs), Seq("domain"))
+      .filter(col("cutoff") === 256 ||
+        substring(md5(col(idCol).cast("string")), 1, 2) <
+          format_string("%02x", col("cutoff")))
+      .select(col(idCol), col("domain"), col("cutoff"))
+  }
 }

@@ -682,6 +682,43 @@ object ExtOps {
               (CASE WHEN stratum = 'en' THEN '80' ELSE '40' END)
             ORDER BY doc_id"""))
 
+  /** Mixture rebalancing toward target language weights (en-heavy corpus
+    * rebalanced toward a flatter mix): the binding domain keeps everything
+    * (cutoff 256) and the over-represented ones are deterministically
+    * downsampled. All float math is mirrored double-for-double in the
+    * oracle (weights forced to DOUBLE — DuckDB would otherwise divide
+    * through DECIMAL and drift). */
+  val xDomainMix = OpQuery(
+    "x_domain_mix",
+    "domain-mixture rebalancing: per-language keep fractions toward a target mix",
+    (s, dir) =>
+      graft.ext.Sampling.domainMix(t(s, dir, "documents"), "doc_id",
+          col("lang"), weights = Map("en" -> 0.4, "zh" -> 0.15,
+            "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))
+        .orderBy("doc_id"),
+    Some("""WITH counts AS (SELECT lang, count(*) AS cnt
+                            FROM documents GROUP BY lang),
+            cw AS (SELECT lang, cnt,
+                CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE)
+                     WHEN lang = 'zh' THEN CAST(0.15 AS DOUBLE)
+                     WHEN lang = 'es' THEN CAST(0.15 AS DOUBLE)
+                     WHEN lang = 'de' THEN CAST(0.15 AS DOUBLE)
+                     WHEN lang = 'fr' THEN CAST(0.15 AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END AS wt
+              FROM counts),
+            pos AS (SELECT * FROM cw WHERE wt > 0),
+            sc AS (SELECT min(cnt / wt) AS scale FROM pos),
+            cut AS (SELECT lang,
+                CAST(greatest(1, least(256, floor(scale * wt / cnt * 256)))
+                     AS INT) AS cutoff
+              FROM pos, sc)
+            SELECT d.doc_id, d.lang AS domain, cut.cutoff
+            FROM documents d JOIN cut ON cut.lang = d.lang
+            WHERE cut.cutoff = 256
+               OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+                  < printf('%02x', cut.cutoff)
+            ORDER BY d.doc_id"""))
+
   val xProfilePercentiles = OpQuery(
     "x_profile_percentiles",
     "exact disc percentiles (p50/p90/p99) of doc length and token count",
@@ -767,6 +804,7 @@ object ExtOps {
     xSimhash, xNeardupJaccard3, xDedupComponents, xDedupPipeline,
     xAnnBruteforce, xAnnNative, xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xSemDedup, xTextStats, xLangidNgram, xFingerprint, xWinnow,
-    xApproxDistinct, xSampleStratified, xProfilePercentiles, xPackChunks,
+    xApproxDistinct, xSampleStratified, xDomainMix, xProfilePercentiles,
+    xPackChunks,
     xPiiScrub, xRepetition, xDecontaminate, xLmQuality, xMultimodalFeatures)
 }

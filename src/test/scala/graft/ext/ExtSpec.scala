@@ -283,6 +283,36 @@ class ExtSpec extends SparkTestBase {
         (if (id % 2 == 0) 0x80 else 0x40)))
   }
 
+  test("domain mix keeps the binding domain whole and downsamples the rest") {
+    // A is 6x over-represented for a 50/50 target; C is unlisted (weight 0)
+    val df = ((0 until 600).map(i => (i.toLong, "A")) ++
+      (600 until 700).map(i => (i.toLong, "B")) ++
+      (700 until 720).map(i => (i.toLong, "C")))
+      .toDF("doc_id", "domain")
+    val kept = Sampling.domainMix(df, "doc_id", col("domain"),
+      weights = Map("A" -> 0.5, "B" -> 0.5))
+    val byDomain = kept.groupBy("domain")
+      .agg(count(lit(1)).as("n"), first("cutoff").as("cut"))
+      .as[(String, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // binding domain: scale = min(600/0.5, 100/0.5) = 200 → B keeps ALL
+    assert(byDomain("B") == ((100L, 256)))
+    // A keeps 1/6 → cutoff floor(256/6) = 42; membership content-addressed
+    assert(byDomain("A")._2 == 42)
+    val expectA = df.filter($"domain" === "A")
+      .filter(substring(md5($"doc_id".cast("string")), 1, 2) < lit("2a"))
+      .count()
+    assert(byDomain("A")._1 == expectA && expectA > 0 && expectA < 600)
+    assert(!byDomain.contains("C")) // zero-weight domains dropped entirely
+    // partition-layout independence: same subset at any parallelism
+    val again = Sampling.domainMix(df.repartition(13), "doc_id",
+      col("domain"), weights = Map("A" -> 0.5, "B" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.domainMix(df, "doc_id", col("domain"), weights = Map("A" -> 0.0))
+    }
+  }
+
   test("disc percentiles select real corpus values at exact ranks") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("n_chars", "ws_tokens")
     val pdf = Profiling.discPercentiles(df, Seq("n_chars", "ws_tokens"),
