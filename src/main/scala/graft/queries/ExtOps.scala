@@ -769,8 +769,9 @@ object ExtOps {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
                 AS start_offset
               FROM d)
-            SELECT doc_id, n_tokens, start_offset,
-                   start_offset // 512 AS pack_id
+            SELECT doc_id, n_tokens,
+                   CAST(start_offset AS BIGINT) AS start_offset,
+                   CAST(start_offset // 512 AS BIGINT) AS pack_id
             FROM c ORDER BY doc_id"""))
 
   // ---------- multimodal ----------

@@ -10,6 +10,44 @@ dtypes (loosely) and values row-by-row.
 import json, sys, glob
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def type_sig(t: pa.DataType):
+    """Normalize an arrow type to a (family, width...) signature.
+
+    Strict on the families the driver's hash is sensitive to (integer
+    width/signedness, float width, decimal vs integer — DuckDB's windowed
+    sum(BIGINT) yields HUGEINT/DECIMAL128 which must NOT equal int64),
+    lenient on representation details the driver's value hash ignores
+    (string vs large_string, timestamp tz/unit).
+    """
+    if pa.types.is_integer(t):
+        return ("int", t.bit_width, pa.types.is_signed_integer(t))
+    if pa.types.is_floating(t):
+        return ("float", t.bit_width)
+    if pa.types.is_decimal(t):
+        return ("decimal", t.precision, t.scale)
+    if pa.types.is_boolean(t):
+        return ("bool",)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ("string",)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return ("binary",)
+    if pa.types.is_date(t):
+        return ("date",)
+    if pa.types.is_timestamp(t):
+        return ("timestamp",)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", type_sig(t.value_type))
+    if pa.types.is_struct(t):
+        return ("struct", tuple((t.field(i).name, type_sig(t.field(i).type))
+                                for i in range(t.num_fields)))
+    if pa.types.is_map(t):
+        return ("map", type_sig(t.key_type), type_sig(t.item_type))
+    return ("other", str(t))
+
 
 out_dir, sf_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -21,19 +59,34 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = []
 for name, sql in sorted(oracle.items()):
     try:
-        spark_df = pd.read_parquet(glob.glob(f"{out_dir}/{name}/*.parquet")[0]
-                                   if glob.glob(f"{out_dir}/{name}/*.parquet")
-                                   else f"{out_dir}/{name}")
+        spark_path = (glob.glob(f"{out_dir}/{name}/*.parquet")[0]
+                      if glob.glob(f"{out_dir}/{name}/*.parquet")
+                      else f"{out_dir}/{name}")
+        spark_tbl = pq.read_table(spark_path)
+        spark_df = spark_tbl.to_pandas()
     except Exception as e:
         fails.append((name, f"spark result unreadable: {e}")); continue
     try:
-        duck_df = con.sql(sql).df()
+        duck_tbl = con.sql(sql).arrow()
+        duck_df = duck_tbl.to_pandas()
     except Exception as e:
         fails.append((name, f"oracle SQL failed: {e}")); continue
     a = spark_df[sorted(spark_df.columns)]
     b = duck_df[sorted(duck_df.columns)]
     if list(a.columns) != list(b.columns):
         fails.append((name, f"columns differ: {list(a.columns)} vs {list(b.columns)}")); continue
+    # driver hash-compares value ENCODINGS: an int64 Spark column vs a
+    # DuckDB HUGEINT/DECIMAL result differs even when values agree.
+    # Compare arrow-level type signatures before comparing values.
+    sig_bad = []
+    for c in a.columns:
+        sa = type_sig(spark_tbl.schema.field(c).type)
+        sb = type_sig(duck_tbl.schema.field(c).type)
+        if sa != sb:
+            sig_bad.append(f"col {c}: spark {sa} vs oracle {sb}")
+    if sig_bad:
+        fails.append((name, "dtype mismatch (driver hash would fail): "
+                      + "; ".join(sig_bad))); continue
     if len(a) != len(b):
         fails.append((name, f"row count differs: {len(a)} vs {len(b)}")); continue
     # driver hashes values; compare exactly, column by column
