@@ -23,14 +23,21 @@ object Sampling {
   /** Content-addressed keep predicate for a plain fraction: true iff the
     * row's md5(id) 2-hex prefix sorts below the fraction's cutoff. The
     * cutoff is clamped to at least "01" — rounding a small fraction to
-    * cutoff "00" would silently select NOTHING. Shared by ad-hoc samplers
-    * (e.g. the k-means sample-fit path) so the cutoff arithmetic and its
-    * guard live once. */
+    * cutoff "00" would silently select NOTHING — and a fraction rounding
+    * to cutoff 256 keeps EVERYTHING (a 2-hex prefix can never reach
+    * "100", so clamping down to "ff" would silently shed ~1/256 of the
+    * rows despite the (0, 1] domain). Shared by ad-hoc samplers (e.g.
+    * the k-means sample-fit path) so the cutoff arithmetic and its
+    * guards live once. */
   def keepFraction(idCol: Column, fraction: Double): Column = {
     require(fraction > 0.0 && fraction <= 1.0,
       s"fraction must be in (0, 1], got $fraction")
-    val cutoff = f"${math.min(255L, math.max(1L, math.round(fraction * 256)))}%02x"
-    substring(md5(idCol.cast("string")), 1, 2) < lit(cutoff)
+    val c = math.round(fraction * 256)
+    if (c >= 256) lit(true)
+    else {
+      val cutoff = f"${math.max(1L, c)}%02x"
+      substring(md5(idCol.cast("string")), 1, 2) < lit(cutoff)
+    }
   }
 
   /** Keep rows whose md5(id) 2-hex prefix sorts strictly below the cutoff
@@ -78,10 +85,19 @@ object Sampling {
       .withColumn("_w", wCol)
       .filter(col("_w") > 0)
     val scale = counts.agg(min(col("_cnt") / col("_w")).as("_scale"))
+    // The binding domain (argmin of cnt/w) is identified EXPLICITLY and
+    // forced to cutoff 256: recomputing its keep fraction as
+    // (min(cnt/w))·w/cnt can land a hair under 1.0 in doubles, flooring
+    // to cutoff 255 and shedding ~0.4% of the domain the contract says
+    // is kept whole. The equality test is exact — min() returns one of
+    // the cnt/w values, and this row recomputes the identical double op.
     val cutoffs = counts.crossJoin(broadcast(scale))
       .withColumn("_keep_frac", col("_scale") * col("_w") / col("_cnt"))
       .withColumn("cutoff",
-        greatest(lit(1), least(lit(256), floor(col("_keep_frac") * 256))).cast("int"))
+        when(col("_cnt") / col("_w") === col("_scale"), lit(256))
+          .otherwise(
+            greatest(lit(1), least(lit(256), floor(col("_keep_frac") * 256))))
+          .cast("int"))
       .select("domain", "cutoff")
     weighted.join(broadcast(cutoffs), Seq("domain"))
       .filter(col("cutoff") === 256 ||

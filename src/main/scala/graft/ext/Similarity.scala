@@ -184,7 +184,6 @@ object Similarity {
     * toward the lower cell id. */
   def kmeansAssign(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3, fitFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k > 0 && iters > 0)
     require(fitFraction > 0.0 && fitFraction <= 1.0,
       s"fitFraction must be in (0, 1], got $fitFraction")
@@ -207,12 +206,20 @@ object Similarity {
         if (sample.isEmpty) emb else sample
       }
     // deterministic seeds: the k smallest sampled ids' vectors, cells
-    // 0..k-1 (fewer than k sampled vectors → fewer cells, still valid)
-    var cents = fit.orderBy("id").limit(k)
-      .withColumn("cluster",
-        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
-      .select(col("cluster"),
-        expr("transform(e, x -> CAST(x AS DOUBLE))").as("c"))
+    // 0..k-1 (fewer than k sampled vectors → fewer cells, still valid).
+    // Numbered via the same zipWithIndex surrogate as the centroid index
+    // above — a row_number over Window.orderBy here would be a bounded
+    // (k-row) but partition-less WindowExec, and its WARN drowns the
+    // signal the bench tail watches for real single-partition windows.
+    val seedsSorted = fit.orderBy("id").limit(k)
+      .select(expr("transform(e, x -> CAST(x AS DOUBLE))").as("c"))
+    var cents = fit.sparkSession.createDataFrame(
+      seedsSorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(i.toInt, r.get(0)) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        seedsSorted.schema.fields.head.copy(name = "c"))))
     val scaledDot =
       "aggregate(zip_with(e, c, (x, y) -> CAST(x AS DOUBLE) * y), " +
         "CAST(0 AS DOUBLE), (a, x) -> a + x) / " +

@@ -709,8 +709,9 @@ object ExtOps {
             pos AS (SELECT * FROM cw WHERE wt > 0),
             sc AS (SELECT min(cnt / wt) AS scale FROM pos),
             cut AS (SELECT lang,
-                CAST(greatest(1, least(256, floor(scale * wt / cnt * 256)))
-                     AS INT) AS cutoff
+                CAST(CASE WHEN cnt / wt = scale THEN 256
+                     ELSE greatest(1, least(256, floor(scale * wt / cnt * 256)))
+                     END AS INT) AS cutoff
               FROM pos, sc)
             SELECT d.doc_id, d.lang AS domain, cut.cutoff
             FROM documents d JOIN cut ON cut.lang = d.lang
