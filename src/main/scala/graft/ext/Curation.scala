@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation pipeline — the flagship composition the ext
+  * family exists for: turn a raw crawl into a training-ready, packed
+  * corpus in one call. Stage order is the standard public recipe
+  * (C4/Gopher filters → CCNet LM filter → scrub → near-dup dedup →
+  * benchmark decontamination → mixture rebalancing → sequence packing):
+  *
+  *   1. quality signals (stopword/length heuristics) and repetition
+  *      signals — zero-shuffle column expressions, each family computed
+  *      on its own scan branch and narrowed to (id, signal) before the
+  *      join (see the inline note on why they must not be fused);
+  *   2. unigram-LM cross-entropy vs a trusted subset (CCNet) — the token
+  *      explode is materialized once inside [[LmScore.scoreAgainstSubset]]
+  *      and feeds both the model build and the scoring join;
+  *   3. joint filter (quality ≥ qMin, dup-2-gram ≤ dupMax, CE ≤ ceMax),
+  *      then PII scrub of the survivors (codegen'd regex chain);
+  *      survivors are locally checkpointed — every later stage reads the
+  *      materialized frame, so the signal/LM/filter chain runs ONCE;
+  *   4. MinHash → LSH → Jaccard-verified dedup → connected components →
+  *      canonical min-id keeper ([[Dedup.dedupCorpus]]; one checkpointed
+  *      3-shingle frame feeds signatures and verification);
+  *   5. benchmark decontamination: winnowing fingerprints over the
+  *      PRE-dedup survivor set (one fps pass serves both sides — and a
+  *      benchmark doc deduplicated away must still contaminate its
+  *      surviving near-twin, so the bench side is deliberately the
+  *      pre-dedup frame), bench = ids ≡ 0 (mod benchMod); a doc is
+  *      contaminated when ≥ minSharedPct% of its OWN fingerprints appear
+  *      in the bench set (fraction, not any-overlap: one shared 16-char
+  *      run is pervasive on template-heavy corpora — the standard
+  *      contaminated-ngram-fraction rule); bench docs and contaminated
+  *      docs are dropped from the training set;
+  *   6. domain-mixture rebalancing toward target language weights
+  *      ([[Sampling.domainMix]] — content-addressed, binding domain kept
+  *      whole);
+  *   7. concat-and-chunk sequence packing over the final survivors'
+  *      scrubbed-token counts ([[Packing.concatChunkPacks]] — distributed
+  *      prefix sum, never a single-task window).
+  *
+  * Scale shape: the pipeline inherits each stage's proven shape — the
+  * corpus-width scans (signals, scrub, fingerprints) are map-only; the
+  * shuffles are vocabulary-, shingle-, band-, and domain-keyed (never a
+  * cartesian product); the only driver-side data is the sub-cap component
+  * graph and the per-domain cutoff frame. Filters run BEFORE dedup on
+  * purpose: at 100 TB the quality/LM gates drop a large corpus fraction
+  * with map-only work, so the pairwise machinery sees only survivors.
+  *
+  * Output: one row per training document —
+  * (doc_id, domain, quality, cross_entropy, n_tokens, start_offset,
+  * pack_id), deterministic and fully SQL-expressible (the x_curation_e2e
+  * oracle restates every stage as a chained CTE).
+  */
+object Curation {
+
+  /** Curate `docs` end to end. `idCol` must be unique LONG ids (packing
+    * order + dedup canonical keeper are id-based). Output id column is
+    * always named `doc_id`. */
+  def curate(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, nCharsCol: String,
+      qualityMin: Double, dupFracMax: Double, ceMax: Double,
+      benchMod: Int, weights: Map[String, Double],
+      packBudget: Long, minSharedPct: Int = 20): DataFrame = {
+    require(benchMod > 1, s"benchMod must be > 1, got $benchMod")
+    require(minSharedPct >= 1 && minSharedPct <= 100,
+      s"minSharedPct must be in [1, 100], got $minSharedPct")
+
+    // 1. per-document signals — each family on its OWN branch, narrowed
+    // to (id, signal) and materialized. Deliberately NOT stacked into one
+    // projection: quality and repetition are pyramids of interpreted
+    // higher-order functions (filter/transform over split(text)), and
+    // stacking them lets CollapseProject + predicate pushdown inline each
+    // referenced column's whole tree into every reference — the combined
+    // expression re-evaluates split(text) multiplicatively (measured:
+    // 0.5s + 0.8s as separate branches, minutes fused). The checkpoint is
+    // a barrier: the joint filter below compares materialized doubles.
+    val qSig = TextAnalysis.qualityScore(docs, textCol, nCharsCol)
+      .select(col(idCol).as("doc_id"), col("quality"))
+      .localCheckpoint()
+    val rSig = TextAnalysis.repetitionSignals(
+        docs.select(col(idCol).as("doc_id"), col(textCol)), textCol)
+      .select(col("doc_id"), col("dup_2gram_frac"))
+      .localCheckpoint()
+
+    // 2. CCNet LM scoring, model from the trusted subset (ids ≢ 0 mod 3)
+    val lm = LmScore.scoreAgainstSubset(docs, textCol, idCol, langCol,
+        trusted = col(idCol) % 3 =!= 0)
+      .select(col("id").as("doc_id"), col("cross_entropy"))
+
+    // 3. joint filter + PII scrub; materialize the survivors once
+    val kept = docs
+      .select(col(idCol).as("doc_id"), col(langCol).as("domain"),
+        col(textCol))
+      .join(qSig, Seq("doc_id")).join(rSig, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .filter(col("quality") >= qualityMin &&
+        col("dup_2gram_frac") <= dupFracMax &&
+        col("cross_entropy") <= ceMax)
+    val survivors = TextAnalysis.scrubPii(kept, textCol)
+      .select(col("doc_id"), col("domain"), col("quality"),
+        col("cross_entropy"), col("scrubbed"))
+      .localCheckpoint()
+
+    // 4. near-dup dedup over the scrubbed survivors; keep canonical docs
+    val keepers = Dedup.dedupCorpus(survivors, "scrubbed", "doc_id",
+        k = 8, bands = 2, threshold = 0.5)
+      .filter(col("is_kept")).select("doc_id")
+
+    // 5. decontamination: fps over the PRE-dedup survivors (see scaladoc);
+    // integer-exact fraction test — n_shared·100 ≥ n_fps·pct
+    val contaminated = TextAnalysis.contaminationWithinStats(survivors,
+        "scrubbed", "doc_id", isBench = col("doc_id") % benchMod === 0)
+      .filter(col("n_shared_fps") * 100 >= col("n_fps") * minSharedPct)
+      .select("doc_id")
+
+    val clean = survivors
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % benchMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 6. mixture rebalancing by domain (content-addressed membership)
+    val mixed = clean.join(
+      Sampling.domainMix(clean, "doc_id", col("domain"), weights)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    // 7. pack what survives, in id order, by scrubbed-token count
+    val withTok = mixed.withColumn("n_tokens",
+      size(filter(split(col("scrubbed"), " "), w => length(w) > 0))
+        .cast("long"))
+    Packing.concatChunkPacks(withTok, "doc_id", "n_tokens", packBudget)
+      .join(withTok.select("doc_id", "domain", "quality", "cross_entropy"),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("domain"), col("quality"),
+        col("cross_entropy"), col("n_tokens"), col("start_offset"),
+        col("pack_id"))
+  }
+}

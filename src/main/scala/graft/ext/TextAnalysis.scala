@@ -208,6 +208,22 @@ object TextAnalysis {
     contaminationOnFps(fps, fps.filter(isBench), idCol)
   }
 
+  /** [[contaminationWithin]] plus each contaminated doc's own fingerprint
+    * count (`n_fps`), so callers can threshold on the OVERLAP FRACTION
+    * n_shared_fps / n_fps instead of "any shared fingerprint" — on a
+    * template-heavy corpus a single shared 16-char run is pervasive, and
+    * real decontamination recipes flag by contaminated-ngram fraction.
+    * Same single fingerprint pass (the totals aggregate reads the
+    * checkpointed fps frame). */
+  def contaminationWithinStats(corpus: DataFrame, textCol: String,
+      idCol: String, isBench: org.apache.spark.sql.Column,
+      k: Int = 16, w: Int = 4): DataFrame = {
+    val fps = winnowFingerprints(corpus, textCol, idCol, k, w).localCheckpoint()
+    val totals = fps.groupBy(col(idCol)).agg(count(lit(1)).as("n_fps"))
+    contaminationOnFps(fps, fps.filter(isBench), idCol)
+      .join(totals, Seq(idCol))
+  }
+
   private def contaminationOnFps(cf: DataFrame, bench: DataFrame,
       idCol: String): DataFrame = {
     // fresh aliases on the bench side: in the within-corpus path both
