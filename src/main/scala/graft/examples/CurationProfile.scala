@@ -3,6 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{Curation, Dedup, LmScore, Packing, Sampling, TextAnalysis}
+import graft.core.Materialize._
 
 /** Stage-by-stage wall-clock profile of the curation pipeline — a
   * measurement harness (like TopKBench), not product code. Each stage is
@@ -34,11 +35,11 @@ object CurationProfile {
 
     val qSig = time("quality checkpoint")(
       TextAnalysis.qualityScore(docs, "text", "n_chars")
-        .select(col("doc_id"), col("quality")).localCheckpoint())
+        .select(col("doc_id"), col("quality")).staged)
     val rSig = time("repetition checkpoint")(
       TextAnalysis.repetitionSignals(
         docs.select(col("doc_id"), col("text")), "text")
-        .select(col("doc_id"), col("dup_2gram_frac")).localCheckpoint())
+        .select(col("doc_id"), col("dup_2gram_frac")).staged)
 
     val lm = LmScore.scoreAgainstSubset(docs, "text", "doc_id", "lang",
         trusted = col("doc_id") % 3 =!= 0)
@@ -56,7 +57,7 @@ object CurationProfile {
       TextAnalysis.scrubPii(kept, "text")
         .select(col("doc_id"), col("domain"),
           col("quality"), col("cross_entropy"), col("scrubbed"))
-        .localCheckpoint())
+        .staged)
 
     val keepers = time("dedup build+cc")(
       Dedup.dedupCorpus(survivors, "scrubbed", "doc_id",
@@ -84,9 +85,10 @@ object CurationProfile {
       Seq("doc_id"), "left_semi")
     time("mix force")(force(mixed))
 
-    val withTok = mixed.withColumn("n_tokens",
-      size(filter(split(col("scrubbed"), " "), w => length(w) > 0))
-        .cast("long"))
+    val withTok = time("withTok stage")(
+      stage(mixed.withColumn("n_tokens",
+        size(filter(split(col("scrubbed"), " "), w => length(w) > 0))
+          .cast("long"))))
     val packed = time("pack build")(
       Packing.concatChunkPacks(withTok, "doc_id", "n_tokens", 512)
         .join(withTok.select("doc_id", "domain", "quality", "cross_entropy"),

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Materialize._
 
 /** The end-to-end curation pipeline — the flagship composition the ext
   * family exists for: turn a raw crawl into a training-ready, packed
@@ -78,11 +79,11 @@ object Curation {
     // a barrier: the joint filter below compares materialized doubles.
     val qSig = TextAnalysis.qualityScore(docs, textCol, nCharsCol)
       .select(col(idCol).as("doc_id"), col("quality"))
-      .localCheckpoint()
+      .staged
     val rSig = TextAnalysis.repetitionSignals(
         docs.select(col(idCol).as("doc_id"), col(textCol)), textCol)
       .select(col("doc_id"), col("dup_2gram_frac"))
-      .localCheckpoint()
+      .staged
 
     // 2. CCNet LM scoring, model from the trusted subset (ids ≢ 0 mod 3)
     val lm = LmScore.scoreAgainstSubset(docs, textCol, idCol, langCol,
@@ -101,7 +102,7 @@ object Curation {
     val survivors = TextAnalysis.scrubPii(kept, textCol)
       .select(col("doc_id"), col("domain"), col("quality"),
         col("cross_entropy"), col("scrubbed"))
-      .localCheckpoint()
+      .staged
 
     // 4. near-dup dedup over the scrubbed survivors; keep canonical docs
     val keepers = Dedup.dedupCorpus(survivors, "scrubbed", "doc_id",
@@ -126,10 +127,15 @@ object Curation {
         .select("doc_id"),
       Seq("doc_id"), "left_semi")
 
-    // 7. pack what survives, in id order, by scrubbed-token count
-    val withTok = mixed.withColumn("n_tokens",
+    // 7. pack what survives, in id order, by scrubbed-token count.
+    // withTok is staged because it is read TWICE below (pack assignment +
+    // the final metadata join) and its lineage re-runs the whole
+    // clean/mix tail — un-staged, both references re-execute the
+    // dedup-semi-join/decontamination/mix chain (measured ~2.7× the sum
+    // of the stage costs on the composed query).
+    val withTok = stage(mixed.withColumn("n_tokens",
       size(filter(split(col("scrubbed"), " "), w => length(w) > 0))
-        .cast("long"))
+        .cast("long")))
     Packing.concatChunkPacks(withTok, "doc_id", "n_tokens", packBudget)
       .join(withTok.select("doc_id", "domain", "quality", "cross_entropy"),
         Seq("doc_id"))

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Materialize._
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -118,7 +119,7 @@ object Dedup {
     // (sizes + both sides of the intersection join), and without a
     // checkpoint each branch re-runs the dominant shingle explode
     jaccardOnTokens(
-      shingleTokens(docs, textCol, idCol, ngram).localCheckpoint(),
+      shingleTokens(docs, textCol, idCol, ngram).staged,
       cand, threshold)
 
   /** Jaccard verification from an existing (id, word) token frame — the
@@ -161,9 +162,9 @@ object Dedup {
   def lshVerifiedPairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, bands: Int = 2, threshold: Double = 0.5,
       ngram: Int = 3): DataFrame = {
-    val tok3 = shingleTokens(docs, textCol, idCol, 3).localCheckpoint()
+    val tok3 = shingleTokens(docs, textCol, idCol, 3).staged
     val vTok = if (ngram == 3) tok3
-      else shingleTokens(docs, textCol, idCol, ngram).localCheckpoint()
+      else shingleTokens(docs, textCol, idCol, ngram).staged
     val cand = lshCandidatePairs(
       minhashFromTokens(tok3, k).withColumnRenamed("id", idCol),
       idCol, k, bands)
@@ -262,17 +263,14 @@ object Dedup {
     // near-dup subgraph (≪ corpus at scale — most documents pair with
     // nothing), not the full node set. Singletons rejoin at the end.
     //
-    // localCheckpoint (not persist) per round is load-bearing: persist
-    // caches DATA but the logical plan still nests, and with `labels`
-    // referenced twice per round the plan DOUBLES every iteration —
-    // exponential tree growth that OOMs plan stringification after ~8
-    // rounds. Checkpointing truncates the lineage so every round's plan
-    // has constant depth. (On a cluster with executor loss, swap for
-    // reliable checkpoint(); same shape.)
+    // staging (not persist) per round is load-bearing: with `labels`
+    // referenced twice per round an un-truncated plan DOUBLES every
+    // iteration — see graft.core.Materialize for the full persist-vs-
+    // checkpoint rationale and the cluster-scale caveat.
     val paired = edges.select(col("src").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = paired.withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .staged
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -295,7 +293,7 @@ object Dedup {
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("component"),
           coalesce(col("nbr") < col("component"), lit(false)).as("_changed"))
-        .localCheckpoint(true)
+        .staged
       converged = next.filter(col("_changed")).isEmpty
       labels = next.drop("_changed")
     }

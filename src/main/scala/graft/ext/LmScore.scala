@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Materialize._
 
 /** Language-model quality scoring for corpus curation (the CCNet recipe,
   * Wenzek et al. 2020 — public method): score every document by its mean
@@ -116,7 +117,7 @@ object LmScore {
       .withColumn("word",
         explode(filter(split(col(textCol), " "), w => length(w) > 0)))
       .drop(textCol)
-      .localCheckpoint()
+      .staged
     scoreTokens(tok.drop("_trusted"),
       modelFromTokens(tok.filter(col("_trusted")).drop("id", "_trusted")))
   }

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Materialize._
 
 /** Distributed running totals without a single-task window.
   *
@@ -30,7 +31,7 @@ object PrefixSum {
     val parted = df
       .repartitionByRange(rangeCols: _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+      .staged
     val wPart = Window
       .partitionBy(("_pid" +: partCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)

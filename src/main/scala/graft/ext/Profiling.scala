@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Materialize._
 
 /** Corpus profiling: exact discrete percentiles of per-document metrics
   * (lengths, token counts) — the numbers that size sequence-length
@@ -41,7 +42,7 @@ object Profiling {
     // filter) — materialize it (it is distinct-value-sized, tiny) so the
     // window/offset subtree runs once, not once per consumer
     val cum = PrefixSum.runningTotal(counts, Seq("metric"), Seq("v"),
-      "cnt", "cum").localCheckpoint()
+      "cnt", "cum").staged
     // per-metric totals = the last running total (no corpus re-aggregation)
     val totals = cum.groupBy("metric").agg(max("cum").as("n"))
     cum.join(broadcast(totals), Seq("metric"))

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Materialize._
 
 /** Similarity search over an embedding column (Array[Float]).
   *
@@ -199,7 +200,7 @@ object Similarity {
       else {
         val sample = emb.filter(Sampling.keepFraction(col("id"), fitFraction))
           // the sample is re-read every training round — materialize once
-          .localCheckpoint(true)
+          .staged
         // an unlucky tiny sample on a tiny corpus must not collapse the
         // quantizer to zero cells (empty seeds → empty assignment → the
         // whole corpus silently dropped): train on everything instead
@@ -241,7 +242,7 @@ object Similarity {
         .select(col("id"),
           coalesce(col("tk.items")(0).getField("id").cast("int"), lit(0))
             .as("cluster"))
-        .localCheckpoint(true)
+        .staged
     }
     // train: iters-1 centroid updates over the fit sample...
     for (_ <- 1 until iters) {

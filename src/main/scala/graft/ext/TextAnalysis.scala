@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Materialize._
 
 /** Text analysis operators: language-ID, quality scoring, token counting,
   * document fingerprinting. All pure column expressions (codegen'd,
@@ -204,7 +205,7 @@ object TextAnalysis {
     * re-winnowing the benchmark rows a second time. */
   def contaminationWithin(corpus: DataFrame, textCol: String, idCol: String,
       isBench: org.apache.spark.sql.Column, k: Int = 16, w: Int = 4): DataFrame = {
-    val fps = winnowFingerprints(corpus, textCol, idCol, k, w).localCheckpoint()
+    val fps = winnowFingerprints(corpus, textCol, idCol, k, w).staged
     contaminationOnFps(fps, fps.filter(isBench), idCol)
   }
 
@@ -218,7 +219,7 @@ object TextAnalysis {
   def contaminationWithinStats(corpus: DataFrame, textCol: String,
       idCol: String, isBench: org.apache.spark.sql.Column,
       k: Int = 16, w: Int = 4): DataFrame = {
-    val fps = winnowFingerprints(corpus, textCol, idCol, k, w).localCheckpoint()
+    val fps = winnowFingerprints(corpus, textCol, idCol, k, w).staged
     val totals = fps.groupBy(col(idCol)).agg(count(lit(1)).as("n_fps"))
     contaminationOnFps(fps, fps.filter(isBench), idCol)
       .join(totals, Seq(idCol))
