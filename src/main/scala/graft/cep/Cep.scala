@@ -27,12 +27,16 @@ package graft.cep
   *
   * The matcher core ([[Matcher]]) is a pure fold over one key's
   * time-sorted events — no Spark types — so the algebra is unit- and
-  * property-testable (CepSpec proves it reproduces Bounce.advance
-  * event-for-event on random inputs). Batch execution runs it per key via
+  * property-testable: CepSpec replays random event streams through the
+  * bounce pattern and checks the emitted set against Bounce.advance,
+  * plus split-associativity and match/timeout exclusivity. Within one
+  * event, completions/timeouts emit in run-START order (the active list
+  * is kept in start order). Batch execution runs the fold per key via
   * `groupByKey(...).flatMapSortedGroups(...)` (secondary sort in the
   * shuffle — no per-group driver collect, state bounded by the runs open
-  * inside one window); streaming execution can hold `Run`s in a
-  * flatMapGroupsWithState the same way Bounce does.
+  * inside one window) — the registry query `c2_cep_generic` is that
+  * wiring, sharing c1_bounce_detect's DuckDB oracle; streaming execution
+  * can hold `Run`s in a flatMapGroupsWithState the same way Bounce does.
   */
 final case class Stage[E](name: String, pred: E => Boolean,
     strict: Boolean) extends Serializable
@@ -101,10 +105,14 @@ object Matcher {
         } else if (st.strict) Nil // strict contiguity broken
         else List(r)              // relaxed: skip this event
       }
-      // (3) NO_SKIP: every stage-0 match opens an independent run
+      // (3) NO_SKIP: every stage-0 match opens an independent run.
+      // APPENDED, not prepended: the active list stays in run-start order,
+      // so runs completing or timing out at the same event emit oldest-
+      // run-first — the documented within-event tiebreak. Runs open at
+      // once are bounded by the within-window, so the append is cheap.
       if (pat.stages.head.pred(e)) {
         if (pat.stages.size == 1) matches += Vector(e)
-        else active = Run(ts, Vector(e), 1) :: active
+        else active = active :+ Run(ts, Vector(e), 1)
       }
     }
     Result(matches.toSeq, timeouts.toSeq, active)

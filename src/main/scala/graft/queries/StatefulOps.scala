@@ -94,5 +94,63 @@ object StatefulOps {
               AND (next_us IS NULL OR next_us - us >= 10000000)
             ORDER BY event_id"""))
 
-  val all: Seq[OpQuery] = Seq(a5UvDedup, a6IsNewRepair, c1BounceDetect)
+  /** One event of the CEP batch fold; `entry` is annotated inside the
+    * sorted group (gap > 30s from the previous event, or first ever). */
+  case class CepEv(event_id: Long, user_id: Long, us: Long,
+      entry: Boolean, visit_time: String)
+
+  /** C2-generic — the SAME bounce semantics as [[c1BounceDetect]], but
+    * executed through the reusable graft.cep pattern API
+    * (`Pattern.begin(entry).next(entry).within(10s)` — the reference's
+    * flink-cep pattern shape, RT/app/dwm/UserJumpDetailApp.java:77-89)
+    * instead of the window-function analog. Matches AND timeouts both
+    * emit the pattern's first event (a bounce either way), exactly the
+    * two unioned branches of the reference. Shares c1's DuckDB oracle, so
+    * the generic Matcher is gated against the same truth.
+    *
+    * Scale shape: ONE shuffle — `groupByKey(user).flatMapSortedGroups`
+    * sorts each group in the shuffle (secondary sort, no driver collect),
+    * the entry flag is annotated streamingly from the previous event's
+    * timestamp, and Matcher's state is bounded by the runs open inside
+    * one 10s window (here ≤1, since entries are ≥30s apart). */
+  val c2CepGeneric = OpQuery(
+    "c2_cep_generic",
+    "bounce detection via the generic CEP Pattern/Matcher API (c1's oracle)",
+    (s, dir) => {
+      import s.implicits._
+      import graft.cep.{Matcher, Pattern}
+      val pat = Pattern.begin[CepEv]("entry", _.entry)
+        .next("reentry", _.entry).within(10000000L) // µs
+      val evs = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), lit(false).as("entry"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("visit_time"))
+        .as[CepEv]
+      evs.groupByKey(_.user_id)
+        .flatMapSortedGroups($"us", $"event_id") { (_: Long, it: Iterator[CepEv]) =>
+          var prevUs = Long.MinValue
+          val annotated = it.map { e =>
+            val isEntry = prevUs == Long.MinValue || e.us - prevUs > 30000000L
+            prevUs = e.us
+            (e.us, e.copy(entry = isEntry))
+          }
+          val (matches, timeouts) = Matcher.foldAll(pat, annotated)
+          (matches ++ timeouts).map(_.head)
+        }
+        .toDF()
+        .select(col("event_id"), col("user_id"), col("visit_time"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+            strftime(ts, '%Y-%m-%d %H:%M:%S') AS visit_time
+            FROM (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+                    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+                    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+                  FROM events)
+            WHERE (prev_us IS NULL OR us - prev_us > 30000000)
+              AND (next_us IS NULL OR next_us - us >= 10000000)
+            ORDER BY event_id"""))
+
+  val all: Seq[OpQuery] =
+    Seq(a5UvDedup, a6IsNewRepair, c1BounceDetect, c2CepGeneric)
 }
