@@ -56,6 +56,47 @@ import graft.core.Materialize._
   */
 object Curation {
 
+  /** The GATE stages of [[curate]] (1-3: quality/repetition signals, LM
+    * scoring, joint filter, PII scrub) against a PRE-FIT language model —
+    * the incremental path. Every stage here is map-only over `docs` plus
+    * a vocabulary-keyed join to `model`, so the gate can run per
+    * micro-batch in a checkpointed foreachBatch topology (the standard
+    * lambda shape for corpus curation: gates stream, the pairwise
+    * dedup/mix/pack tail stays batch over gated output). Scoring docs
+    * that arrive incrementally against one frozen model is exactly the
+    * CCNet arrangement ([[LmScore.scoreDocs]]).
+    *
+    * [[curate]] inlines these stages instead of calling this: its
+    * one-corpus model is fit on a trusted subset of the SAME frame, and
+    * the inline form shares one staged token scan between model build and
+    * scoring — an optimization only the all-at-once batch path can make.
+    * Output values are identical when `model` is fit the same way
+    * (gated by st_curation_gate_stream's oracle + CurationGateStreamSpec).
+    *
+    * Output: (doc_id, domain, quality, cross_entropy, scrubbed). */
+  def gate(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, nCharsCol: String, model: DataFrame,
+      qualityMin: Double, dupFracMax: Double, ceMax: Double): DataFrame = {
+    val qSig = TextAnalysis.qualityScore(docs, textCol, nCharsCol)
+      .select(col(idCol).as("doc_id"), col("quality"))
+    val rSig = TextAnalysis.repetitionSignals(
+        docs.select(col(idCol).as("doc_id"), col(textCol)), textCol)
+      .select(col("doc_id"), col("dup_2gram_frac"))
+    val lm = LmScore.scoreDocs(docs, model, textCol, idCol, langCol)
+      .select(col("id").as("doc_id"), col("cross_entropy"))
+    val kept = docs
+      .select(col(idCol).as("doc_id"), col(langCol).as("domain"),
+        col(textCol))
+      .join(qSig, Seq("doc_id")).join(rSig, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .filter(col("quality") >= qualityMin &&
+        col("dup_2gram_frac") <= dupFracMax &&
+        col("cross_entropy") <= ceMax)
+    TextAnalysis.scrubPii(kept, textCol)
+      .select(col("doc_id"), col("domain"), col("quality"),
+        col("cross_entropy"), col("scrubbed"))
+  }
+
   /** Curate `docs` end to end. `idCol` must be unique LONG ids (packing
     * order + dedup canonical keeper are id-based). Output id column is
     * always named `doc_id`. */

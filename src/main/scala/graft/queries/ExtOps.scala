@@ -982,6 +982,107 @@ object ExtOps {
                    CAST(so // 512 AS BIGINT) AS pack_id
             FROM packed ORDER BY doc_id"""))
 
+  /** The curation gate run INCREMENTALLY — the reference is a *streaming*
+    * warehouse, and this is the lambda shape a streaming corpus pipeline
+    * takes: the map-only gate stages (quality/repetition signals, CCNet
+    * LM scoring against a model FROZEN before the stream starts, joint
+    * filter, PII scrub) run per micro-batch inside a checkpointed
+    * foreachBatch topology (graft.streaming.Runner.toBatchSink), appending
+    * gated documents to a parquet sink; the pairwise dedup/mix/pack tail
+    * of [[graft.ext.Curation.curate]] stays batch over the gated output.
+    * The oracle is the batch gate restated as SQL (the kept1 prefix of
+    * x_curation_e2e's CTE chain) — hash equality proves the incremental
+    * path computes exactly the batch gate. Restart/exactly-once behavior
+    * is spec-gated (CurationGateStreamSpec: a restarted query re-emits
+    * nothing; late files are gated exactly once). */
+  val stCurationGate = OpQuery(
+    "st_curation_gate_stream",
+    "streaming curation gate: per-micro-batch quality/LM filter + scrub via checkpointed foreachBatch",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      // CCNet arrangement: the LM is fit (batch) on the trusted corpus
+      // subset BEFORE the stream starts — identical fit to curate()'s —
+      // then every arriving micro-batch is scored against the frozen model
+      val model = LmScore.unigramModel(
+        t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0), "text", "lang")
+      val scratch = graft.core.Scratch.tempDir("graft_curation_gate_")
+      val out = s"$scratch/out"; val ck = s"$scratch/ckpt"
+      val stream = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.Runner.toBatchSink(stream, ck) { (batch, _) =>
+        graft.ext.Curation.gate(batch, "text", "doc_id", "lang", "n_chars",
+            model, qualityMin = 0.45, dupFracMax = 0.1, ceMax = 3.45)
+          .withColumn("scrubbed_md5", md5(col("scrubbed"))).drop("scrubbed")
+          .write.mode("append").parquet(out)
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .select(col("doc_id"), col("domain"), col("quality"),
+          col("cross_entropy").cast("double").as("cross_entropy"),
+          col("scrubbed_md5"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH
+            base AS (SELECT doc_id, lang, n_chars, text FROM documents),
+            tw AS (SELECT doc_id, lang, n_chars, text,
+                list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+              FROM base),
+            sig0 AS (SELECT doc_id, lang, n_chars, text,
+                CAST(len(w) AS BIGINT) AS n_tok,
+                CAST(len(list_filter(w, x -> x IN ($stopList))) AS BIGINT) AS n_stop,
+                CASE WHEN len(w) < 2 THEN []
+                     ELSE list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i + 1]) END AS g2
+              FROM tw),
+            qsig AS (SELECT doc_id, lang, text,
+                CAST(floor((
+                  least(n_tok / 100.0, 1.0) * 0.5 +
+                  (1.0 - floor(CAST(n_stop AS DOUBLE) / n_tok * 10000.0) / 10000.0) * 0.3 +
+                  least(floor(CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok * 10000.0)
+                        / 10000.0 / 10.0, 1.0) * 0.2
+                  ) * 10000.0) / 10000.0 AS DOUBLE) AS quality,
+                CASE WHEN len(g2) = 0 THEN 0.0
+                     ELSE floor((1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2))
+                          * 10000.0) / 10000.0 END AS dup2
+              FROM sig0),
+            tok0 AS (SELECT doc_id, lang,
+                unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word
+              FROM base),
+            counts AS (SELECT lang, word, count(*) AS cnt FROM tok0
+                       WHERE doc_id % 3 <> 0 GROUP BY lang, word),
+            totals AS (SELECT lang, sum(cnt) AS tot, count(*) AS vocab
+                       FROM counts GROUP BY lang),
+            model AS (SELECT counts.lang, word,
+                CAST(floor(-ln((cnt + 1.0) / (tot + vocab)) * 10000.0)
+                     / 10000.0 AS DECIMAL(18,4)) AS surprisal,
+                CAST(floor(-ln(1.0 / (tot + vocab)) * 10000.0)
+                     / 10000.0 AS DECIMAL(18,4)) AS oov
+              FROM counts JOIN totals ON totals.lang = counts.lang),
+            ml AS (SELECT lang, max(oov) AS oov FROM model GROUP BY lang),
+            lmce AS (SELECT doc_id,
+                floor(CAST(sum(coalesce(m.surprisal, ml.oov)) AS DOUBLE)
+                      / count(*) * 10000.0) / 10000.0 AS ce
+              FROM tok0
+              LEFT JOIN model m ON m.lang = tok0.lang AND m.word = tok0.word
+              JOIN ml ON ml.lang = tok0.lang
+              GROUP BY doc_id),
+            kept1 AS (SELECT q.doc_id, q.lang, q.quality, lmce.ce,
+                regexp_replace(regexp_replace(regexp_replace(q.text,
+                  '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<pii:email>', 'g'),
+                  '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<pii:phone>', 'g'),
+                  '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<pii:ipv4>', 'g')
+                  AS scrubbed
+              FROM qsig q JOIN lmce ON lmce.doc_id = q.doc_id
+              WHERE q.quality >= 0.45 AND q.dup2 <= 0.1 AND lmce.ce <= 3.45)
+            SELECT doc_id, lang AS domain, quality,
+                   CAST(ce AS DOUBLE) AS cross_entropy,
+                   md5(scrubbed) AS scrubbed_md5
+            FROM kept1 ORDER BY doc_id"""))
+
   // ---------- multimodal ----------
 
   val xMultimodalFeatures = OpQuery(
@@ -1017,5 +1118,5 @@ object ExtOps {
     xApproxDistinct, xSampleStratified, xDomainMix, xProfilePercentiles,
     xPackChunks,
     xPiiScrub, xRepetition, xDecontaminate, xLmQuality, xCurationE2e,
-    xMultimodalFeatures)
+    stCurationGate, xMultimodalFeatures)
 }
