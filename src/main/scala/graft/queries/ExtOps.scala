@@ -1006,9 +1006,12 @@ object ExtOps {
         StructField("n_chars", LongType)))
       // CCNet arrangement: the LM is fit (batch) on the trusted corpus
       // subset BEFORE the stream starts — identical fit to curate()'s —
-      // then every arriving micro-batch is scored against the frozen model
-      val model = LmScore.unigramModel(
-        t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0), "text", "lang")
+      // then every arriving micro-batch is scored against the frozen
+      // model. "Frozen" is literal: the model is staged (materialized)
+      // once, or every micro-batch's scoring join would re-run the whole
+      // model-build scan through its lineage.
+      val model = graft.core.Materialize.stage(LmScore.unigramModel(
+        t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0), "text", "lang"))
       val scratch = graft.core.Scratch.tempDir("graft_curation_gate_")
       val out = s"$scratch/out"; val ck = s"$scratch/ckpt"
       val stream = s.readStream.schema(docsSchema)

@@ -114,6 +114,17 @@ object StreamingOps {
     "st_interval_join_stream",
     "streaming stream-stream interval join (−15min/+5s), run via Structured Streaming",
     (s, dir) => {
+      // stream-stream join state is partitioned by the shuffle-partition
+      // conf AT QUERY START (one state store per partition per side, per
+      // micro-batch): at this SF the per-store open/commit overhead
+      // dominates the 6-row result, so the state layout is sized down for
+      // the data — the same sizing call a production deploy makes, in the
+      // other direction (state partitions ≈ cluster cores; they are fixed
+      // for the query's lifetime and must be chosen at start). Restored
+      // after the drain so batch queries keep the session-wide setting.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val ev = eventStream(s, dir)
       val pay = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("pay_id"), col("user_id").as("pay_user"),
@@ -130,6 +141,7 @@ object StreamingOps {
             col("pay_ts") + expr("INTERVAL 5 SECONDS")))
         .select(col("pay_id"), col("ord_id"), col("pay_user").as("user_id"))
       drain(joined, "st_ij_out").orderBy("pay_id", "ord_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     },
     Some("""SELECT p.event_id AS pay_id, o.event_id AS ord_id, p.user_id AS user_id
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
