@@ -123,6 +123,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // back up the explicit per-iteration GC: the cleaner's own periodic
+      // GC defaults to 30min, longer than an entire bench run
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/shuffle/parquet machinery so the first query isn't
@@ -139,6 +142,13 @@ object Bench {
 
     /** One timed run; None on failure (logged). */
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      // JMH-style hygiene, OUTSIDE the timed section: staged/checkpointed
+      // blocks from the previous iteration are dead but only released
+      // when the ContextCleaner sees their RDDs collected — without a GC
+      // here they pile up in the block manager (default periodic GC is
+      // 30min) and push the next iteration's staged frames to disk spill,
+      // billing query N for query N-1's garbage.
+      System.gc()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
