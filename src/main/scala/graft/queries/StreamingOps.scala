@@ -40,6 +40,20 @@ object StreamingOps {
     s.table(name)
   }
 
+  /** Run `body` with the shuffle-partition conf (= streaming STATE
+    * partition count: one state store per partition per stateful op, per
+    * micro-batch) sized to `n`, restoring the session setting after.
+    * Stateful streaming queries fix their state layout at first batch, so
+    * this is a per-query start-time sizing decision: at this SF the fixed
+    * per-store open/commit overhead dominates toy-sized state, and a
+    * production deploy makes the same call in the other direction
+    * (state partitions ≈ cluster cores). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   case class Ev(event_id: Long, user_id: Long, usec: Long, dt: String)
 
   /** A5, streaming-executed — first event per (user, day) through
@@ -48,7 +62,7 @@ object StreamingOps {
   val stUvDedup = OpQuery(
     "st_uv_dedup_stream",
     "streaming keyed-state first-visit dedup, run via Structured Streaming",
-    (s, dir) => {
+    (s, dir) => withStatePartitions(s, 8) {
       import s.implicits._
       val typed = eventStream(s, dir)
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("usec"),
@@ -82,7 +96,7 @@ object StreamingOps {
   val stVisitorWindow = OpQuery(
     "st_visitor_window_stream",
     "streaming 10s tumbling window agg, run via Structured Streaming",
-    (s, dir) => {
+    (s, dir) => withStatePartitions(s, 8) {
       val agg = eventStream(s, dir)
         .groupBy(window(col("ts"), "10 seconds").as("w"), col("event_type"))
         .agg(count(lit(1)).as("pv_ct"),
@@ -113,18 +127,7 @@ object StreamingOps {
   val stIntervalJoin = OpQuery(
     "st_interval_join_stream",
     "streaming stream-stream interval join (−15min/+5s), run via Structured Streaming",
-    (s, dir) => {
-      // stream-stream join state is partitioned by the shuffle-partition
-      // conf AT QUERY START (one state store per partition per side, per
-      // micro-batch): at this SF the per-store open/commit overhead
-      // dominates the 6-row result, so the state layout is sized down for
-      // the data — the same sizing call a production deploy makes, in the
-      // other direction (state partitions ≈ cluster cores; they are fixed
-      // for the query's lifetime and must be chosen at start). Restored
-      // after the drain so batch queries keep the session-wide setting.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+    (s, dir) => withStatePartitions(s, 8) {
       val ev = eventStream(s, dir)
       val pay = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("pay_id"), col("user_id").as("pay_user"),
@@ -141,7 +144,6 @@ object StreamingOps {
             col("pay_ts") + expr("INTERVAL 5 SECONDS")))
         .select(col("pay_id"), col("ord_id"), col("pay_user").as("user_id"))
       drain(joined, "st_ij_out").orderBy("pay_id", "ord_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     },
     Some("""SELECT p.event_id AS pay_id, o.event_id AS ord_id, p.user_id AS user_id
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -158,7 +160,7 @@ object StreamingOps {
   val stProvinceStats = OpQuery(
     "st_province_stats_stream",
     "streaming stream-static dim join + windowed agg (ProvinceStatsSqlApp)",
-    (s, dir) => {
+    (s, dir) => withStatePartitions(s, 8) {
       val ordersSchema = StructType(Seq(
         StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
         StructField("o_orderstatus", StringType),
