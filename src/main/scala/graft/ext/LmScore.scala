@@ -127,6 +127,83 @@ object LmScore {
       langCol: String): DataFrame =
     scoreAgainstSubset(docs, textCol, idCol, langCol, trusted = lit(true))
 
+  /** Bigram LM with STUPID BACKOFF (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the public web-scale recipe:
+    * unnormalized score S(w|prev) = count(prev,w)/count(prev) when the
+    * bigram was seen in training, else alpha * S_unigram(w); document
+    * start and unseen-prev tokens score by the add-1 unigram). One step up
+    * the n-gram family from [[scoreAgainstSubset]] — same frame shapes a
+    * KenLM-style model needs, one order deeper.
+    *
+    * Scale shapes: the corpus is exploded ONCE into a staged
+    * token-with-context frame (id, lang, word, prev) that feeds unigram
+    * counts, bigram counts, AND scoring; prev comes from a zip with the
+    * 1-shifted token array on the staged row (map-only — no window, no
+    * per-position array re-evaluation). Both model shuffles collapse
+    * map-side to vocabulary-bounded keys ((lang,word) and
+    * (lang,prev,word)); scoring is two vocab-keyed left joins plus one
+    * per-lang broadcast, then one doc-keyed sum. Oracle parity discipline
+    * matches the unigram model: every surprisal is floor-truncated to
+    * 4 dp at MODEL BUILD time (once per distinct model row), summed as
+    * DECIMAL. Returns (id, lang, n_tok, cross_entropy). */
+  def scoreBigramAgainstSubset(docs: DataFrame, textCol: String,
+      idCol: String, langCol: String, trusted: Column,
+      alpha: Double = 0.4): DataFrame = {
+    // staged words array: the split runs once; the shift/zip below reads
+    // materialized arrays (and the staging barrier keeps the HOF pyramid
+    // out of CollapseProject's reach — see core.Materialize)
+    val words = docs
+      .select(col(idCol).as("id"), col(langCol).as("lang"),
+        trusted.as("_trusted"),
+        filter(split(col(textCol), " "), w => length(w) > 0).as("w"))
+      .filter(size(col("w")) > 0)
+      .staged
+    // (word, prev) pairs via zip with the 1-shifted array; prev is NULL
+    // at document start
+    val tok = words
+      .withColumn("p", concat(array(lit(null).cast("string")),
+        slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0)))))
+      .select(col("id"), col("lang"), col("_trusted"),
+        explode(arrays_zip(col("w"), col("p"))).as("t"))
+      .select(col("id"), col("lang"), col("_trusted"),
+        col("t.w").as("word"), col("t.p").as("prev"))
+      .staged
+    val train = tok.filter(col("_trusted"))
+    val uni = train.groupBy("lang", "word").agg(count("*").as("cnt"))
+    val totals = uni.groupBy("lang")
+      .agg(sum("cnt").as("tot"), count("*").as("vocab"))
+    val uniModel = uni.join(totals, Seq("lang"))
+      .select(col("lang"), col("word"),
+        surprisalOf((col("cnt") + 1).cast("double") / (col("tot") + col("vocab")))
+          .as("s_uni"),
+        surprisalOf(lit(alpha) * (col("cnt") + 1) / (col("tot") + col("vocab")))
+          .as("s_bo"))
+    val langDefaults = totals.select(col("lang"),
+      surprisalOf(lit(1.0) / (col("tot") + col("vocab"))).as("oov"),
+      surprisalOf(lit(alpha) / (col("tot") + col("vocab"))).as("bo_oov"))
+    val bigModel = train.filter(col("prev").isNotNull)
+      .groupBy("lang", "prev", "word").agg(count("*").as("bcnt"))
+      // denominator = the prev word's TRAINING unigram count (≥ bcnt by
+      // construction: every counted bigram's prev is a training token)
+      .join(uni.select(col("lang"), col("word").as("prev"),
+        col("cnt").as("pcnt")), Seq("lang", "prev"))
+      .select(col("lang"), col("prev"), col("word"),
+        surprisalOf(col("bcnt").cast("double") / col("pcnt")).as("s_big"))
+    tok
+      .join(bigModel, Seq("lang", "prev", "word"), "left")
+      .join(uniModel, Seq("lang", "word"), "left")
+      .join(broadcast(langDefaults), Seq("lang"))
+      .withColumn("_s",
+        when(col("prev").isNull, coalesce(col("s_uni"), col("oov")))
+          .when(col("s_big").isNotNull, col("s_big"))
+          .otherwise(coalesce(col("s_bo"), col("bo_oov"))))
+      .groupBy(col("id"), col("lang"))
+      .agg(count("*").as("n_tok"), sum("_s").as("_sum"))
+      .withColumn("cross_entropy",
+        floor(col("_sum").cast("double") / col("n_tok") * 10000.0) / 10000.0)
+      .select(col("id"), col("lang"), col("n_tok"), col("cross_entropy"))
+  }
+
   private def surprisalOf(p: Column): Column =
     (floor(-log(p) * 10000.0) / 10000.0).cast("decimal(18,4)")
 }

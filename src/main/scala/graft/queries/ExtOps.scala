@@ -680,6 +680,64 @@ object ExtOps {
                 AS cross_entropy
             FROM scored ORDER BY id"""))
 
+  /** One n-gram order up from x_lm_quality: bigram LM with stupid backoff
+    * (Brants et al. 2007) — seen bigram scores count(prev,w)/count(prev),
+    * unseen backs off to 0.4 × the add-1 unigram; doc-start tokens score
+    * by the unigram alone. The oracle restates the full model build +
+    * backoff scoring as SQL, so every branch of the CASE (bigram hit,
+    * backoff to seen unigram, backoff to OOV, doc start) is hash-gated. */
+  val xLmBigram = OpQuery(
+    "x_lm_bigram",
+    "bigram-LM cross-entropy with stupid backoff, model from trusted subset",
+    (s, dir) =>
+      LmScore.scoreBigramAgainstSubset(t(s, dir, "documents"),
+          "text", "doc_id", "lang", trusted = col("doc_id") % 3 =!= 0)
+        .orderBy("id"),
+    Some("""WITH tw AS (SELECT doc_id, lang,
+              list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+              FROM documents),
+            pos AS (SELECT doc_id, lang, w,
+              unnest(generate_series(1, len(w))) AS i FROM tw WHERE len(w) > 0),
+            tok AS (SELECT doc_id, lang, w[i] AS word,
+              CASE WHEN i > 1 THEN w[i-1] END AS prev FROM pos),
+            uni AS (SELECT lang, word, count(*) AS cnt FROM tok
+                    WHERE doc_id % 3 <> 0 GROUP BY lang, word),
+            tot AS (SELECT lang, sum(cnt) AS tot, count(*) AS vocab
+                    FROM uni GROUP BY lang),
+            um AS (SELECT uni.lang, word,
+                CAST(floor(-ln((cnt + 1.0) / (tot + vocab)) * 10000.0)
+                     / 10000.0 AS DECIMAL(18,4)) AS s_uni,
+                CAST(floor(-ln(0.4 * (cnt + 1.0) / (tot + vocab)) * 10000.0)
+                     / 10000.0 AS DECIMAL(18,4)) AS s_bo
+              FROM uni JOIN tot ON tot.lang = uni.lang),
+            ld AS (SELECT lang,
+                CAST(floor(-ln(1.0 / (tot + vocab)) * 10000.0)
+                     / 10000.0 AS DECIMAL(18,4)) AS oov,
+                CAST(floor(-ln(0.4 / (tot + vocab)) * 10000.0)
+                     / 10000.0 AS DECIMAL(18,4)) AS bo_oov
+              FROM tot),
+            big AS (SELECT lang, prev, word, count(*) AS bcnt FROM tok
+                    WHERE doc_id % 3 <> 0 AND prev IS NOT NULL
+                    GROUP BY lang, prev, word),
+            bm AS (SELECT big.lang, big.prev, big.word,
+                CAST(floor(-ln(CAST(bcnt AS DOUBLE) / u.cnt) * 10000.0)
+                     / 10000.0 AS DECIMAL(18,4)) AS s_big
+              FROM big JOIN uni u ON u.lang = big.lang AND u.word = big.prev),
+            sc AS (SELECT t.doc_id, t.lang, count(*) AS n_tok,
+                sum(CASE WHEN t.prev IS NULL THEN coalesce(um.s_uni, ld.oov)
+                         WHEN bm.s_big IS NOT NULL THEN bm.s_big
+                         ELSE coalesce(um.s_bo, ld.bo_oov) END) AS s
+              FROM tok t
+              LEFT JOIN bm ON bm.lang = t.lang AND bm.prev = t.prev
+                          AND bm.word = t.word
+              LEFT JOIN um ON um.lang = t.lang AND um.word = t.word
+              JOIN ld ON ld.lang = t.lang
+              GROUP BY t.doc_id, t.lang)
+            SELECT doc_id AS id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+              floor(CAST(s AS DOUBLE) / n_tok * 10000.0) / 10000.0
+                AS cross_entropy
+            FROM sc ORDER BY id"""))
+
   val xSampleStratified = OpQuery(
     "x_sample_stratified",
     "deterministic md5-threshold stratified sample (50% of 'en', 25% of the rest)",
@@ -1120,6 +1178,6 @@ object ExtOps {
     xFingerprint, xWinnow,
     xApproxDistinct, xSampleStratified, xDomainMix, xProfilePercentiles,
     xPackChunks,
-    xPiiScrub, xRepetition, xDecontaminate, xLmQuality, xCurationE2e,
-    stCurationGate, xMultimodalFeatures)
+    xPiiScrub, xRepetition, xDecontaminate, xLmQuality, xLmBigram,
+    xCurationE2e, stCurationGate, xMultimodalFeatures)
 }

@@ -80,6 +80,44 @@ class LmScoreSpec extends SparkTestBase {
         _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]))
   }
 
+  test("scoreBigramAgainstSubset: every backoff branch, hand-computed") {
+    // trusted doc "a b a b": uni a=2 b=2 (tot=4, vocab=2);
+    // bigrams (a,b)=2 (b,a)=1 → S(b|a)=2/2, S(a|b)=1/2.
+    // untrusted doc "a b b c" exercises all four scoring branches:
+    //   a  doc-start          → s_uni(a)   = -ln(3/6)     = 0.6931
+    //   b  bigram (a,b) hit   → -ln(2/2)                  = 0.0000
+    //   b  (b,b) unseen       → s_bo(b)    = -ln(0.4*3/6) = 1.6094
+    //   c  (b,c) unseen + OOV → bo_oov     = -ln(0.4/6)   = 2.7080
+    // mean = 5.0105 / 4 = 1.2526 (floor 4 dp)
+    val docs = Seq((1L, "en", "a b a b"), (2L, "en", "a b b c"),
+      (3L, "fr", "x y")) // fr has no trusted rows → dropped
+      .toDF("doc_id", "lang", "text")
+    val s = LmScore.scoreBigramAgainstSubset(docs, "text", "doc_id", "lang",
+        trusted = col("doc_id") === 1)
+      .select("id", "n_tok", "cross_entropy")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(s(2L) == (4L, 1.2526))
+    // trusted doc: 0.6931 + 0 + -ln(1/2)=0.6931 + 0 → 1.3862/4 = 0.3465
+    assert(s(1L) == (4L, 0.3465))
+    assert(!s.contains(3L))
+  }
+
+  test("bigram scoring beats unigram on in-domain word order") {
+    // same unigram profile, different order: the bigram model separates
+    // them while the unigram model cannot
+    val docs = Seq((1L, "en", "a b a b a b"), (2L, "en", "a b a b a b"),
+      (3L, "en", "b b b a a a"))
+      .toDF("doc_id", "lang", "text")
+    val tr = col("doc_id") === 1
+    val uniCe = LmScore.scoreAgainstSubset(docs, "text", "doc_id", "lang", tr)
+      .select("id", "cross_entropy").as[(Long, Double)].collect().toMap
+    val biCe = LmScore.scoreBigramAgainstSubset(docs, "text", "doc_id", "lang", tr)
+      .select("id", "cross_entropy").as[(Long, Double)].collect().toMap
+    assert(uniCe(2L) == uniCe(3L)) // unigram is order-blind
+    assert(biCe(2L) < biCe(3L))    // bigram is not
+  }
+
   test("selfScore equals scoring against the self-trained model") {
     val docs = Seq((1L, "en", "a a b"), (2L, "en", "a b c"),
       (3L, "de", "x y"), (4L, "de", "x x z z"))
