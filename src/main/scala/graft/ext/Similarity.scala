@@ -92,6 +92,53 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Per-vector symmetric int8 SCALAR quantization (the faiss-SQ8 family,
+    * public method): q_i = floor(x_i / max|x| × 127 + 0.5), one scale per
+    * vector. 4× smaller vectors than float32 — at 100 TB of embeddings
+    * the quantized corpus is what fits in cluster memory, and integer
+    * dot products are SIMD-friendlier than float. Cosine needs NO
+    * dequantization: the per-vector scales cancel in
+    * dot(a,b)/(|a||b|), so ranking runs entirely on the int8 arrays.
+    * floor(x+0.5) (not round()) keeps the half-way convention a pure
+    * function of the IEEE double — engine-independent, same reason every
+    * oracle-compared float here floor-truncates. Adds (sq_scale, q) to
+    * the frame; a zero vector quantizes to all-zero (unrankable, dropped
+    * by rankTopK's NaN contract like its float twin). */
+  def quantizeSq8(embeddings: DataFrame, vecCol: String): DataFrame =
+    embeddings
+      .withColumn("sq_scale",
+        expr(s"array_max(transform($vecCol, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("q", expr(
+        s"""transform($vecCol, x -> CAST(CASE WHEN sq_scale = 0D THEN 0
+           | ELSE floor(CAST(x AS DOUBLE) / sq_scale * 127.0 + 0.5)
+           | END AS INT))""".stripMargin))
+
+  /** Brute-force cosine top-k over SQ8-quantized vectors — same shape as
+    * [[cosineTopK]] (queries broadcast, candidates stream once, bounded
+    * heap ranking) but the hot loop is an exact integer dot over int8
+    * codes with the norms' scales cancelled. Ranking quality vs the
+    * float path is spec-gated (recall@k on real embeddings). */
+  def cosineTopKSq8(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val qNorm = "aggregate(%s, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT) * x)"
+    val q = quantizeSq8(queries, vecCol)
+      .select(col(idCol).as("qid"), col("q").as("qq"))
+      .withColumn("qn", expr(qNorm.format("qq")))
+    val c = quantizeSq8(embeddings, vecCol)
+      .select(col(idCol).as("cid"), col("q").as("cq"))
+      .withColumn("cn", expr(qNorm.format("cq")))
+    val intDot =
+      "aggregate(zip_with(qq, cq, (x, y) -> CAST(x AS BIGINT) * y), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cosine",
+        floor(expr(intDot).cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))
+          * 1000000.0) / 1000000.0)
+    rankTopK(scored, k)
+  }
+
   /** Coarse-quantizer centroids: the mean vector per cluster id. */
   def centroids(embeddings: DataFrame, clusterCol: String,
       vecCol: String): DataFrame =

@@ -264,6 +264,53 @@ object ExtOps {
     // bit-for-bit with the zip_with fold (same index-order double sums)
     xAnnBruteforce.oracle)
 
+  /** The memory-scale path for brute force: per-vector symmetric int8
+    * quantization (4× smaller corpus, integer dot products; the scales
+    * cancel out of cosine so ranking never dequantizes). The oracle
+    * restates the quantization formula and the integer dot ranking, so
+    * code assignment AND ranking are hash-gated; recall vs the float
+    * ranking is spec-gated (ExtSpec). */
+  val xAnnSq8 = OpQuery(
+    "x_ann_sq8",
+    "brute-force cosine top-5 over int8 scalar-quantized vectors",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineTopKSq8(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH eq AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(
+                CASE WHEN s = 0 THEN 0
+                     ELSE floor(CAST(x AS DOUBLE) / s * 127.0 + 0.5)
+                END AS BIGINT)) AS q
+              FROM (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS s
+                    FROM embeddings)),
+            qn AS (SELECT vec_id AS id, sum(v * v) AS nrm
+                   FROM (SELECT vec_id, unnest(q) AS v FROM eq)
+                   GROUP BY vec_id),
+            qx AS (SELECT vec_id AS qid, unnest(q) AS qv,
+                   unnest(generate_series(1, len(q))) AS i
+                   FROM eq WHERE vec_id < 8),
+            cx AS (SELECT vec_id AS cid, unnest(q) AS cv,
+                   unnest(generate_series(1, len(q))) AS i FROM eq),
+            dots AS (SELECT qid, cid, sum(qv * cv) AS dot
+                     FROM qx JOIN cx USING (i) GROUP BY qid, cid),
+            scored AS (SELECT qid, cid,
+                floor(CAST(dot AS DOUBLE) /
+                      (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+                      * 1000000.0) / 1000000.0 AS cosine
+              FROM dots JOIN qn a ON a.id = qid
+              JOIN qn b ON b.id = cid WHERE cid <> qid),
+            ranked AS (SELECT *, row_number() OVER
+                (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank FROM scored)
+            SELECT qid, cid, CAST(cosine AS DOUBLE) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val xAnnIvf = OpQuery(
     "x_ann_ivf",
     "IVF cosine top-5: probe 2 nearest label-centroids, scan only those clusters",
@@ -1173,7 +1220,7 @@ object ExtOps {
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
     xSimhash, xNeardupJaccard3, xDedupComponents, xDedupPipeline,
-    xAnnBruteforce, xAnnNative, xAnnIvf, xAnnIvfKmeans,
+    xAnnBruteforce, xAnnNative, xAnnSq8, xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow,
     xApproxDistinct, xSampleStratified, xDomainMix, xProfilePercentiles,

@@ -134,6 +134,26 @@ class ExtSpec extends SparkTestBase {
     assert(recallAt(2) >= 0.1)
   }
 
+  test("SQ8 quantized ranking: high recall vs float brute force on real embeddings") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.cosineTopK(e, "vec_id", "embedding", q, 5))
+    val sq8 = pairs(Similarity.cosineTopKSq8(e, "vec_id", "embedding", q, 5))
+    // int8 codes carry ~7 significant bits per dim: on real embeddings
+    // the top-5 set should survive quantization nearly intact
+    val recall = brute.intersect(sq8).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall@5 of SQ8 vs float = $recall")
+    // quantization invariants: codes live in [-127, 127] and the max-|x|
+    // dimension maps to ±127 exactly
+    val codes = Similarity.quantizeSq8(e, "embedding")
+      .select(expr("array_max(transform(q, x -> abs(x)))").cast("int"))
+      .as[Int].collect()
+    assert(codes.forall(m => m == 127),
+      s"per-vector max |code| must be exactly 127, got ${codes.distinct.toSeq.take(5)}")
+  }
+
   test("k-means IVF over the clustered layout: recall ≥ 0.6, scan pruned") {
     // the x_ann_ivf_kmeans gate path end to end on real embeddings:
     // quantize → clustered layout → probe. Random labels give ~nProbe/k
