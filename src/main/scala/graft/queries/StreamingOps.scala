@@ -203,6 +203,35 @@ object StreamingOps {
             FROM w GROUP BY ws, n_name
             ORDER BY stt, province_name"""))
 
+  /** Exact dedup as a STREAMING ingest operator — the dedup a corpus
+    * pipeline runs at the door: keyed state on the content hash admits
+    * each hash once, forever. Within one micro-batch the admitted keeper
+    * is the min doc id (deterministic — dropDuplicates' arbitrary-first
+    * would break the hash gate); across batches the semantics are
+    * first-batch-wins (a later arrival never evicts an admitted doc, the
+    * true streaming contract). The registry run feeds one file batch, so
+    * output ≡ the batch exactDedup groupBy and x_dedup_exact's oracle
+    * applies verbatim. State is one boolean per distinct hash — the
+    * at-scale shape is this operator over RocksDB
+    * (Runner.useRocksDBStateStore) where state lives on executor disk. */
+  val stDedupExact = OpQuery(
+    "st_dedup_exact_stream",
+    "streaming first-wins exact dedup by content hash (keyed-state ingest gate)",
+    (s, dir) => withStatePartitions(s, 8) {
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val docs = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val kept = graft.streaming.IngestDedup.firstWins(docs, "text", "doc_id")
+      drain(kept, "st_de_out").orderBy("content_hash")
+    },
+    Some("""SELECT md5(text) AS content_hash,
+            min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+            FROM documents GROUP BY md5(text) ORDER BY content_hash"""))
+
   val all: Seq[OpQuery] =
-    Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats)
+    Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
+      stDedupExact)
 }
