@@ -903,6 +903,35 @@ object ExtOps {
                    CAST(start_offset // 512 AS BIGINT) AS pack_id
             FROM c ORDER BY doc_id"""))
 
+  /** Per-pack occupancy rollup over the packing assignment — the profile
+    * that sizes a pretraining data-loader (docs per pack, spanning-doc
+    * token mass). Gates [[graft.ext.Packing.packStats]], which was
+    * previously spec-only. */
+  val xPackStats = OpQuery(
+    "x_pack_stats",
+    "per-pack document/token occupancy of the concat-and-chunk assignment",
+    (s, dir) =>
+      graft.ext.Packing.packStats(
+        graft.ext.Packing.concatChunkPacks(
+          TextAnalysis.tokenCounts(t(s, dir, "documents"), "text"),
+          "doc_id", "ws_tokens", budget = 512),
+        budget = 512)
+        .orderBy("pack_id"),
+    Some("""WITH d AS (SELECT doc_id,
+              CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+                AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+              sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                AS start_offset
+              FROM d)
+            SELECT CAST(start_offset // 512 AS BIGINT) AS pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                   CAST(512 AS BIGINT) AS budget
+            FROM c GROUP BY 1 ORDER BY pack_id"""))
+
   /** THE flagship: the whole curation family composed end to end — the
     * "curate a training corpus" call a 100 TB pipeline actually makes.
     * Quality+repetition signals and CCNet LM scoring gate the corpus,
@@ -1224,7 +1253,7 @@ object ExtOps {
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow,
     xApproxDistinct, xSampleStratified, xDomainMix, xProfilePercentiles,
-    xPackChunks,
+    xPackChunks, xPackStats,
     xPiiScrub, xRepetition, xDecontaminate, xLmQuality, xLmBigram,
     xCurationE2e, stCurationGate, xMultimodalFeatures)
 }
