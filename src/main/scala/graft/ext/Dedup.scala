@@ -57,18 +57,27 @@ object Dedup {
     shingled.groupBy(col(idCol)).agg(hashes.head, hashes.tail: _*)
   }
 
+  /** Band keys for a k-wide h0..h{k-1} signature frame: one (id, band)
+    * row per band, band = md5(bandIndex | its signature slice). Shared by
+    * the within-corpus self-join and the incremental cross-corpus join so
+    * the banding scheme is defined exactly once. */
+  def bandKeys(signatures: DataFrame, idCol: String, k: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      md5(concat_ws("|", (lit(b.toString) +: hs): _*))
+    }
+    signatures.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+  }
+
   /** LSH banding: split the k-wide signature into `bands` bands of
     * k/bands rows each; docs sharing any band key are candidate pairs.
     * One self-join on the band key — the join key space is the band hash,
     * so skew is bounded by true duplicate-cluster size. */
   def lshCandidatePairs(signatures: DataFrame, idCol: String, k: Int = 8,
       bands: Int = 2): DataFrame = {
-    val rowsPerBand = k / bands
-    val bandCols = (0 until bands).map { b =>
-      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      md5(concat_ws("|", (lit(b.toString) +: hs): _*))
-    }
-    val banded = signatures.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+    val banded = bandKeys(signatures, idCol, k, bands)
     val a = banded.select(col(idCol).as("doc_a"), col("band"))
     val b = banded.select(col(idCol).as("doc_b"), col("band"))
     a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
@@ -196,6 +205,88 @@ object Dedup {
     comps.join(clusterSizes, Seq("component"))
       .select(col("id").as("doc_id"), col("component"), col("cluster_size"),
         (col("id") === col("component")).as("is_kept"))
+  }
+
+  /** Quality-aware canonical selection: like [[dedupCorpus]], but the
+    * cluster keeper is the member with the HIGHEST score (ties → smallest
+    * id) instead of the smallest id — production dedup keeps the best
+    * copy of a near-dup cluster (longest / highest-quality / freshest),
+    * not an arbitrary one. `scoreCol` is any numeric expression over the
+    * input columns (e.g. TextAnalysis.qualityScore's `quality`).
+    *
+    * Scale shape: identical to [[dedupCorpus]] plus one window ranked
+    * WITHIN each component — partition key = component, so the sort is
+    * bounded by duplicate-cluster size (small by construction), never a
+    * global order. */
+  def dedupCorpusKeepBest(docs: DataFrame, textCol: String, idCol: String,
+      scoreCol: org.apache.spark.sql.Column, k: Int = 8, bands: Int = 2,
+      threshold: Double = 0.5, ngram: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val verified = lshVerifiedPairs(docs, textCol, idCol, k, bands,
+      threshold, ngram)
+    val comps = connectedComponents(docs, idCol, verified)
+    val scored = docs.select(col(idCol).cast("long").as("id"),
+      scoreCol.cast("double").as("score"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("score").desc, col("id"))
+    comps.join(scored, Seq("id"))
+      .withColumn("_rk", row_number().over(w))
+      .select(col("id").as("doc_id"), col("component"), col("score"),
+        (col("_rk") === 1).cast("long").as("is_kept"))
+  }
+
+  /** Incremental (cross-corpus) dedup: filter an INCOMING batch against an
+    * EXISTING corpus without re-deduplicating the corpus — the shape every
+    * production pipeline runs when a new crawl shard lands. A new document
+    * is dropped if (a) its content hash already exists (`dropped_exact`),
+    * or (b) LSH banding pairs it with an existing document and exact
+    * shingle Jaccard confirms ≥ `threshold` (`dropped_near`). Returns one
+    * row per incoming doc: (id, dropped_exact, dropped_near, is_kept).
+    * Ids must be unique ACROSS both frames (they key the shared token
+    * join).
+    *
+    * Scale shape: the existing side is never self-joined — its hashes and
+    * band keys join only against the (much smaller) incoming side, and the
+    * Jaccard verification token frame is semi-join-pruned to candidate
+    * docs first, so the big (id, word) shuffle carries candidate docs
+    * only, not the whole corpus. In steady state the per-shard cost is
+    * O(shard + matched-corpus-slice), independent of corpus size. */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, k: Int = 8, bands: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    // (a) exact: content hash seen in the corpus
+    val exHashes = existing.select(md5(col(textCol)).as("_h")).distinct()
+    val exactDropped = incoming
+      .select(col(idCol).as("_eid"), md5(col(textCol)).as("_h"))
+      .join(exHashes, Seq("_h"), "left_semi")
+      .select(col("_eid"))
+    // (b) near: band keys on both sides, incoming × existing (never
+    // existing × existing), then exact 3-shingle Jaccard on candidates
+    val tokEx = shingleTokens(existing, textCol, idCol, 3).staged
+    val tokIn = shingleTokens(incoming, textCol, idCol, 3).staged
+    val bEx = bandKeys(minhashFromTokens(tokEx, k), "id", k, bands)
+      .select(col("id").as("_old"), col("band"))
+    val bIn = bandKeys(minhashFromTokens(tokIn, k), "id", k, bands)
+      .select(col("id").as("_new"), col("band"))
+    val cand = bIn.join(bEx, Seq("band"))
+      .select(col("_new").as("doc_a"), col("_old").as("doc_b")).distinct()
+    // verification tokens: union of both sides, pruned to candidate docs
+    // (AQE broadcasts the candidate id list when it is small)
+    val candIds = cand.select(col("doc_a").as("id"))
+      .unionByName(cand.select(col("doc_b").as("id"))).distinct()
+    val tok = tokIn.unionByName(tokEx).join(candIds, Seq("id"), "left_semi")
+    val nearDropped = jaccardOnTokens(tok, cand, threshold)
+      .select(col("doc_a").as("_nid")).distinct()
+    incoming.select(col(idCol))
+      .join(exactDropped.withColumn("_de", lit(1L)),
+        col(idCol) === col("_eid"), "left")
+      .join(nearDropped.withColumn("_dn", lit(1L)),
+        col(idCol) === col("_nid"), "left")
+      .select(col(idCol),
+        coalesce(col("_de"), lit(0L)).as("dropped_exact"),
+        coalesce(col("_dn"), lit(0L)).as("dropped_near"),
+        (coalesce(col("_de"), lit(0L)) === 0 &&
+          coalesce(col("_dn"), lit(0L)) === 0).cast("long").as("is_kept"))
   }
 
   /** Connected components over an undirected pair list — the CLUSTERING

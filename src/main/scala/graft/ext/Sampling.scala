@@ -105,4 +105,54 @@ object Sampling {
           format_string("%02x", col("cutoff")))
       .select(col(idCol), col("domain"), col("cutoff"))
   }
+
+  /** Token-budget corpus selection: per domain, rank documents by
+    * (score desc, id asc) and keep them while the running token total
+    * stays ≤ `budget` — "take the best N tokens per domain", the selection
+    * move that turns a scored corpus into a fixed-size training mix.
+    * Returns every input row with a `selected` 0/1 flag (the kept corpus
+    * is `filter(selected = 1)`); semantics are exactly the flat
+    * per-domain window `sum(tok) OVER (ORDER BY score DESC, id) ≤ budget`.
+    *
+    * Scale shape: the flat window is how the ORACLE states the semantics,
+    * not how this runs — a per-domain global sort serializes each domain
+    * through one reducer. Instead: (1) aggregate token mass per
+    * (domain, score) bucket — scores are 4-dp-quantized, so this frame is
+    * tiny; (2) one window over the BUCKET frame finds each domain's
+    * fully-kept prefix and its single boundary bucket; (3) only boundary-
+    * bucket documents (one score value per domain) are ranked by id to
+    * split the remaining budget. The corpus-sized frames are touched by
+    * one groupBy and one broadcast-joined filter — no per-domain sort of
+    * the full data. */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, domainCol: Column,
+      tokCol: Column, scoreCol: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val base = docs.select(col(idCol).as("doc_id"), domainCol.as("domain"),
+      tokCol.cast("long").as("n_tok"), scoreCol.cast("double").as("score"))
+    val buckets = base.groupBy("domain", "score")
+      .agg(sum("n_tok").as("_btok"))
+    val wb = Window.partitionBy("domain").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // _prev ≤ budget < _cum isolates exactly one boundary bucket per
+    // domain (the running total is monotone); _prev uses ≤ so a bucket
+    // starting exactly at the budget is still examined doc-by-doc
+    val marked = buckets
+      .withColumn("_cum", sum("_btok").over(wb))
+      .withColumn("_prev", col("_cum") - col("_btok"))
+      .select(col("domain"), col("score"),
+        (col("_cum") <= budget).as("_whole"),
+        (col("_cum") > budget && col("_prev") <= budget).as("_boundary"),
+        col("_prev"))
+    val joined = base.join(broadcast(marked), Seq("domain", "score"))
+    val nonBoundary = joined.filter(!col("_boundary"))
+      .withColumn("selected", col("_whole").cast("long"))
+    val wd = Window.partitionBy("domain", "score").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.filter(col("_boundary"))
+      .withColumn("selected",
+        (col("_prev") + sum("n_tok").over(wd) <= budget).cast("long"))
+    nonBoundary.unionByName(boundary)
+      .select("doc_id", "domain", "n_tok", "score", "selected")
+  }
 }

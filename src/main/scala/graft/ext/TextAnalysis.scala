@@ -236,6 +236,39 @@ object TextAnalysis {
       .agg(countDistinct(cf("fp")).as("n_shared_fps"))
   }
 
+  /** TF-IDF keyword extraction: the top-k most DISTINCTIVE words per
+    * domain — tf = word occurrences within the domain, df = number of
+    * domains containing the word, tfidf = tf · ln(N/df). The standard
+    * "what characterizes this source" profile, used to spot boilerplate
+    * domains and drifted crawl slices.
+    *
+    * Oracle parity: ln is computed once per distinct word and
+    * floor-truncated to 4 dp immediately (the LmScore move — sub-ulp
+    * libm differences cannot survive the truncation), so the final score
+    * is bit-identical across engines. Scale shape: two bounded-key
+    * aggregations (domain×word, then word) and a window over the
+    * per-domain score frame — vocabulary-sized, not corpus-sized. */
+  def tfidfTopK(docs: DataFrame, textCol: String,
+      domainCol: org.apache.spark.sql.Column, kTop: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(domainCol.as("domain"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val tf = tok.groupBy("domain", "word").agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (domain, word), so df = row count per word
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDomains = tf.select(countDistinct(col("domain")).as("_n"))
+    val w = Window.partitionBy("domain")
+      .orderBy(col("tfidf").desc, col("word"))
+    tf.join(dfreq, Seq("word")).crossJoin(broadcast(nDomains))
+      .withColumn("_idf",
+        trunc4(log(col("_n").cast("double") / col("df"))))
+      .withColumn("tfidf", trunc4(col("tf") * col("_idf")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kTop)
+      .select("domain", "word", "tf", "df", "tfidf", "rank")
+  }
+
   /** Whole-document fingerprint: md5 of whitespace-normalized text, plus a
     * winnowing-style min-hash over 16-char windows at stride 8 (two docs
     * sharing any window hash share a 16-char run; the min over windows is

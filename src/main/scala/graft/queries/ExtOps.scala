@@ -1246,14 +1246,195 @@ object ExtOps {
             CAST(floor(ascii(substr(text, 4, 1)) / 255.0 * 1000000.0) / 1000000.0 AS DOUBLE) AS f3
             FROM documents ORDER BY asset_id"""))
 
+  // ---------- corpus selection / serving ----------
+
+  /** The x_text_stats quality formula as a reusable oracle expression
+    * (over CTE columns n_tok / n_stop / n_chars). */
+  private val qualitySqlExpr =
+    """CAST(floor((
+      |  least(n_tok / 100.0, 1.0) * 0.5 +
+      |  (1.0 - floor(CAST(n_stop AS DOUBLE) / n_tok * 10000.0) / 10000.0) * 0.3 +
+      |  least(floor(CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok * 10000.0)
+      |        / 10000.0 / 10.0, 1.0) * 0.2
+      |  ) * 10000.0) / 10000.0 AS DOUBLE)""".stripMargin
+
+  val xDedupIncremental = OpQuery(
+    "x_dedup_incremental",
+    "incremental cross-corpus dedup: new shard (src10+) filtered against " +
+      "the existing corpus (src0-9) by exact hash + LSH/Jaccard near-dup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val srcNum = expr("CAST(substring(source, 4) AS INT)")
+      graft.ext.Dedup.incrementalDedup(
+          d.filter(srcNum < 10), d.filter(srcNum >= 10), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $sigCte,
+            side AS (SELECT doc_id,
+                CAST(substr(source, 4) AS INT) >= 10 AS is_new
+              FROM documents),
+            banded AS (
+              SELECT doc_id, md5('0'||'|'||h0||'|'||h1||'|'||h2||'|'||h3) AS band FROM sig
+              UNION ALL
+              SELECT doc_id, md5('1'||'|'||h4||'|'||h5||'|'||h6||'|'||h7) FROM sig),
+            cand AS (SELECT DISTINCT i.doc_id AS doc_a, e.doc_id AS doc_b
+                     FROM banded i
+                     JOIN side si ON si.doc_id = i.doc_id AND si.is_new
+                     JOIN banded e ON e.band = i.band
+                     JOIN side se ON se.doc_id = e.doc_id AND NOT se.is_new),
+            tok AS (SELECT DISTINCT doc_id, s AS word FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (SELECT doc_a, doc_b, count(*) AS i
+                      FROM cand
+                      JOIN tok ta ON ta.doc_id = doc_a
+                      JOIN tok tb ON tb.doc_id = doc_b AND tb.word = ta.word
+                      GROUP BY doc_a, doc_b),
+            near AS (SELECT DISTINCT doc_a FROM inter
+                     JOIN sizes sa ON sa.doc_id = doc_a
+                     JOIN sizes sb ON sb.doc_id = doc_b
+                     WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0)
+                           / 10000.0 >= 0.5),
+            exact AS (SELECT d.doc_id FROM documents d
+                      JOIN side s ON s.doc_id = d.doc_id AND s.is_new
+                      WHERE md5(d.text) IN
+                        (SELECT md5(dd.text) FROM documents dd
+                         JOIN side ss ON ss.doc_id = dd.doc_id AND NOT ss.is_new))
+            SELECT d.doc_id,
+              CAST(d.doc_id IN (SELECT doc_id FROM exact) AS BIGINT) AS dropped_exact,
+              CAST(d.doc_id IN (SELECT doc_a FROM near) AS BIGINT) AS dropped_near,
+              CAST((d.doc_id NOT IN (SELECT doc_id FROM exact)
+                    AND d.doc_id NOT IN (SELECT doc_a FROM near)) AS BIGINT) AS is_kept
+            FROM documents d JOIN side s ON s.doc_id = d.doc_id AND s.is_new
+            ORDER BY d.doc_id"""))
+
+  val xDedupKeepbest = OpQuery(
+    "x_dedup_keepbest",
+    "quality-aware dedup: near-dup clusters keep the HIGHEST-quality member " +
+      "(ties -> smallest id) instead of the smallest id",
+    (s, dir) => {
+      val q = TextAnalysis.qualityScore(t(s, dir, "documents"), "text", "n_chars")
+      graft.ext.Dedup.dedupCorpusKeepBest(q, "text", "doc_id", col("quality"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $sigCte,
+            $lshPairsCte,
+            tok AS (SELECT DISTINCT doc_id, s AS word FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (SELECT doc_a, doc_b, count(*) AS i
+                      FROM prs
+                      JOIN tok ta ON ta.doc_id = doc_a
+                      JOIN tok tb ON tb.doc_id = doc_b AND tb.word = ta.word
+                      GROUP BY doc_a, doc_b),
+            verified AS (SELECT doc_a, doc_b
+                         FROM inter
+                         JOIN sizes sa ON sa.doc_id = doc_a
+                         JOIN sizes sb ON sb.doc_id = doc_b
+                         WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0)
+                               / 10000.0 >= 0.5),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+                      UNION SELECT doc_b, doc_a FROM verified),
+            reach(id, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+            comp AS (SELECT id AS doc_id, min(lab) AS component
+                     FROM reach GROUP BY id),
+            tq AS (SELECT doc_id,
+                CAST(len(w) AS BIGINT) AS n_tok,
+                CAST(len(list_filter(w, x -> x IN ($stopList))) AS BIGINT) AS n_stop,
+                n_chars
+              FROM (SELECT doc_id, n_chars,
+                    list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+                    FROM documents)),
+            scored AS (SELECT doc_id, $qualitySqlExpr AS score FROM tq)
+            SELECT comp.doc_id, CAST(comp.component AS BIGINT) AS component,
+                   scored.score,
+                   CAST(row_number() OVER (PARTITION BY comp.component
+                        ORDER BY scored.score DESC, comp.doc_id) = 1 AS BIGINT)
+                     AS is_kept
+            FROM comp JOIN scored ON scored.doc_id = comp.doc_id
+            ORDER BY comp.doc_id"""))
+
+  val xShardAssign = OpQuery(
+    "x_shard_assign",
+    "deterministic corpus shuffle: content-addressed sort key, 16-way shard, " +
+      "position within shard",
+    (s, dir) =>
+      graft.ext.Sharding.shardAssign(t(s, dir, "documents"), "doc_id", 16)
+        .select("doc_id", "sort_key", "shard", "pos")
+        .orderBy("doc_id"),
+    Some("""WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sort_key
+              FROM documents),
+            s AS (SELECT doc_id, sort_key,
+              CAST(((instr('0123456789abcdef', substr(sort_key, 1, 1)) - 1) * 16 +
+                    (instr('0123456789abcdef', substr(sort_key, 2, 1)) - 1)) % 16
+                AS BIGINT) AS shard
+              FROM h)
+            SELECT doc_id, sort_key, shard,
+              CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id)
+                AS BIGINT) AS pos
+            FROM s ORDER BY doc_id"""))
+
+  val xBudgetSelect = OpQuery(
+    "x_budget_select",
+    "token-budget selection: per source, keep best-quality docs while the " +
+      "running token total stays within 600 tokens",
+    (s, dir) =>
+      graft.ext.Sampling.tokenBudgetSelect(
+          TextAnalysis.qualityScore(t(s, dir, "documents"), "text", "n_chars"),
+          "doc_id", col("source"), col("n_tok"), col("quality"), budget = 600L)
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, source, n_chars,
+              list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+              FROM documents),
+            sx AS (SELECT doc_id, source, n_chars,
+              CAST(len(w) AS BIGINT) AS n_tok,
+              CAST(len(list_filter(w, x -> x IN ($stopList))) AS BIGINT) AS n_stop
+              FROM t),
+            q AS (SELECT doc_id, source AS domain, n_tok,
+              $qualitySqlExpr AS score
+              FROM sx),
+            r AS (SELECT doc_id, domain, n_tok, score,
+              sum(n_tok) OVER (PARTITION BY domain ORDER BY score DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM q)
+            SELECT doc_id, domain, n_tok, score,
+                   CAST(cum <= 600 AS BIGINT) AS selected
+            FROM r ORDER BY doc_id"""))
+
+  val xTfidfTopk = OpQuery(
+    "x_tfidf_topk",
+    "TF-IDF keyword extraction: top-5 most distinctive words per source",
+    (s, dir) =>
+      TextAnalysis.tfidfTopK(t(s, dir, "documents"), "text", col("source"),
+          kTop = 5)
+        .orderBy("domain", "rank"),
+    Some("""WITH tok AS (SELECT source AS domain,
+              unnest(string_split(text, ' ')) AS word FROM documents),
+            tf AS (SELECT domain, word, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok WHERE length(word) > 0 GROUP BY domain, word),
+            dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY word),
+            nd AS (SELECT count(DISTINCT domain) AS n FROM tf),
+            scored AS (SELECT domain, word, tf, df,
+                floor(tf * (floor(ln(CAST(n AS DOUBLE) / df) * 10000.0) / 10000.0)
+                      * 10000.0) / 10000.0 AS tfidf
+              FROM tf JOIN dfq USING (word) CROSS JOIN nd),
+            r AS (SELECT *, row_number() OVER (PARTITION BY domain
+                    ORDER BY tfidf DESC, word) AS rank FROM scored)
+            SELECT domain, word, tf, df, CAST(tfidf AS DOUBLE) AS tfidf,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5 ORDER BY domain, rank"""))
+
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
     xSimhash, xNeardupJaccard3, xDedupComponents, xDedupPipeline,
+    xDedupIncremental, xDedupKeepbest,
     xAnnBruteforce, xAnnNative, xAnnSq8, xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
-    xFingerprint, xWinnow,
+    xFingerprint, xWinnow, xTfidfTopk,
     xApproxDistinct, xSampleStratified, xDomainMix, xProfilePercentiles,
-    xPackChunks, xPackStats,
+    xPackChunks, xPackStats, xShardAssign, xBudgetSelect,
     xPiiScrub, xRepetition, xDecontaminate, xLmQuality, xLmBigram,
     xCurationE2e, stCurationGate, xMultimodalFeatures)
 }

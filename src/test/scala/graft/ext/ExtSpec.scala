@@ -511,4 +511,105 @@ class ExtSpec extends SparkTestBase {
     val f = r.getSeq[Double](r.fieldIndex("features"))
     assert(f.length == 4 && f.head == ('t'.toInt / 255.0))
   }
+
+  // a 20-word base whose single-word variant both band-collides under the
+  // k=8/2-band LSH scheme AND clears jaccard 0.5 (verified offline against
+  // the same md5 scheme) — near-dup fixtures must actually collide or the
+  // near-dup branch silently tests nothing
+  private val ndBase = "the quick brown fox jumps over the lazy dog and " +
+    "then runs far away into the deep dark forest tonight"
+  private val ndVariant = "cat" + ndBase.drop(3)
+
+  test("incremental dedup drops exact and near matches, keeps novel docs") {
+    val existing = Seq((1L, ndBase), (2L, "an unrelated corpus document"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, ndBase),                                   // exact dup of 1
+      (11L, ndVariant),                                // near-dup of 1
+      (12L, "completely novel content about catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(existing, incoming, "text", "doc_id")
+      .select("doc_id", "dropped_exact", "dropped_near", "is_kept")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r(10L) == ((10L, 1L, 1L, 0L))) // exact dup is also jaccard-1.0 near
+    assert(r(11L) == ((11L, 0L, 1L, 0L)))
+    assert(r(12L) == ((12L, 0L, 0L, 1L)))
+    // the existing corpus is never emitted — only the incoming batch
+    assert(r.keySet == Set(10L, 11L, 12L))
+  }
+
+  test("keep-best dedup keeps the highest-scoring cluster member, ties -> min id") {
+    val corpus = Seq(
+      (1L, ndBase, 0.3), (2L, ndVariant, 0.9), // one near-dup cluster
+      (3L, "solo document with no duplicates anywhere", 0.5),
+      (4L, "tied cluster member alpha beta gamma delta epsilon zeta", 0.7),
+      (5L, "tied cluster member alpha beta gamma delta epsilon zeta", 0.7))
+      .toDF("doc_id", "text", "q")
+    val r = Dedup.dedupCorpusKeepBest(corpus, "text", "doc_id", $"q")
+      .select("doc_id", "component", "is_kept")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // cluster {1,2}: 2 has the higher score, so 2 is kept even though the
+    // component LABEL is still the min id 1
+    assert(r(1L) == ((1L, 1L, 0L)) && r(2L) == ((2L, 1L, 1L)))
+    assert(r(3L) == ((3L, 3L, 1L)))         // singleton keeps itself
+    // exact-dup cluster {4,5}: equal scores, tie broken by smallest id
+    assert(r(4L) == ((4L, 4L, 1L)) && r(5L) == ((5L, 4L, 0L)))
+  }
+
+  test("shard assignment: deterministic, complete, dense positions per shard") {
+    val df = spark.range(1, 201).toDF("doc_id")
+    val a = Sharding.shardAssign(df, "doc_id", 16)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    val b = Sharding.shardAssign(df.repartition(7), "doc_id", 16)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    // content-addressed: identical assignment at any input partitioning
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    assert(a.map(_._1).toSet == (1L to 200L).toSet)
+    assert(a.map(_._2).forall(s => s >= 0 && s < 16))
+    // positions within each shard are 1..n with no gaps (a loader can
+    // stream a shard by position)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      val ps = rows.map(_._3).sorted.toSeq
+      assert(ps == (1L to ps.size).toSeq)
+    }
+  }
+
+  test("token-budget selection matches the flat window semantics exactly") {
+    // randomized corpus with heavy score ties (2-dp quantization) so the
+    // bucketed two-phase path exercises whole/boundary/dropped buckets
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 300L).map { i =>
+      (i, s"d${i % 3}", rnd.nextInt(30) + 1L,
+        math.floor(rnd.nextDouble() * 100) / 100)
+    }
+    val df = rows.toDF("doc_id", "domain", "n_tok", "score")
+    val got = Sampling.tokenBudgetSelect(df, "doc_id", $"domain", $"n_tok",
+        $"score", budget = 500L)
+      .select("doc_id", "selected").as[(Long, Long)].collect().toMap
+    // flat reference: per domain, order by (score desc, id), cum <= budget
+    val expected = rows.groupBy(_._2).flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(d => (-d._4, d._1)).map { d =>
+        cum += d._3; d._1 -> (if (cum <= 500L) 1L else 0L)
+      }
+    }
+    assert(got == expected)
+    // and the corpus-sized frames are never globally sorted: the only
+    // window over the full input is the boundary-bucket ranking
+    val some = got.values.sum
+    assert(some > 0 && some < 300) // budget actually bites
+  }
+
+  test("tf-idf ranks domain-distinctive words above ubiquitous ones") {
+    val df = Seq(
+      ("a", "zebra zebra common shared"), ("b", "common shared words here"),
+      ("c", "shared common other text")).toDF("domain", "text")
+    val r = TextAnalysis.tfidfTopK(df, "text", $"domain", kTop = 2)
+    val topA = r.filter($"domain" === "a" && $"rank" === 1)
+      .select("word").as[String].head()
+    assert(topA == "zebra") // df=1 of 3 domains, tf=2 — most distinctive
+    // ubiquitous words (df = N) have idf 0 and never outrank distinctive ones
+    val zeroIdf = r.filter($"word" === "common" && $"tfidf" > 0).count()
+    assert(zeroIdf == 0)
+  }
 }
