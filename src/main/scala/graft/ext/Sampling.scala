@@ -106,6 +106,35 @@ object Sampling {
       .select(col(idCol), col("domain"), col("cutoff"))
   }
 
+  /** Uniform k-per-group sampling (the "keep exactly k docs per stratum"
+    * move — per-domain eval slices, debugging samples, labeling batches):
+    * the k members with the SMALLEST content hash win, so membership is
+    * deterministic, content-addressed, and rerun/engine-independent like
+    * everything in this file.
+    *
+    * Scale shape: this is top-k by hash per group, so it runs on the
+    * bounded-heap TopKAgg (map-side partial aggregation, O(k) state per
+    * group, shuffle volume O(partitions × k)) — NOT a
+    * `row_number().over(partitionBy(group))` window, which would shuffle
+    * and fully sort every row of a group into one task. The score is the
+    * NEGATED first 48 md5 bits (exact in a double), ties → smaller id;
+    * the oracle mirrors exactly that ordering. Returns (id, group, rk)
+    * with rk = 1..k in hash order. */
+  def uniformKPerGroup(df: DataFrame, idCol: String, groupCol: Column,
+      kPer: Int): DataFrame = {
+    require(kPer > 0, s"kPer must be positive, got $kPer")
+    val topk = graft.functions.TopK.topK(kPer)
+    val score =
+      -conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+        .cast("double")
+    df.select(groupCol.as("grp"), score.as("_s"),
+        col(idCol).cast("long").as("_id"))
+      .groupBy("grp").agg(topk(col("_s"), col("_id")).as("_top"))
+      .select(col("grp"), posexplode(col("_top.items")))
+      .select(col("col.id").as(idCol), col("grp"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** Token-budget corpus selection: per domain, rank documents by
     * (score desc, id asc) and keep them while the running token total
     * stays ≤ `budget` — "take the best N tokens per domain", the selection

@@ -1402,6 +1402,23 @@ object ExtOps {
                    CAST(cum <= 600 AS BIGINT) AS selected
             FROM r ORDER BY doc_id"""))
 
+  val xSampleKGroup = OpQuery(
+    "x_sample_kgroup",
+    "uniform 5-per-source sample via bounded-heap top-k on content hash " +
+      "(no per-group window sort)",
+    (s, dir) =>
+      graft.ext.Sampling.uniformKPerGroup(t(s, dir, "documents"), "doc_id",
+          col("source"), kPer = 5)
+        .withColumnRenamed("grp", "domain")
+        .orderBy("domain", "rk"),
+    Some("""WITH r AS (SELECT doc_id, source AS domain,
+              row_number() OVER (PARTITION BY source
+                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), doc_id)
+                AS rk
+              FROM documents)
+            SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 5 ORDER BY domain, rk"""))
+
   val xTfidfTopk = OpQuery(
     "x_tfidf_topk",
     "TF-IDF keyword extraction: top-5 most distinctive words per source",
@@ -1433,7 +1450,8 @@ object ExtOps {
     xAnnBruteforce, xAnnNative, xAnnSq8, xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xTfidfTopk,
-    xApproxDistinct, xSampleStratified, xDomainMix, xProfilePercentiles,
+    xApproxDistinct, xSampleStratified, xSampleKGroup, xDomainMix,
+    xProfilePercentiles,
     xPackChunks, xPackStats, xShardAssign, xBudgetSelect,
     xPiiScrub, xRepetition, xDecontaminate, xLmQuality, xLmBigram,
     xCurationE2e, stCurationGate, xMultimodalFeatures)

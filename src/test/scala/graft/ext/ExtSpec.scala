@@ -600,6 +600,29 @@ class ExtSpec extends SparkTestBase {
     assert(some > 0 && some < 300) // budget actually bites
   }
 
+  test("uniform k-per-group sample: window-equivalent, but no Window in plan") {
+    val df = spark.range(1, 501)
+      .selectExpr("id AS doc_id", "concat('g', id % 7) AS grp")
+    val got = Sampling.uniformKPerGroup(df, "doc_id", $"grp", kPer = 3)
+    // reference: the windowed form of the same ordering
+    val expected = df.selectExpr("doc_id", "grp",
+        "substring(md5(CAST(doc_id AS STRING)), 1, 12) AS hx")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")
+          .orderBy("hx", "doc_id")).cast("long"))
+      .filter($"rk" <= 3).select("doc_id", "grp", "rk")
+    assert(got.select("doc_id", "grp", "rk").as[(Long, String, Long)]
+      .collect().toSet ==
+      expected.as[(Long, String, Long)].collect().toSet)
+    // every group contributes exactly k rows with ranks 1..k
+    assert(got.groupBy("grp").count().select("count").as[Long]
+      .collect().forall(_ == 3))
+    // the scale claim: bounded-heap aggregate, not a per-group window sort
+    val hasWindow = got.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(hasWindow.isEmpty, "uniformKPerGroup must not plan a Window")
+  }
+
   test("tf-idf ranks domain-distinctive words above ubiquitous ones") {
     val df = Seq(
       ("a", "zebra zebra common shared"), ("b", "common shared words here"),
