@@ -235,6 +235,24 @@ object Dedup {
         (col("_rk") === 1).cast("long").as("is_kept"))
   }
 
+  /** Precomputed existing-corpus artifacts for incremental dedup: distinct
+    * content hashes (`_h`), the 3-shingle token frame (id, word), and band
+    * keys (`_old`, band). Built ONCE — each frame is staged — so a stream
+    * of incoming shards/micro-batches pays the corpus-side scan a single
+    * time, not once per batch. */
+  final case class CorpusIndex(hashes: DataFrame, tokens: DataFrame,
+      bands: DataFrame, k: Int, nBands: Int)
+
+  /** Build the frozen corpus-side index for [[incrementalDedupAgainst]]. */
+  def buildCorpusIndex(existing: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, bands: Int = 2): CorpusIndex = {
+    val hashes = existing.select(md5(col(textCol)).as("_h")).distinct().staged
+    val tokEx = shingleTokens(existing, textCol, idCol, 3).staged
+    val bEx = bandKeys(minhashFromTokens(tokEx, k), "id", k, bands)
+      .select(col("id").as("_old"), col("band")).staged
+    CorpusIndex(hashes, tokEx, bEx, k, bands)
+  }
+
   /** Incremental (cross-corpus) dedup: filter an INCOMING batch against an
     * EXISTING corpus without re-deduplicating the corpus — the shape every
     * production pipeline runs when a new crawl shard lands. A new document
@@ -253,28 +271,42 @@ object Dedup {
     * O(shard + matched-corpus-slice), independent of corpus size. */
   def incrementalDedup(existing: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, k: Int = 8, bands: Int = 2,
+      threshold: Double = 0.5): DataFrame =
+    incrementalDedupAgainst(
+      buildCorpusIndex(existing, textCol, idCol, k, bands),
+      incoming, textCol, idCol, threshold)
+
+  /** [[incrementalDedup]] against a pre-built [[CorpusIndex]] — the
+    * streaming shape: the index is frozen before the stream starts and
+    * every micro-batch pays only its own (incoming-side) work. Per-batch
+    * results are row-independent (each flag depends only on the doc and
+    * the frozen corpus), so a streamed union over batches equals the
+    * one-shot batch run on the same rows — the property the streaming
+    * twin's oracle hash-checks. Intra-stream duplicates (new doc vs new
+    * doc) are NOT flagged here; that is the ingest-side exact dedup's job
+    * (graft.streaming.IngestDedup). */
+  def incrementalDedupAgainst(index: CorpusIndex, incoming: DataFrame,
+      textCol: String, idCol: String,
       threshold: Double = 0.5): DataFrame = {
     // (a) exact: content hash seen in the corpus
-    val exHashes = existing.select(md5(col(textCol)).as("_h")).distinct()
     val exactDropped = incoming
       .select(col(idCol).as("_eid"), md5(col(textCol)).as("_h"))
-      .join(exHashes, Seq("_h"), "left_semi")
+      .join(index.hashes, Seq("_h"), "left_semi")
       .select(col("_eid"))
     // (b) near: band keys on both sides, incoming × existing (never
     // existing × existing), then exact 3-shingle Jaccard on candidates
-    val tokEx = shingleTokens(existing, textCol, idCol, 3).staged
     val tokIn = shingleTokens(incoming, textCol, idCol, 3).staged
-    val bEx = bandKeys(minhashFromTokens(tokEx, k), "id", k, bands)
-      .select(col("id").as("_old"), col("band"))
-    val bIn = bandKeys(minhashFromTokens(tokIn, k), "id", k, bands)
+    val bIn = bandKeys(minhashFromTokens(tokIn, index.k), "id",
+        index.k, index.nBands)
       .select(col("id").as("_new"), col("band"))
-    val cand = bIn.join(bEx, Seq("band"))
+    val cand = bIn.join(index.bands, Seq("band"))
       .select(col("_new").as("doc_a"), col("_old").as("doc_b")).distinct()
     // verification tokens: union of both sides, pruned to candidate docs
     // (AQE broadcasts the candidate id list when it is small)
     val candIds = cand.select(col("doc_a").as("id"))
       .unionByName(cand.select(col("doc_b").as("id"))).distinct()
-    val tok = tokIn.unionByName(tokEx).join(candIds, Seq("id"), "left_semi")
+    val tok = tokIn.unionByName(index.tokens)
+      .join(candIds, Seq("id"), "left_semi")
     val nearDropped = jaccardOnTokens(tok, cand, threshold)
       .select(col("doc_a").as("_nid")).distinct()
     incoming.select(col(idCol))

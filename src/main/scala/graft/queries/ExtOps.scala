@@ -1258,18 +1258,12 @@ object ExtOps {
       |        / 10000.0 / 10.0, 1.0) * 0.2
       |  ) * 10000.0) / 10000.0 AS DOUBLE)""".stripMargin
 
-  val xDedupIncremental = OpQuery(
-    "x_dedup_incremental",
-    "incremental cross-corpus dedup: new shard (src10+) filtered against " +
-      "the existing corpus (src0-9) by exact hash + LSH/Jaccard near-dup",
-    (s, dir) => {
-      val d = t(s, dir, "documents")
-      val srcNum = expr("CAST(substring(source, 4) AS INT)")
-      graft.ext.Dedup.incrementalDedup(
-          d.filter(srcNum < 10), d.filter(srcNum >= 10), "text", "doc_id")
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH $sigCte,
+  /** Oracle for incremental dedup (src0-9 = existing corpus, src10+ =
+    * incoming shard), shared verbatim by the batch query and its streaming
+    * twin — hash equality across both proves the per-micro-batch path
+    * computes exactly the batch semantics. */
+  private val incrementalOracle =
+    s"""WITH $sigCte,
             side AS (SELECT doc_id,
                 CAST(substr(source, 4) AS INT) >= 10 AS is_new
               FROM documents),
@@ -1305,7 +1299,54 @@ object ExtOps {
               CAST((d.doc_id NOT IN (SELECT doc_id FROM exact)
                     AND d.doc_id NOT IN (SELECT doc_a FROM near)) AS BIGINT) AS is_kept
             FROM documents d JOIN side s ON s.doc_id = d.doc_id AND s.is_new
-            ORDER BY d.doc_id"""))
+            ORDER BY d.doc_id"""
+
+  val xDedupIncremental = OpQuery(
+    "x_dedup_incremental",
+    "incremental cross-corpus dedup: new shard (src10+) filtered against " +
+      "the existing corpus (src0-9) by exact hash + LSH/Jaccard near-dup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val srcNum = expr("CAST(substring(source, 4) AS INT)")
+      graft.ext.Dedup.incrementalDedup(
+          d.filter(srcNum < 10), d.filter(srcNum >= 10), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(incrementalOracle))
+
+  /** Incremental dedup run as a STREAM — the production arrangement: the
+    * corpus-side index (hashes, shingle tokens, band keys) is built and
+    * frozen BEFORE the stream starts, then every arriving micro-batch of
+    * new documents pays only its own work against the staged index inside
+    * a checkpointed foreachBatch topology. Flags are row-independent given
+    * the frozen index, so the streamed union equals the one-shot batch run
+    * — proved by sharing x_dedup_incremental's oracle verbatim. Restart
+    * semantics spec-gated (IncrementalDedupStreamSpec). */
+  val stDedupIncremental = OpQuery(
+    "st_dedup_incremental_stream",
+    "streaming incremental dedup: micro-batches filtered against a frozen corpus index via checkpointed foreachBatch",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val srcNum = expr("CAST(substring(source, 4) AS INT)")
+      val index = graft.ext.Dedup.buildCorpusIndex(
+        t(s, dir, "documents").filter(srcNum < 10), "text", "doc_id")
+      val scratch = graft.core.Scratch.tempDir("graft_incdedup_stream_")
+      val out = s"$scratch/out"; val ck = s"$scratch/ckpt"
+      val stream = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(srcNum >= 10)
+      val q = graft.streaming.Runner.toBatchSink(stream, ck) { (batch, _) =>
+        graft.ext.Dedup.incrementalDedupAgainst(index, batch, "text", "doc_id")
+          .write.mode("append").parquet(out)
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out).orderBy("doc_id")
+    },
+    Some(incrementalOracle))
 
   val xDedupKeepbest = OpQuery(
     "x_dedup_keepbest",
@@ -1446,7 +1487,7 @@ object ExtOps {
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
     xSimhash, xNeardupJaccard3, xDedupComponents, xDedupPipeline,
-    xDedupIncremental, xDedupKeepbest,
+    xDedupIncremental, stDedupIncremental, xDedupKeepbest,
     xAnnBruteforce, xAnnNative, xAnnSq8, xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xTfidfTopk,

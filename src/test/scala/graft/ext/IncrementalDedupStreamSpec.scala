@@ -1,0 +1,91 @@
+package graft.ext
+
+import graft.SparkTestBase
+import graft.streaming.Runner
+import org.apache.spark.sql.DataFrame
+
+/** Streaming incremental dedup (Dedup.incrementalDedupAgainst inside a
+  * checkpointed foreachBatch topology — the st_dedup_incremental_stream
+  * shape):
+  *   - streamed flags over multiple micro-batches equal the one-shot
+  *     batch run on the same rows (row-independence given the frozen
+  *     index);
+  *   - restarting from the checkpoint with no new input re-emits NOTHING;
+  *   - a file arriving after a restart is flagged exactly once.
+  */
+class IncrementalDedupStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // same offline-verified band-colliding near-dup pair as ExtSpec
+  private val ndBase = "the quick brown fox jumps over the lazy dog and " +
+    "then runs far away into the deep dark forest tonight"
+  private val ndVariant = "cat" + ndBase.drop(3)
+
+  private def existing: DataFrame = Seq(
+    (1L, ndBase), (2L, "an unrelated corpus document about joins"))
+    .toDF("doc_id", "text")
+
+  private def incomingA: DataFrame = Seq(
+    (10L, ndBase),      // exact dup of 1
+    (11L, ndVariant))   // near-dup of 1
+    .toDF("doc_id", "text")
+
+  private def incomingB: DataFrame = Seq(
+    (12L, "completely novel content about catalyst optimizer rules"))
+    .toDF("doc_id", "text")
+
+  private def runStream(inDir: String, outDir: String, ck: String,
+      index: Dedup.CorpusIndex): Unit = {
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$inDir/*")
+    val q = Runner.toBatchSink(stream, ck) { (batch, _) =>
+      Dedup.incrementalDedupAgainst(index, batch, "text", "doc_id")
+        .write.mode("append").parquet(outDir)
+    }
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def flags(dir: String): Map[Long, (Long, Long, Long)] =
+    spark.read.parquet(dir)
+      .select("doc_id", "dropped_exact", "dropped_near", "is_kept")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("streamed micro-batches equal the one-shot batch run") {
+    val dir = tmpDir()
+    incomingA.write.parquet(s"$dir/in/b0")
+    incomingB.write.parquet(s"$dir/in/b1")
+    val index = Dedup.buildCorpusIndex(existing, "text", "doc_id")
+    runStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", index)
+    val streamed = flags(s"$dir/out")
+    val batch = Dedup.incrementalDedup(existing,
+        incomingA.unionByName(incomingB), "text", "doc_id")
+      .select("doc_id", "dropped_exact", "dropped_near", "is_kept")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(streamed == batch)
+    assert(streamed(10L) == ((1L, 1L, 0L))) // exact dup also jaccard-1.0 near
+    assert(streamed(11L) == ((0L, 1L, 0L)))
+    assert(streamed(12L) == ((0L, 0L, 1L)))
+  }
+
+  test("restart re-emits nothing; a late file is flagged exactly once") {
+    val dir = tmpDir()
+    incomingA.write.parquet(s"$dir/in/b0")
+    val index = Dedup.buildCorpusIndex(existing, "text", "doc_id")
+    runStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", index)
+    val afterFirst = flags(s"$dir/out")
+    assert(afterFirst.keySet == Set(10L, 11L))
+
+    // restart with no new input: the checkpoint must suppress re-emission
+    runStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", index)
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+
+    // a file landing after the restart is processed exactly once
+    incomingB.write.parquet(s"$dir/in/b1")
+    runStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", index)
+    val finalFlags = flags(s"$dir/out")
+    assert(spark.read.parquet(s"$dir/out").count() == 3)
+    assert(finalFlags(12L) == ((0L, 0L, 1L)))
+  }
+}
