@@ -51,4 +51,27 @@ object Profiling {
       .filter(col("cum") >= ceil(col("q") * col("n")))
       .groupBy("metric", "q").agg(min("v").as("value"))
   }
+
+  /** Snapshot diff between two corpus versions keyed by id: `added`
+    * (id only in the new snapshot), `removed` (only in the old),
+    * `changed` (present in both with different content), `unchanged` —
+    * the audit primitive of an incremental pipeline ("what did this
+    * refresh actually do?"), feeding incremental dedup/re-scoring of
+    * exactly the added ∪ changed slice.
+    *
+    * Scale shape: both sides reduce to (id, md5) BEFORE the join, so the
+    * single full-outer hash-shuffle moves 2 fixed-width columns per row,
+    * never document bytes; comparing hashes instead of text keeps the
+    * join key-bounded and the output column-pruned. */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("id"), md5(col(textCol)).as("_ho"))
+    val n = newSnap.select(col(idCol).as("id"), md5(col(textCol)).as("_hn"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("_ho").isNull, "added")
+          .when(col("_hn").isNull, "removed")
+          .when(col("_ho") === col("_hn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

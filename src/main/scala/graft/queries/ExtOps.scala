@@ -1443,6 +1443,35 @@ object ExtOps {
                    CAST(cum <= 600 AS BIGINT) AS selected
             FROM r ORDER BY doc_id"""))
 
+  val xCorpusDiff = OpQuery(
+    "x_corpus_diff",
+    "snapshot diff: added/removed/changed/unchanged between two corpus " +
+      "versions (old = ids with id%10<9, new = ids with id%10>0, texts " +
+      "of id%7=0 rewritten)",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val oldSnap = d.filter(col("doc_id") % 10 < 9)
+      val newSnap = d.filter(col("doc_id") % 10 > 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.ext.Profiling.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH o AS (SELECT doc_id, md5(text) AS ho FROM documents
+              WHERE doc_id % 10 < 9),
+            n AS (SELECT doc_id,
+                md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS hn
+              FROM documents WHERE doc_id % 10 > 0)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN ho = hn THEN 'unchanged'
+                   ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+            ORDER BY doc_id"""))
+
   val xSampleKGroup = OpQuery(
     "x_sample_kgroup",
     "uniform 5-per-source sample via bounded-heap top-k on content hash " +
@@ -1492,7 +1521,7 @@ object ExtOps {
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xTfidfTopk,
     xApproxDistinct, xSampleStratified, xSampleKGroup, xDomainMix,
-    xProfilePercentiles,
+    xProfilePercentiles, xCorpusDiff,
     xPackChunks, xPackStats, xShardAssign, xBudgetSelect,
     xPiiScrub, xRepetition, xDecontaminate, xLmQuality, xLmBigram,
     xCurationE2e, stCurationGate, xMultimodalFeatures)

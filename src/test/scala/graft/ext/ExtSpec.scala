@@ -600,6 +600,17 @@ class ExtSpec extends SparkTestBase {
     assert(some > 0 && some < 300) // budget actually bites
   }
 
+  test("corpus diff classifies added/removed/changed/unchanged") {
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((2L, "beta"), (3L, "gamma CHANGED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val r = Profiling.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(r == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("uniform k-per-group sample: window-equivalent, but no Window in plan") {
     val df = spark.range(1, 501)
       .selectExpr("id AS doc_id", "concat('g', id % 7) AS grp")
