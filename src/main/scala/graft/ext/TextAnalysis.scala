@@ -236,6 +236,29 @@ object TextAnalysis {
       .agg(countDistinct(cf("fp")).as("n_shared_fps"))
   }
 
+  /** Per-domain vocabulary profile: token mass, vocabulary size, hapax
+    * count (words occurring once — the Zipf tail), and type/token ratio.
+    * The richness numbers that flag template-generated or boilerplate
+    * domains (tiny vocabulary for their token mass) before any pairwise
+    * dedup machinery runs.
+    *
+    * Scale shape: one explode + two bounded-key aggregations
+    * ((domain, word) then domain) — vocabulary-sized shuffles with
+    * map-side combine, never corpus-pairwise. */
+  def vocabProfile(docs: DataFrame, textCol: String,
+      domainCol: org.apache.spark.sql.Column): DataFrame = {
+    val tok = docs.select(domainCol.as("domain"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    tok.groupBy("domain", "word").agg(count(lit(1)).as("_c"))
+      .groupBy("domain")
+      .agg(sum("_c").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("hapax_count"))
+      .withColumn("type_token_ratio",
+        trunc4(col("vocab_size").cast("double") / col("n_tokens")))
+  }
+
   /** TF-IDF keyword extraction: the top-k most DISTINCTIVE words per
     * domain — tf = word occurrences within the domain, df = number of
     * domains containing the word, tfidf = tf · ln(N/df). The standard

@@ -1489,6 +1489,26 @@ object ExtOps {
             SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk
             FROM r WHERE rk <= 5 ORDER BY domain, rk"""))
 
+  val xVocabProfile = OpQuery(
+    "x_vocab_profile",
+    "per-source vocabulary profile: token mass, vocab size, hapax count, " +
+      "type/token ratio",
+    (s, dir) =>
+      TextAnalysis.vocabProfile(t(s, dir, "documents"), "text", col("source"))
+        .orderBy("domain"),
+    Some("""WITH tok AS (SELECT source AS domain,
+              unnest(string_split(text, ' ')) AS word FROM documents),
+            wc AS (SELECT domain, word, count(*) AS c
+                   FROM tok WHERE length(word) > 0 GROUP BY domain, word)
+            SELECT domain,
+              CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS vocab_size,
+              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS hapax_count,
+              CAST(floor(CAST(count(*) AS DOUBLE) / sum(c) * 10000.0) / 10000.0
+                AS DOUBLE) AS type_token_ratio
+            FROM wc GROUP BY domain ORDER BY domain"""))
+
   val xTfidfTopk = OpQuery(
     "x_tfidf_topk",
     "TF-IDF keyword extraction: top-5 most distinctive words per source",
@@ -1519,7 +1539,7 @@ object ExtOps {
     xDedupIncremental, stDedupIncremental, xDedupKeepbest,
     xAnnBruteforce, xAnnNative, xAnnSq8, xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
-    xFingerprint, xWinnow, xTfidfTopk,
+    xFingerprint, xWinnow, xTfidfTopk, xVocabProfile,
     xApproxDistinct, xSampleStratified, xSampleKGroup, xDomainMix,
     xProfilePercentiles, xCorpusDiff,
     xPackChunks, xPackStats, xShardAssign, xBudgetSelect,

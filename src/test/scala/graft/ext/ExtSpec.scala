@@ -634,6 +634,18 @@ class ExtSpec extends SparkTestBase {
     assert(hasWindow.isEmpty, "uniformKPerGroup must not plan a Window")
   }
 
+  test("vocab profile: repetitive domains show small vocab and low TTR") {
+    val df = Seq(
+      ("spam", "buy buy buy buy now now"),
+      ("rich", "every single word here is completely different")).toDF("domain", "text")
+    val r = TextAnalysis.vocabProfile(df, "text", $"domain")
+      .select("domain", "n_tokens", "vocab_size", "hapax_count", "type_token_ratio")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r("spam") == (("spam", 6L, 2L, 0L, 0.3333)))
+    assert(r("rich") == (("rich", 7L, 7L, 7L, 1.0)))
+  }
+
   test("tf-idf ranks domain-distinctive words above ubiquitous ones") {
     val df = Seq(
       ("a", "zebra zebra common shared"), ("b", "common shared words here"),
