@@ -81,4 +81,46 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("Window"), s"$q window-shuffles:\n$p")
     }
   }
+
+  test("budget selection broadcasts the bucket-cutoff frame over the corpus") {
+    val p = planOf("x_budget_select")
+    // the corpus never sort-merge-joins the tiny (domain, score) cutoff
+    // frame, and nothing degenerates to a cartesian product
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("shard assignment shuffles once by shard (plus the oracle sort)") {
+    val p = planOf("x_shard_assign")
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 2, s"shard assignment over-shuffles:\n$p")
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("incremental dedup and corpus diff never degenerate to cartesian plans") {
+    for (q <- Seq("x_dedup_incremental", "x_corpus_diff")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q goes cartesian:\n$p")
+    }
+  }
+
+  test("corpus diff scan is pruned to id + text only") {
+    val p = planOf("x_corpus_diff")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), p)
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("lang"),
+      s"diff reads pruned columns: $readSchema")
+  }
+
+  test("vocab profile and tf-idf aggregate with map-side partial combine") {
+    for (q <- Seq("x_vocab_profile", "x_tfidf_topk")) {
+      val p = planOf(q)
+      // partial + final HashAggregate pairs on the (domain, word) key —
+      // the explode never shuffles raw token rows without combining first
+      assert(p.linesIterator.count(_.matches("""\(\d+\) HashAggregate.*""")) >= 2,
+        s"$q lost map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
 }
