@@ -302,11 +302,13 @@ object Dedup {
     val cand = bIn.join(index.bands, Seq("band"))
       .select(col("_new").as("doc_a"), col("_old").as("doc_b")).distinct()
     // verification tokens: union of both sides, pruned to candidate docs
-    // (AQE broadcasts the candidate id list when it is small)
+    // (AQE broadcasts the candidate id list when it is small), then staged
+    // — jaccardOnTokens reads its token frame three times, and an unstaged
+    // frame would re-run the corpus-wide semi-join prune per branch
     val candIds = cand.select(col("doc_a").as("id"))
       .unionByName(cand.select(col("doc_b").as("id"))).distinct()
     val tok = tokIn.unionByName(index.tokens)
-      .join(candIds, Seq("id"), "left_semi")
+      .join(candIds, Seq("id"), "left_semi").staged
     val nearDropped = jaccardOnTokens(tok, cand, threshold)
       .select(col("doc_a").as("_nid")).distinct()
     incoming.select(col(idCol))
