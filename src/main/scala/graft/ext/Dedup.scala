@@ -450,6 +450,72 @@ object Dedup {
     (0 until bits).map(b =>
       s"CASE WHEN b$b * 2 >= n THEN ${1L << b} ELSE 0 END").mkString(" + ")
 
+  /** Duplicated-SPAN detection (the ExactSubstr recipe of Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — public
+    * method): instead of dropping whole near-duplicate documents, find the
+    * token positions covered by an n-token run that occurs more than once
+    * in the corpus. Returns one row per document:
+    * (id, n_tok, n_dup_tok, retained_tok, dup_frac) — `retained_tok` is
+    * what survives cutting every duplicated span, the number ExactSubstr
+    * actually deletes against.
+    *
+    * Scale shapes, in pipeline order (the suffix array of the paper is a
+    * single-machine construction; the Spark-native equivalent is n-gram
+    * hashing, which finds the same ≥ n-token duplicated runs):
+    *   1. tokenize once — the staged words frame feeds the gram explode
+    *      AND the final per-doc join;
+    *   2. per-doc n-gram hashes built doc-locally (one md5 per position,
+    *      map-only), then exploded with their start position;
+    *   3. duplicate detection: groupBy(gram hash) count — map-side
+    *      combined, key cardinality = distinct n-grams, never pairwise;
+    *   4. the gram frame joins the duplicated-hash set on the SAME key it
+    *      was just aggregated on and collapses per doc to the sorted list
+    *      of duplicated start positions — only duplicated rows shuffle
+    *      (on real corpora a few % of tokens), never the full token
+    *      stream; per-doc state is bounded by the doc's own length, held
+    *      on executors;
+    *   5. covered-token count = interval union of [s, s+n−1] over the
+    *      sorted starts, computed with a doc-local array fold: the j-th
+    *      start contributes min(n, next_start − start) and the last
+    *      contributes n. No per-position window — the corpus-token-sized
+    *      PARTITION BY doc shuffle a windowed-coverage shape would pay is
+    *      exactly the scale-killer this shape avoids at 100 TB.
+    */
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, "span length must be at least 2 tokens")
+    val words = docs.select(col(idCol),
+        filter(split(col(textCol), " "), w => length(w) > 0).as("_w"))
+      .withColumn("n_tok", size(col("_w")).cast("long"))
+      .staged
+    val grams = words
+      .select(col(idCol), posexplode(expr(
+        s"""CASE WHEN size(_w) < $n THEN array()
+            ELSE transform(sequence(1, size(_w) - ${n - 1}),
+                 i -> md5(concat_ws(' ', slice(_w, i, $n)))) END"""))
+        .as(Seq("_p", "h")))
+      .select(col(idCol), (col("_p") + 1).as("start"), col("h"))
+      .staged
+    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).select("h")
+    val dupStarts = grams.join(dupHashes, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("start"))).as("_starts"))
+      .withColumn("n_dup_tok", expr(
+        s"""aggregate(transform(sequence(1, size(_starts)),
+              j -> CASE WHEN j < size(_starts)
+                   THEN least(element_at(_starts, j + 1)
+                              - element_at(_starts, j), $n)
+                   ELSE $n END),
+            0L, (a, x) -> a + CAST(x AS BIGINT))"""))
+    words.select(col(idCol), col("n_tok"))
+      .join(dupStarts.select(col(idCol), col("n_dup_tok")), Seq(idCol), "left")
+      .withColumn("n_dup_tok", coalesce(col("n_dup_tok"), lit(0L)))
+      .withColumn("retained_tok", col("n_tok") - col("n_dup_tok"))
+      .withColumn("dup_frac", TextAnalysis.trunc4(
+        col("n_dup_tok").cast("double") / greatest(col("n_tok"), lit(1L))))
+  }
+
   /** 16-bit SimHash over word tokens: per-token md5, majority vote per
     * bit. One explode + one groupBy — linear, no pairwise work; docs with
     * equal simhash (or small Hamming distance) are near-dup candidates. */

@@ -204,6 +204,85 @@ object LmScore {
       .select(col("id"), col("lang"), col("n_tok"), col("cross_entropy"))
   }
 
+  /** Multinomial Naive Bayes text classifier — the learned quality/domain
+    * filter of the GPT-3 / CCNet lineage (there a logistic regression or
+    * fastText model; NB is the closed-form member of the same family, so
+    * the whole train+predict cycle stays inside declarative Spark with no
+    * iterative solver). Trains P(class) and P(word|class) on the `trusted`
+    * subset's `labelCol`, then scores EVERY document against every class
+    * and returns the argmax:
+    * (id, label, pred, n_tok, log_post) — `label` is the document's own
+    * class (so accuracy is one aggregation away), `pred` the argmax class,
+    * `log_post` the winning unnormalized log-posterior (4-dp DECIMAL sum
+    * cast to double).
+    *
+    * Add-1 smoothing over the GLOBAL training vocabulary + 1 OOV bucket:
+    * p(w|c) = (cnt_{c,w}+1)/(tot_c+|V|+1), OOV → 1/(tot_c+|V|+1); priors
+    * p(c) = docs_c/docs. Every log is floor-truncated to 4 dp at model
+    * build (once per model row), per-doc sums are exact DECIMAL — the
+    * file's standard oracle-parity discipline.
+    *
+    * Scale shapes: tokenize once (staged frame feeds training counts AND
+    * scoring); model shuffles are vocabulary-bounded with map-side
+    * combine; scoring expands tokens × |classes| via a broadcast of the
+    * class list (|classes| is small by construction — languages, quality
+    * tiers), joins the model on the vocab-bounded (cls, word) key, and
+    * collapses to one row per (doc, class) before the argmax window runs
+    * over a docs×|classes| frame — the window never sees token-sized
+    * partitions. */
+  def classifyNaiveBayes(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, trusted: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col(idCol).as("id"), col(labelCol).as("label"),
+        trusted.as("_trusted"),
+        filter(split(col(textCol), " "), w => length(w) > 0).as("_w"))
+      .filter(size(col("_w")) > 0)
+      .staged
+    val tok = base.select(col("id"), col("label"), col("_trusted"),
+      explode(col("_w")).as("word")).staged
+    val train = tok.filter(col("_trusted"))
+    val counts = train.groupBy(col("label").as("cls"), col("word"))
+      .agg(count("*").as("cnt"))
+    val vocab = counts.agg(countDistinct("word").as("_v"))
+    val classTotals = counts.groupBy("cls").agg(sum("cnt").as("tot"))
+      .crossJoin(broadcast(vocab))
+    val model = counts.join(classTotals, Seq("cls"))
+      .select(col("cls"), col("word"),
+        negSurprisalOf((col("cnt") + 1).cast("double")
+          / (col("tot") + col("_v") + 1)).as("lp"))
+    val priors = base.filter(col("_trusted"))
+      .groupBy(col("label").as("cls")).agg(count("*").as("nd"))
+    val classDefaults = classTotals
+      .join(priors, Seq("cls"))
+      .crossJoin(broadcast(priors.agg(sum("nd").as("_ndt"))))
+      .select(col("cls"),
+        negSurprisalOf(lit(1.0) / (col("tot") + col("_v") + 1)).as("oov_lp"),
+        negSurprisalOf(col("nd").cast("double") / col("_ndt")).as("prior_lp"))
+    val scored = tok.select(col("id"), col("label"), col("word"))
+      .crossJoin(broadcast(classDefaults.select("cls")))
+      .join(model, Seq("cls", "word"), "left")
+      .join(broadcast(classDefaults), Seq("cls"))
+      .withColumn("_lp", coalesce(col("lp"), col("oov_lp")))
+      .groupBy(col("id"), col("label"), col("cls"))
+      .agg(count("*").as("_n"), (sum("_lp") + first("prior_lp")).as("_post"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("_post").desc, col("cls").asc)
+    scored
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("id"), col("label"), col("cls").as("pred"),
+        // token count is class-independent; the winning row carries it
+        col("_n").cast("long").as("n_tok"),
+        col("_post").cast("double").as("log_post"))
+  }
+
   private def surprisalOf(p: Column): Column =
     (floor(-log(p) * 10000.0) / 10000.0).cast("decimal(18,4)")
+
+  /** Log-probability (≤ 0) at the same 4-dp truncation: floor on the
+    * NEGATED surprisal keeps the truncation a pure function of the IEEE
+    * double exactly like [[surprisalOf]]. */
+  private def negSurprisalOf(p: Column): Column =
+    (floor(log(p) * 10000.0) / 10000.0).cast("decimal(18,4)")
 }

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Materialize._
 
 /** Deterministic, content-addressed sampling for training-data curation.
   *
@@ -183,5 +184,60 @@ object Sampling {
         (col("_prev") + sum("n_tok").over(wd) <= budget).cast("long"))
     nonBoundary.unionByName(boundary)
       .select("doc_id", "domain", "n_tok", "score", "selected")
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * public method): score every raw document by how much more likely its
+    * hashed n-gram features are under the TARGET distribution (the
+    * high-quality subset you want more of) than under the raw pool, then
+    * resample the corpus proportionally to exp(log_weight). This is the
+    * "make the crawl look like Wikipedia" selection move. Features are
+    * unigrams + word bigrams, bucketed by the first `hexChars` hex chars
+    * of their md5 (16^hexChars buckets) — the feature hashing of the
+    * paper, here content-addressed so every engine agrees on the bucket.
+    *
+    * Per-bucket log ratio λ_b = ln( ((tc_b+1)/(tt+B)) / ((rc_b+1)/(rt+B)) )
+    * (add-1 smoothing over the B-bucket space on both distributions),
+    * floor-truncated to 4 dp at MODEL BUILD time — once per bucket — and
+    * summed per doc as exact DECIMAL, the LmScore parity discipline.
+    * Returns (id, n_feat, log_weight) for docs with ≥1 token.
+    *
+    * Scale shapes: one corpus tokenize staged (feeds both distributions
+    * AND scoring); bucket counts are B-bounded aggregations with map-side
+    * combine; the λ table is B rows — broadcast back onto the staged
+    * feature frame; final per-doc sum shuffles on doc id. No corpus-sized
+    * key ever shuffles twice. */
+  def dsirLogWeights(docs: DataFrame, textCol: String, idCol: String,
+      target: Column, hexChars: Int = 2): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8, "hexChars must be in [1, 8]")
+    val buckets = 1L << (4 * hexChars)
+    val feats = docs
+      .select(col(idCol).as("id"), target.as("_target"),
+        filter(split(col(textCol), " "), w => length(w) > 0).as("_w"))
+      .filter(size(col("_w")) > 0)
+      .select(col("id"), col("_target"),
+        explode(concat(col("_w"), expr(
+          """CASE WHEN size(_w) < 2 THEN array()
+             ELSE transform(sequence(1, size(_w) - 1),
+                  i -> concat_ws(' ', element_at(_w, i),
+                                 element_at(_w, i + 1))) END"""))).as("f"))
+      .select(col("id"), col("_target"),
+        substring(md5(col("f")), 1, hexChars).as("b"))
+      .staged
+    val raw = feats.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tgt = feats.filter(col("_target"))
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val totals = raw.agg(sum("rc").as("rt"))
+      .crossJoin(tgt.agg(coalesce(sum("tc"), lit(0L)).as("tt")))
+    val lambda = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (floor(log(((coalesce(col("tc"), lit(0L)) + 1.0) / (col("tt") + buckets))
+          / ((col("rc") + 1.0) / (col("rt") + buckets))) * 10000.0) / 10000.0)
+          .cast("decimal(18,4)").as("lam"))
+    feats.join(broadcast(lambda), Seq("b"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feat"),
+        sum("lam").cast("double").as("log_weight"))
   }
 }

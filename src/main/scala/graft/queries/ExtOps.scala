@@ -785,6 +785,95 @@ object ExtOps {
                 AS cross_entropy
             FROM sc ORDER BY id"""))
 
+  /** DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    * features (md5 2-hex prefix → 256 buckets), target = the trusted
+    * two-thirds (the same doc_id % 3 split the LM-quality family trains
+    * on), raw = the whole corpus. The oracle rebuilds both bucket
+    * distributions and the per-bucket truncated log ratio in SQL, so the
+    * feature hashing, the add-1 smoothing, and the decimal-sum scoring
+    * are all hash-gated. */
+  val xDsirWeights = OpQuery(
+    "x_dsir_weights",
+    "DSIR importance-resampling log weights from hashed n-gram features (target vs raw)",
+    (s, dir) =>
+      graft.ext.Sampling.dsirLogWeights(t(s, dir, "documents"),
+          "text", "doc_id", target = col("doc_id") % 3 =!= 0)
+        .orderBy("id"),
+    Some("""WITH tw AS (SELECT doc_id, doc_id % 3 <> 0 AS tgt,
+              list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+              FROM documents),
+            nz AS (SELECT * FROM tw WHERE len(w) > 0),
+            f AS (SELECT doc_id, tgt,
+              unnest(list_concat(w, CASE WHEN len(w) < 2 THEN []
+                ELSE list_transform(generate_series(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i + 1]) END)) AS f
+              FROM nz),
+            fb AS (SELECT doc_id, tgt, substr(md5(f), 1, 2) AS b FROM f),
+            rc AS (SELECT b, count(*) AS rc FROM fb GROUP BY b),
+            tc AS (SELECT b, count(*) AS tc FROM fb WHERE tgt GROUP BY b),
+            tots AS (SELECT (SELECT sum(rc) FROM rc) AS rt,
+                            (SELECT coalesce(sum(tc), 0) FROM tc) AS tt),
+            lam AS (SELECT rc.b,
+              CAST(floor(ln(((coalesce(tc.tc, 0) + 1.0) / (tt + 256))
+                / ((rc.rc + 1.0) / (rt + 256))) * 10000.0) / 10000.0
+                AS DECIMAL(18,4)) AS lam
+              FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tots),
+            sc AS (SELECT doc_id, count(*) AS n_feat, sum(lam) AS s
+              FROM fb JOIN lam ON lam.b = fb.b GROUP BY doc_id)
+            SELECT doc_id AS id, CAST(n_feat AS BIGINT) AS n_feat,
+              CAST(s AS DOUBLE) AS log_weight
+            FROM sc ORDER BY id"""))
+
+  /** Multinomial Naive Bayes classify-and-argmax — the learned-filter
+    * analog (GPT-3's quality logreg / fastText lang-id family) with a
+    * closed-form trainer, so train + predict is one declarative plan.
+    * Labels are the documents' own `lang`; the model trains on the
+    * trusted two-thirds and every doc (including held-out) is scored
+    * against all classes. Argmax tie-break is (log_post DESC, cls ASC)
+    * via row_number in BOTH engines. */
+  val xNbClassify = OpQuery(
+    "x_nb_classify",
+    "Naive Bayes lang classifier: train on trusted subset, argmax posterior per doc",
+    (s, dir) =>
+      LmScore.classifyNaiveBayes(t(s, dir, "documents"),
+          "text", "doc_id", "lang", trusted = col("doc_id") % 3 =!= 0)
+        .orderBy("id"),
+    Some("""WITH tw AS (SELECT doc_id, lang, doc_id % 3 <> 0 AS tr,
+              list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+              FROM documents),
+            nz AS (SELECT * FROM tw WHERE len(w) > 0),
+            tok AS (SELECT doc_id, lang, tr, unnest(w) AS word FROM nz),
+            cnts AS (SELECT lang AS cls, word, count(*) AS cnt FROM tok
+                     WHERE tr GROUP BY 1, 2),
+            v AS (SELECT count(DISTINCT word) AS v FROM cnts),
+            ct AS (SELECT cls, sum(cnt) AS tot FROM cnts GROUP BY cls),
+            model AS (SELECT cls, word,
+              CAST(floor(ln((cnt + 1.0) / (tot + v + 1)) * 10000.0) / 10000.0
+                AS DECIMAL(18,4)) AS lp
+              FROM cnts JOIN ct USING (cls) CROSS JOIN v),
+            pri AS (SELECT lang AS cls, count(*) AS nd FROM nz WHERE tr
+                    GROUP BY 1),
+            ndt AS (SELECT sum(nd) AS ndt FROM pri),
+            cd AS (SELECT ct.cls,
+              CAST(floor(ln(1.0 / (tot + v + 1)) * 10000.0) / 10000.0
+                AS DECIMAL(18,4)) AS oov_lp,
+              CAST(floor(ln(CAST(nd AS DOUBLE) / ndt) * 10000.0) / 10000.0
+                AS DECIMAL(18,4)) AS prior_lp
+              FROM ct JOIN pri ON pri.cls = ct.cls CROSS JOIN v CROSS JOIN ndt),
+            sc AS (SELECT t.doc_id, t.lang, cd.cls, cd.prior_lp,
+              count(*) AS n, sum(coalesce(m.lp, cd.oov_lp)) AS s
+              FROM tok t
+              CROSS JOIN cd
+              LEFT JOIN model m ON m.cls = cd.cls AND m.word = t.word
+              GROUP BY t.doc_id, t.lang, cd.cls, cd.prior_lp),
+            rk AS (SELECT doc_id, lang, cls, n, s + prior_lp AS post,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY (s + prior_lp) DESC, cls ASC) AS rk
+              FROM sc)
+            SELECT doc_id AS id, lang AS label, cls AS pred,
+              CAST(n AS BIGINT) AS n_tok, CAST(post AS DOUBLE) AS log_post
+            FROM rk WHERE rk = 1 ORDER BY id"""))
+
   val xSampleStratified = OpQuery(
     "x_sample_stratified",
     "deterministic md5-threshold stratified sample (50% of 'en', 25% of the rest)",
@@ -1396,6 +1485,49 @@ object ExtOps {
             FROM comp JOIN scored ON scored.doc_id = comp.doc_id
             ORDER BY comp.doc_id"""))
 
+  /** Span-level exact dedup (Lee et al. 2021 ExactSubstr, reshaped for
+    * Spark as n-gram hashing — SURVEY.md north-star op): the oracle
+    * restates coverage as a windowed max over duplicated-8-gram start
+    * flags (position j is covered iff a duplicated gram starts in
+    * [j−7, j]), which is provably the same interval union the Spark side
+    * folds over sorted start positions — the window shape is fine for
+    * DuckDB at oracle scale, while the fold shape avoids the
+    * corpus-token-sized PARTITION BY doc shuffle at 100 TB. */
+  val xSubstringDedup = OpQuery(
+    "x_substring_dedup",
+    "duplicated-span coverage per doc (ExactSubstr): token 8-grams occurring more than once corpus-wide",
+    (s, dir) =>
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "text", "doc_id", n = 8)
+        .orderBy("doc_id"),
+    Some("""WITH tw AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+              FROM documents),
+            base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok, w FROM tw),
+            pos AS (SELECT doc_id, w, n_tok,
+              unnest(generate_series(1, CAST(greatest(n_tok, 1) AS INT))) AS i
+              FROM base),
+            g AS (SELECT doc_id, i,
+              CASE WHEN i + 7 <= n_tok
+                   THEN md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))
+              END AS h
+              FROM pos),
+            cnt AS (SELECT h, count(*) AS c FROM g WHERE h IS NOT NULL GROUP BY h),
+            fl AS (SELECT g.doc_id, g.i,
+              CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END AS st
+              FROM g LEFT JOIN cnt ON cnt.h = g.h),
+            cov AS (SELECT doc_id, max(st) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+              FROM fl),
+            agg AS (SELECT doc_id, CAST(sum(covered) AS BIGINT) AS n_dup_tok
+              FROM cov GROUP BY doc_id)
+            SELECT b.doc_id, b.n_tok,
+              CAST(coalesce(a.n_dup_tok, 0) AS BIGINT) AS n_dup_tok,
+              CAST(b.n_tok - coalesce(a.n_dup_tok, 0) AS BIGINT) AS retained_tok,
+              floor(CAST(coalesce(a.n_dup_tok, 0) AS DOUBLE)
+                    / greatest(b.n_tok, 1) * 10000.0) / 10000.0 AS dup_frac
+            FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+            ORDER BY b.doc_id"""))
+
   val xShardAssign = OpQuery(
     "x_shard_assign",
     "deterministic corpus shuffle: content-addressed sort key, 16-way shard, " +
@@ -1536,7 +1668,7 @@ object ExtOps {
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
     xSimhash, xNeardupJaccard3, xDedupComponents, xDedupPipeline,
-    xDedupIncremental, stDedupIncremental, xDedupKeepbest,
+    xDedupIncremental, stDedupIncremental, xDedupKeepbest, xSubstringDedup,
     xAnnBruteforce, xAnnNative, xAnnSq8, xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xTfidfTopk, xVocabProfile,
@@ -1544,5 +1676,6 @@ object ExtOps {
     xProfilePercentiles, xCorpusDiff,
     xPackChunks, xPackStats, xShardAssign, xBudgetSelect,
     xPiiScrub, xRepetition, xDecontaminate, xLmQuality, xLmBigram,
+    xDsirWeights, xNbClassify,
     xCurationE2e, stCurationGate, xMultimodalFeatures)
 }

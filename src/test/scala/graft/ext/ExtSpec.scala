@@ -658,4 +658,60 @@ class ExtSpec extends SparkTestBase {
     val zeroIdf = r.filter($"word" === "common" && $"tfidf" > 0).count()
     assert(zeroIdf == 0)
   }
+
+  test("duplicated spans: coverage is the interval union of shared 8-gram runs") {
+    val a = (1 to 12).map(i => s"t$i").mkString(" ")            // 12 tokens
+    val b = (1 to 8).map(i => s"t$i").mkString(" ") + " x y z"  // shares t1..t8 only
+    val c = "totally different words without any common run here at all"
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, a)).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(df, "text", "doc_id")
+      .select("doc_id", "n_tok", "n_dup_tok", "retained_tok", "dup_frac")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // docs 1/4 are full copies: overlapping dup starts 1..5 union to ALL
+    // 12 tokens (4 gaps of 1 + the final 8), not 5 × 8 = 40
+    assert(r(1L) == ((1L, 12L, 12L, 0L, 1.0)))
+    assert(r(4L) == ((4L, 12L, 12L, 0L, 1.0)))
+    // doc 2 shares exactly one 8-gram (start 1): 8 of 11 tokens covered
+    assert(r(2L) == ((2L, 11L, 8L, 3L, 0.7272)))
+    // untouched doc: zero coverage, full retention
+    assert(r(3L) == ((3L, 10L, 0L, 10L, 0.0)))
+  }
+
+  test("duplicated spans: WITHIN-doc repeats count (ExactSubstr semantics)") {
+    val p = (1 to 8).map(i => s"p$i").mkString(" ")
+    val df = Seq((1L, s"$p $p"), (2L, "q1 q2 q3 q4 q5 q6 q7 q8 q9"))
+      .toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(df, "text", "doc_id")
+      .select("doc_id", "n_dup_tok").as[(Long, Long)].collect().toMap
+    // the 8-gram p1..p8 occurs at starts 1 and 9 of the SAME doc: both
+    // occurrences' spans are covered (disjoint union = all 16 tokens)
+    assert(r(1L) == 16L)
+    assert(r(2L) == 0L)
+  }
+
+  test("DSIR: target-like docs get higher importance weights, n_feat = 2n-1") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma epsilon"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "zeta eta theta iota"), (5L, "zeta eta theta kappa"),
+      (6L, "zeta eta theta iota"),
+      (7L, "alpha beta gamma delta"),   // held out, target-like
+      (8L, "zeta eta theta iota"))      // held out, raw-only-like
+      .toDF("doc_id", "text")
+    val r = Sampling.dsirLogWeights(df, "text", "doc_id",
+        target = col("doc_id") <= 3)
+      .select("id", "n_feat", "log_weight")
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // 4 unigrams + 3 bigrams per doc
+    assert(r.values.forall(_._2 == 7L))
+    // docs whose features concentrate in the target distribution score
+    // strictly above docs whose features the target never saw — the
+    // RELATIVE order is what importance resampling consumes (absolute
+    // sign is not meaningful here: raw ⊇ target, so every bucket's raw
+    // count includes its target count and the smoothed ratios skew ≤ 0)
+    assert(r(7L)._3 > r(8L)._3)
+    assert(r(1L)._3 > r(4L)._3)
+  }
 }

@@ -128,4 +128,43 @@ class LmScoreSpec extends SparkTestBase {
     assert(self.collect().toSet == composed.collect().toSet)
     assert(self.count() == 4)
   }
+
+  test("naive bayes: held-out docs classify to their training class") {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog ran to the park"),
+      (3L, "de", "der hund lief durch den wald"),
+      (4L, "de", "der vogel sang in den baum"),
+      (5L, "en", "the cat ran to the mat"),     // held out, en vocab
+      (6L, "de", "der hund sang in den wald"))  // held out, de vocab
+      .toDF("doc_id", "lang", "text")
+    val r = LmScore.classifyNaiveBayes(docs, "text", "doc_id", "lang",
+        trusted = col("doc_id") <= 4)
+      .select("id", "label", "pred", "n_tok", "log_post")
+      .as[(Long, String, String, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r.size == 6)
+    // training docs and held-out docs all land on their own class
+    assert(r.values.forall(t => t._3 == t._2))
+    assert(r(5L)._4 == 6L)
+    // posteriors are log-probabilities: strictly negative
+    assert(r.values.forall(_._5 < 0))
+  }
+
+  test("naive bayes: all-OOV doc falls back to priors + OOV mass, deterministically") {
+    val docs = Seq(
+      (1L, "en", "a a b"), (2L, "en", "a b"),
+      (3L, "de", "x y"),
+      (9L, "en", "qq ww ee"))  // no training word at all
+      .toDF("doc_id", "lang", "text")
+    val nb = LmScore.classifyNaiveBayes(docs, "text", "doc_id", "lang",
+      trusted = col("doc_id") < 9)
+    val row = nb.filter(col("id") === 9L)
+      .select("pred", "n_tok").as[(String, Long)].head()
+    // global V=4 (a,b,x,y); en: tot=5 → oov 1/10, prior ln(2/3);
+    // de: tot=2 → oov 1/7, prior ln(1/3);
+    // 3·ln(1/7)+ln(1/3) = −6.94 beats 3·ln(1/10)+ln(2/3) = −7.31
+    assert(row == (("de", 3L)))
+    assert(nb.count() == 4)
+  }
 }
