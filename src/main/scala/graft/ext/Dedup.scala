@@ -483,6 +483,62 @@ object Dedup {
     */
   def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 8): DataFrame = {
+    val (words, dupStarts) = spanStarts(docs, textCol, idCol, n)
+    val counted = dupStarts.withColumn("n_dup_tok", expr(
+      s"""aggregate(transform(sequence(1, size(_starts)),
+            j -> CASE WHEN j < size(_starts)
+                 THEN least(element_at(_starts, j + 1)
+                            - element_at(_starts, j), $n)
+                 ELSE $n END),
+          0L, (a, x) -> a + CAST(x AS BIGINT))"""))
+    words.select(col(idCol), col("n_tok"))
+      .join(counted.select(col(idCol), col("n_dup_tok")), Seq(idCol), "left")
+      .withColumn("n_dup_tok", coalesce(col("n_dup_tok"), lit(0L)))
+      .withColumn("retained_tok", col("n_tok") - col("n_dup_tok"))
+      .withColumn("dup_frac", TextAnalysis.trunc4(
+        col("n_dup_tok").cast("double") / greatest(col("n_tok"), lit(1L))))
+  }
+
+  /** The REMOVAL half of ExactSubstr: rebuild each document with every
+    * token covered by a corpus-duplicated n-gram cut out. Returns
+    * (id, n_tok, retained_tok, retained) where `retained` is the
+    * surviving tokens re-joined with single spaces (ExactSubstr deletes
+    * the duplicated bytes; downstream filters typically then drop docs
+    * whose retained fraction falls below a threshold).
+    *
+    * Scale shape: identical to [[duplicatedSpans]] up to the per-doc
+    * sorted-starts frame; the cut itself is a doc-local position filter
+    * (`exists` over the starts array per position — O(tokens × starts)
+    * interpreted work bounded by the doc's own size, zero extra
+    * shuffle). Documents with no duplicated span pass through verbatim
+    * via the left join's empty-starts default. */
+  def cutDuplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame = {
+    val (words, dupStarts) = spanStarts(docs, textCol, idCol, n)
+    words
+      .join(dupStarts.select(col(idCol), col("_starts")), Seq(idCol), "left")
+      .withColumn("_starts",
+        coalesce(col("_starts"), expr("CAST(array() AS ARRAY<INT>)")))
+      // sequence(1, 0) counts DOWN ([1, 0]) — the empty-doc guard is
+      // load-bearing, not defensive
+      .withColumn("_kept", expr(
+        s"""CASE WHEN size(_w) = 0 THEN CAST(array() AS ARRAY<INT>)
+            ELSE filter(sequence(1, size(_w)),
+                 j -> NOT exists(_starts,
+                        s -> j >= s AND j <= s + ${n - 1})) END"""))
+      .withColumn("retained",
+        expr("concat_ws(' ', transform(_kept, j -> element_at(_w, j)))"))
+      .withColumn("retained_tok", size(col("_kept")).cast("long"))
+      .select(col(idCol), col("n_tok"), col("retained_tok"), col("retained"))
+  }
+
+  /** Shared front half of the ExactSubstr pair: the staged token frame
+    * (id, _w, n_tok) and, per doc that has any, the SORTED duplicated
+    * n-gram start positions (id, _starts). Gram hashing is doc-local;
+    * the duplicate test is one vocab-of-ngrams-keyed count; only
+    * duplicated starts shuffle back per doc. */
+  private def spanStarts(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): (DataFrame, DataFrame) = {
     require(n >= 2, "span length must be at least 2 tokens")
     val words = docs.select(col(idCol),
         filter(split(col(textCol), " "), w => length(w) > 0).as("_w"))
@@ -501,19 +557,7 @@ object Dedup {
     val dupStarts = grams.join(dupHashes, Seq("h"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("start"))).as("_starts"))
-      .withColumn("n_dup_tok", expr(
-        s"""aggregate(transform(sequence(1, size(_starts)),
-              j -> CASE WHEN j < size(_starts)
-                   THEN least(element_at(_starts, j + 1)
-                              - element_at(_starts, j), $n)
-                   ELSE $n END),
-            0L, (a, x) -> a + CAST(x AS BIGINT))"""))
-    words.select(col(idCol), col("n_tok"))
-      .join(dupStarts.select(col(idCol), col("n_dup_tok")), Seq(idCol), "left")
-      .withColumn("n_dup_tok", coalesce(col("n_dup_tok"), lit(0L)))
-      .withColumn("retained_tok", col("n_tok") - col("n_dup_tok"))
-      .withColumn("dup_frac", TextAnalysis.trunc4(
-        col("n_dup_tok").cast("double") / greatest(col("n_tok"), lit(1L))))
+    (words, dupStarts)
   }
 
   /** 16-bit SimHash over word tokens: per-token md5, majority vote per

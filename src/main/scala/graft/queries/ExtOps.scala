@@ -1528,6 +1528,49 @@ object ExtOps {
             FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
             ORDER BY b.doc_id"""))
 
+  /** The removal half of ExactSubstr: the oracle rebuilds each doc by
+    * string_agg over uncovered positions and the gate compares the md5
+    * of the reconstructed text — so the cut positions, the join
+    * separator, and the empty-doc edge are all byte-gated. */
+  val xSubstringCut = OpQuery(
+    "x_substring_cut",
+    "ExactSubstr span removal: retained text after cutting corpus-duplicated 8-gram spans",
+    (s, dir) =>
+      Dedup.cutDuplicatedSpans(t(s, dir, "documents"), "text", "doc_id", n = 8)
+        .select(col("doc_id"), col("n_tok"), col("retained_tok"),
+          md5(col("retained")).as("retained_md5"))
+        .orderBy("doc_id"),
+    Some("""WITH tw AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+              FROM documents),
+            base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok, w FROM tw),
+            pos AS (SELECT doc_id, w, n_tok,
+              unnest(generate_series(1, CAST(greatest(n_tok, 1) AS INT))) AS i
+              FROM base),
+            g AS (SELECT doc_id, i, n_tok,
+              CASE WHEN i <= n_tok THEN w[CAST(i AS INT)] END AS tok,
+              CASE WHEN i + 7 <= n_tok
+                   THEN md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))
+              END AS h
+              FROM pos),
+            cnt AS (SELECT h, count(*) AS c FROM g WHERE h IS NOT NULL GROUP BY h),
+            fl AS (SELECT g.doc_id, g.i, g.n_tok, g.tok,
+              CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END AS st
+              FROM g LEFT JOIN cnt ON cnt.h = g.h),
+            cov AS (SELECT doc_id, i, n_tok, tok,
+              max(st) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+              FROM fl),
+            r AS (SELECT doc_id,
+              CAST(sum(CASE WHEN covered = 0 AND i <= n_tok THEN 1 ELSE 0 END)
+                AS BIGINT) AS retained_tok,
+              coalesce(string_agg(CASE WHEN covered = 0 THEN tok END, ' '
+                ORDER BY i), '') AS ret
+              FROM cov GROUP BY doc_id)
+            SELECT b.doc_id, b.n_tok, r.retained_tok, md5(r.ret) AS retained_md5
+            FROM base b JOIN r ON r.doc_id = b.doc_id
+            ORDER BY b.doc_id"""))
+
   val xShardAssign = OpQuery(
     "x_shard_assign",
     "deterministic corpus shuffle: content-addressed sort key, 16-way shard, " +
@@ -1669,6 +1712,7 @@ object ExtOps {
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
     xSimhash, xNeardupJaccard3, xDedupComponents, xDedupPipeline,
     xDedupIncremental, stDedupIncremental, xDedupKeepbest, xSubstringDedup,
+    xSubstringCut,
     xAnnBruteforce, xAnnNative, xAnnSq8, xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xTfidfTopk, xVocabProfile,

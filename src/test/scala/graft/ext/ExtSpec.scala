@@ -690,6 +690,24 @@ class ExtSpec extends SparkTestBase {
     assert(r(2L) == 0L)
   }
 
+  test("span cut: retained text drops exactly the covered tokens, agrees with the stats op") {
+    val a = (1 to 12).map(i => s"t$i").mkString(" ")
+    val b = (1 to 8).map(i => s"t$i").mkString(" ") + " x y z"
+    val c = "totally different words without any common run here at all"
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, a)).toDF("doc_id", "text")
+    val cut = Dedup.cutDuplicatedSpans(df, "text", "doc_id")
+      .select("doc_id", "retained_tok", "retained")
+      .as[(Long, Long, String)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(cut(1L) == ((0L, "")))            // full copy → everything cut
+    assert(cut(2L) == ((3L, "x y z")))       // shared prefix cut, tail kept
+    assert(cut(3L) == ((10L, c)))            // untouched doc passes verbatim
+    // the stats op and the cut op agree on retained_tok for every doc
+    val stats = Dedup.duplicatedSpans(df, "text", "doc_id")
+      .select("doc_id", "retained_tok").as[(Long, Long)].collect().toMap
+    assert(stats == cut.map { case (k, v) => k -> v._1 })
+  }
+
   test("DSIR: target-like docs get higher importance weights, n_feat = 2n-1") {
     val df = Seq(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma epsilon"),
