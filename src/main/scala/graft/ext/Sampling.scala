@@ -240,4 +240,31 @@ object Sampling {
       .agg(count(lit(1)).as("n_feat"),
         sum("lam").cast("double").as("log_weight"))
   }
+
+  /** DSIR selection: flag the documents whose importance weight reaches
+    * the exact q-quantile of the corpus weight distribution (keep-top-
+    * (1−q) selection — the deterministic thresholding variant of the
+    * paper's resampling step; same selected set on every rerun and in
+    * every engine, which is what a reproducible data recipe needs).
+    *
+    * The threshold is the DISCRETE percentile of [[dsirLogWeights]]'s
+    * output — a real corpus value, computed with the shared two-phase
+    * prefix sum over the (distinct weight, count) frame, so no global
+    * sort and no partition-less window ever touch a docs-sized frame.
+    * Returns every scored doc with `selected` ∈ {0, 1}. */
+  def dsirSelect(docs: DataFrame, textCol: String, idCol: String,
+      target: Column, q: Double = 0.5, hexChars: Int = 2): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantile must be in (0, 1), got $q")
+    val weights = dsirLogWeights(docs, textCol, idCol, target, hexChars).staged
+    val counts = weights.groupBy("log_weight").agg(count(lit(1)).as("cnt"))
+    val cum = PrefixSum.runningTotal(counts, Seq.empty,
+      Seq("log_weight"), "cnt", "cum").staged
+    val total = cum.agg(max("cum").as("n"))
+    val thr = cum.crossJoin(broadcast(total))
+      .filter(col("cum") >= ceil(lit(q) * col("n")))
+      .agg(min("log_weight").as("_thr"))
+    weights.crossJoin(broadcast(thr))
+      .withColumn("selected", (col("log_weight") >= col("_thr")).cast("long"))
+      .select("id", "n_feat", "log_weight", "selected")
+  }
 }

@@ -792,14 +792,11 @@ object ExtOps {
     * distributions and the per-bucket truncated log ratio in SQL, so the
     * feature hashing, the add-1 smoothing, and the decimal-sum scoring
     * are all hash-gated. */
-  val xDsirWeights = OpQuery(
-    "x_dsir_weights",
-    "DSIR importance-resampling log weights from hashed n-gram features (target vs raw)",
-    (s, dir) =>
-      graft.ext.Sampling.dsirLogWeights(t(s, dir, "documents"),
-          "text", "doc_id", target = col("doc_id") % 3 =!= 0)
-        .orderBy("id"),
-    Some("""WITH tw AS (SELECT doc_id, doc_id % 3 <> 0 AS tgt,
+  /** Shared DSIR model-and-score CTE chain (both weight distributions,
+    * the truncated λ table, per-doc decimal sums) — the weights query
+    * reads `sc` directly; the selection query thresholds it. */
+  private val dsirCte =
+    """tw AS (SELECT doc_id, doc_id % 3 <> 0 AS tgt,
               list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
               FROM documents),
             nz AS (SELECT * FROM tw WHERE len(w) > 0),
@@ -819,10 +816,42 @@ object ExtOps {
                 AS DECIMAL(18,4)) AS lam
               FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tots),
             sc AS (SELECT doc_id, count(*) AS n_feat, sum(lam) AS s
-              FROM fb JOIN lam ON lam.b = fb.b GROUP BY doc_id)
+              FROM fb JOIN lam ON lam.b = fb.b GROUP BY doc_id)"""
+
+  val xDsirWeights = OpQuery(
+    "x_dsir_weights",
+    "DSIR importance-resampling log weights from hashed n-gram features (target vs raw)",
+    (s, dir) =>
+      graft.ext.Sampling.dsirLogWeights(t(s, dir, "documents"),
+          "text", "doc_id", target = col("doc_id") % 3 =!= 0)
+        .orderBy("id"),
+    Some(s"""WITH $dsirCte
             SELECT doc_id AS id, CAST(n_feat AS BIGINT) AS n_feat,
               CAST(s AS DOUBLE) AS log_weight
             FROM sc ORDER BY id"""))
+
+  /** DSIR thresholding: selected ⇔ log_weight ≥ the exact discrete
+    * median. The oracle's row_number formulation (min lw with rn ≥
+    * ceil(q·n)) equals the Spark side's cumulative-count percentile
+    * (min v with cum(v) ≥ ceil(q·n)) — the value at sorted position
+    * ceil(q·n) either way, duplicates included. */
+  val xDsirSelect = OpQuery(
+    "x_dsir_select",
+    "DSIR selection: keep docs at/above the exact median importance weight",
+    (s, dir) =>
+      graft.ext.Sampling.dsirSelect(t(s, dir, "documents"),
+          "text", "doc_id", target = col("doc_id") % 3 =!= 0, q = 0.5)
+        .orderBy("id"),
+    Some(s"""WITH $dsirCte,
+            w AS (SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat,
+              CAST(s AS DOUBLE) AS lw FROM sc),
+            nn AS (SELECT count(*) AS n FROM w),
+            rk AS (SELECT lw, row_number() OVER (ORDER BY lw) AS rn FROM w),
+            thr AS (SELECT min(lw) AS thr FROM rk, nn
+                    WHERE rn >= ceil(0.5 * n))
+            SELECT doc_id AS id, n_feat, lw AS log_weight,
+              CAST(lw >= thr AS BIGINT) AS selected
+            FROM w, thr ORDER BY id"""))
 
   /** Multinomial Naive Bayes classify-and-argmax — the learned-filter
     * analog (GPT-3's quality logreg / fastText lang-id family) with a
@@ -1720,6 +1749,6 @@ object ExtOps {
     xProfilePercentiles, xCorpusDiff,
     xPackChunks, xPackStats, xShardAssign, xBudgetSelect,
     xPiiScrub, xRepetition, xDecontaminate, xLmQuality, xLmBigram,
-    xDsirWeights, xNbClassify,
+    xDsirWeights, xDsirSelect, xNbClassify,
     xCurationE2e, stCurationGate, xMultimodalFeatures)
 }

@@ -732,4 +732,28 @@ class ExtSpec extends SparkTestBase {
     assert(r(7L)._3 > r(8L)._3)
     assert(r(1L)._3 > r(4L)._3)
   }
+
+  test("DSIR select: exact-median threshold, target-like docs survive") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma epsilon"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "zeta eta theta iota"), (5L, "zeta eta theta kappa"),
+      (6L, "zeta eta theta iota"),
+      (7L, "alpha beta gamma delta"), (8L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val sel = Sampling.dsirSelect(df, "text", "doc_id",
+        target = col("doc_id") <= 3, q = 0.5)
+      .select("id", "log_weight", "selected")
+      .as[(Long, Double, Long)].collect()
+    val byId = sel.map(t => t._1 -> t).toMap
+    // the threshold is a REAL weight value: at least one selected doc
+    // sits exactly on it, and every selected weight ≥ every dropped one
+    val (kept, dropped) = sel.partition(_._3 == 1L)
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    assert(kept.map(_._2).min >= dropped.map(_._2).max)
+    // ≥ half the docs survive (ties at the median keep everything equal)
+    assert(kept.size >= 4)
+    // target-like docs outrank raw-only docs, so they are the survivors
+    assert(byId(7L)._3 == 1L && byId(8L)._3 == 0L)
+  }
 }
