@@ -204,6 +204,40 @@ object LmScore {
       .select(col("id"), col("lang"), col("n_tok"), col("cross_entropy"))
   }
 
+  /** CCNet's selection step on top of [[scoreAgainstSubset]]: split each
+    * language's documents into perplexity TERCILES — `head` (lowest
+    * cross-entropy third, the "looks like the trusted corpus" slice
+    * CCNet keeps for LM training), `middle`, `tail`. Thresholds are
+    * exact discrete per-language percentiles at integer-arithmetic cut
+    * ranks (k₁ = ⌈n/3⌉ = (n+2) div 3, k₂ = ⌈2n/3⌉ = (2n+2) div 3 — no
+    * float rounding to disagree across engines), computed with the
+    * shared two-phase prefix sum over the (lang, score, count) frame:
+    * distinct-score-sized, never docs-sized, no partition-less window.
+    * Returns (id, lang, cross_entropy, bucket) for every scored doc. */
+  def ccnetBuckets(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, trusted: Column): DataFrame = {
+    val scores = scoreAgainstSubset(docs, textCol, idCol, langCol, trusted)
+      .staged
+    val counts = scores.groupBy("lang", "cross_entropy")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = PrefixSum.runningTotal(counts, Seq("lang"),
+      Seq("cross_entropy"), "cnt", "cum").staged
+    val totals = cum.groupBy("lang").agg(max("cum").as("n"))
+    val thr = cum.join(broadcast(totals), Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        min(when(col("cum") >= expr("(n + 2) div 3"),
+          col("cross_entropy"))).as("_t1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"),
+          col("cross_entropy"))).as("_t2"))
+    scores.join(broadcast(thr), Seq("lang"))
+      .withColumn("bucket",
+        when(col("cross_entropy") <= col("_t1"), "head")
+          .when(col("cross_entropy") <= col("_t2"), "middle")
+          .otherwise("tail"))
+      .select("id", "lang", "cross_entropy", "bucket")
+  }
+
   /** Multinomial Naive Bayes text classifier — the learned quality/domain
     * filter of the GPT-3 / CCNet lineage (there a logistic regression or
     * fastText model; NB is the closed-form member of the same family, so

@@ -695,14 +695,11 @@ object ExtOps {
     * is exactly the signal CCNet thresholds on. Single corpus scan: the
     * token frame is materialized once and feeds both the model build and
     * the scoring join. */
-  val xLmQuality = OpQuery(
-    "x_lm_quality",
-    "unigram-LM cross-entropy per doc (CCNet quality signal), model from trusted subset",
-    (s, dir) =>
-      LmScore.scoreAgainstSubset(t(s, dir, "documents"),
-          "text", "doc_id", "lang", trusted = col("doc_id") % 3 =!= 0)
-        .orderBy("id"),
-    Some("""WITH tok AS (SELECT doc_id, lang,
+  /** Shared unigram-LM CTE chain (model on the trusted subset, every doc
+    * scored) ending in `lmscored` = (id, lang, n_tok, ce) — read directly
+    * by the quality query, terciled by the CCNet-buckets query. */
+  private val lmCte =
+    """tok AS (SELECT doc_id, lang,
               unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word
               FROM documents),
             counts AS (SELECT lang, word, count(*) AS cnt FROM tok
@@ -721,11 +718,49 @@ object ExtOps {
               FROM tok
               LEFT JOIN model m ON m.lang = tok.lang AND m.word = tok.word
               JOIN ml ON ml.lang = tok.lang
-              GROUP BY doc_id, tok.lang)
-            SELECT doc_id AS id, lang, CAST(n_tok AS BIGINT) AS n_tok,
-              floor(CAST(s AS DOUBLE) / n_tok * 10000.0) / 10000.0
-                AS cross_entropy
-            FROM scored ORDER BY id"""))
+              GROUP BY doc_id, tok.lang),
+            lmscored AS (SELECT doc_id AS id, lang,
+              CAST(n_tok AS BIGINT) AS n_tok,
+              floor(CAST(s AS DOUBLE) / n_tok * 10000.0) / 10000.0 AS ce
+              FROM scored)"""
+
+  val xLmQuality = OpQuery(
+    "x_lm_quality",
+    "unigram-LM cross-entropy per doc (CCNet quality signal), model from trusted subset",
+    (s, dir) =>
+      LmScore.scoreAgainstSubset(t(s, dir, "documents"),
+          "text", "doc_id", "lang", trusted = col("doc_id") % 3 =!= 0)
+        .orderBy("id"),
+    Some(s"""WITH $lmCte
+            SELECT id, lang, n_tok, ce AS cross_entropy
+            FROM lmscored ORDER BY id"""))
+
+  /** CCNet perplexity terciles. The oracle's per-lang row_number cuts at
+    * integer ranks (n+2)//3 and (2n+2)//3 equal the Spark side's
+    * cumulative-count percentiles — the value at the sorted cut position
+    * either way, duplicates included, no float rank arithmetic. */
+  val xCcnetBuckets = OpQuery(
+    "x_ccnet_buckets",
+    "CCNet head/middle/tail perplexity terciles per language",
+    (s, dir) =>
+      LmScore.ccnetBuckets(t(s, dir, "documents"),
+          "text", "doc_id", "lang", trusted = col("doc_id") % 3 =!= 0)
+        .orderBy("id"),
+    Some(s"""WITH $lmCte,
+            rk AS (SELECT id, lang, ce,
+              row_number() OVER (PARTITION BY lang ORDER BY ce) AS rn
+              FROM lmscored),
+            nn AS (SELECT lang, count(*) AS n FROM lmscored GROUP BY lang),
+            thr AS (SELECT rk.lang,
+              min(CASE WHEN rn >= (n + 2) // 3 THEN ce END) AS t1,
+              min(CASE WHEN rn >= (2 * n + 2) // 3 THEN ce END) AS t2
+              FROM rk JOIN nn ON nn.lang = rk.lang GROUP BY rk.lang)
+            SELECT s2.id, s2.lang, s2.ce AS cross_entropy,
+              CASE WHEN s2.ce <= t1 THEN 'head'
+                   WHEN s2.ce <= t2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+            FROM lmscored s2 JOIN thr ON thr.lang = s2.lang
+            ORDER BY s2.id"""))
 
   /** One n-gram order up from x_lm_quality: bigram LM with stupid backoff
     * (Brants et al. 2007) — seen bigram scores count(prev,w)/count(prev),
@@ -1749,6 +1784,6 @@ object ExtOps {
     xProfilePercentiles, xCorpusDiff,
     xPackChunks, xPackStats, xShardAssign, xBudgetSelect,
     xPiiScrub, xRepetition, xDecontaminate, xLmQuality, xLmBigram,
-    xDsirWeights, xDsirSelect, xNbClassify,
+    xDsirWeights, xDsirSelect, xNbClassify, xCcnetBuckets,
     xCurationE2e, stCurationGate, xMultimodalFeatures)
 }

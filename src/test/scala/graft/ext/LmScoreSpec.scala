@@ -129,6 +129,25 @@ class LmScoreSpec extends SparkTestBase {
     assert(self.count() == 4)
   }
 
+  test("ccnet buckets: per-lang terciles at integer cut ranks") {
+    // 6 en docs with distinct scores → 2/2/2; ranks k1=(6+2)div3=2, k2=4
+    val docs = Seq(
+      (1L, "en", "a a a a"),      // all in-vocab → lowest ce
+      (2L, "en", "a a a b"),
+      (3L, "en", "a a b b"),
+      (4L, "en", "a b b c"),
+      (5L, "en", "a b c c"),
+      (6L, "en", "c c c c"))      // all OOV-ish → highest ce
+      .toDF("doc_id", "lang", "text")
+    val b = LmScore.ccnetBuckets(docs, "text", "doc_id", "lang",
+        trusted = col("doc_id") <= 2)
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert(b.size == 6)
+    assert(Seq(1L, 2L).forall(b(_) == "head"))
+    assert(Seq(3L, 4L).forall(b(_) == "middle"))
+    assert(Seq(5L, 6L).forall(b(_) == "tail"))
+  }
+
   test("naive bayes: held-out docs classify to their training class") {
     val docs = Seq(
       (1L, "en", "the cat sat on the mat"),
