@@ -733,6 +733,51 @@ class ExtSpec extends SparkTestBase {
     assert(r(1L)._3 > r(4L)._3)
   }
 
+  test("duplicated spans: randomized equivalence vs a brute-force reference") {
+    // vocab 3 → 3⁸ = 6561 possible 8-grams over ~500 drawn grams: a
+    // deterministic handful of genuine random collisions (partial
+    // coverage), plus one planted full duplicate (total coverage)
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 40).map { i =>
+      val n = 8 + rnd.nextInt(18)
+      (i.toLong, Vector.fill(n)(s"w${rnd.nextInt(3)}").mkString(" "))
+    }
+    val corpus = base :+ (41L, base.head._2) // doc 41 copies doc 1
+    // reference: literal ExactSubstr semantics — every token position
+    // covered by an 8-gram whose text occurs >1 time corpus-wide
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+    val gramCount = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, w) <- toks; i <- 0 to w.size - 8)
+      gramCount.updateWith(w.slice(i, i + 8).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    val expected = toks.map { case (id, w) =>
+      val covered = Array.fill(w.size)(false)
+      for (i <- 0 to w.size - 8
+           if gramCount(w.slice(i, i + 8).mkString(" ")) > 1;
+           j <- i until i + 8) covered(j) = true
+      id -> (w.size.toLong, covered.count(identity).toLong)
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df, "text", "doc_id")
+      .select("doc_id", "n_tok", "n_dup_tok")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == expected)
+    assert(expected.values.exists(_._2 > 0), "fixture must exercise coverage")
+    assert(expected.values.exists(v => v._2 > 0 && v._2 < v._1),
+      "fixture must exercise PARTIAL coverage")
+    // and the cut op's retained text is exactly the uncovered positions
+    val cutGot = Dedup.cutDuplicatedSpans(df, "text", "doc_id")
+      .select("doc_id", "retained").as[(Long, String)].collect().toMap
+    val cutExpected = toks.map { case (id, w) =>
+      val covered = Array.fill(w.size)(false)
+      for (i <- 0 to w.size - 8
+           if gramCount(w.slice(i, i + 8).mkString(" ")) > 1;
+           j <- i until i + 8) covered(j) = true
+      id -> w.indices.filterNot(covered).map(w).mkString(" ")
+    }
+    assert(cutGot == cutExpected)
+  }
+
   test("DSIR select: exact-median threshold, target-like docs survive") {
     val df = Seq(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma epsilon"),
