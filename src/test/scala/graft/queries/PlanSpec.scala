@@ -123,4 +123,46 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("CartesianProduct"), p)
     }
   }
+
+  test("span dedup/cut never window over token-sized partitions") {
+    // the ExactSubstr pair's 100-TB contract: coverage comes from the
+    // doc-local sorted-starts fold, NOT a per-position PARTITION BY doc
+    // window over the exploded gram frame
+    for (q <- Seq("x_substring_dedup", "x_substring_cut")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q window-shuffles token rows:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$q degenerate join:\n$p")
+    }
+  }
+
+  test("DSIR weights broadcast the bucket-lambda table over the feature frame") {
+    val p = planOf("x_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), s"weights need no window at all:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("DSIR select and CCNet buckets keep every window partitioned") {
+    // exact percentiles route through the two-phase prefix sum: any
+    // window that appears must be keyed by the prefix-sum partition id
+    // (_pid...) — a partition-less (global) window would serialize the
+    // frame through one task at scale
+    for (q <- Seq("x_dsir_select", "x_ccnet_buckets")) {
+      val p = planOf(q)
+      val windowDefs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(windowDefs.forall(_.contains("_pid")),
+        s"$q has a window not keyed by the prefix-sum partition:\n${windowDefs.mkString("\n")}")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("NB classify: class list broadcasts; argmax window sees docs-by-classes only") {
+    val p = planOf("x_nb_classify")
+    // the tokens × classes expansion is a broadcast nested-loop over the
+    // |classes|-row side (never a shuffled cartesian), and the argmax
+    // window is keyed by doc id
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(id"), p)
+  }
 }
