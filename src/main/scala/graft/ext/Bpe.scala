@@ -1,0 +1,152 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Materialize._
+
+/** BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units" — public method): start
+  * from characters, repeatedly merge the most frequent adjacent symbol
+  * pair. The missing member of the training-data family — every LLM
+  * pipeline trains a tokenizer on (a sample of) the corpus it just
+  * curated.
+  *
+  * Scale shape: classic BPE trains on the WORD-FREQUENCY table, not the
+  * corpus — one corpus scan builds (word, freq, symbol-array), and every
+  * training round is vocabulary-sized work: an adjacent-pair explode with
+  * map-side-combined pair aggregation, a bounded top-1 argmax, and a
+  * map-only symbol rewrite over the words that actually contain the pair
+  * (a cheap codegen'd adjacency pre-filter guards the interpreted fold).
+  * Driver state per round is exactly ONE rule row — the merge table IS
+  * the model. No per-document work happens until [[encodeTokenCounts]],
+  * which again encodes only DISTINCT words and joins counts back to the
+  * token stream.
+  *
+  * Divergence from the paper, documented: no end-of-word marker symbol
+  * (merges never cross word boundaries here either way, because pairs are
+  * enumerated within the per-word symbol array), and training stops early
+  * if no pair occurs more than once.
+  */
+object Bpe {
+
+  /** (word, freq, syms): the symbolized vocabulary — ONE corpus scan,
+    * everything downstream is vocabulary-sized. `split(word, '')` chars
+    * are engine-portable (DuckDB `string_split(word, '')` agrees,
+    * CJK included). */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(filter(split(col(textCol), " "),
+        w => length(w) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("word"), ""))
+
+  /** Adjacent-pair weights over a symbolized vocabulary: weight(a, b) =
+    * Σ freq(word) over every adjacency of a before b — the statistic
+    * each BPE round argmaxes. Within-word repeats count once per
+    * adjacency, exactly as the reference algorithm counts them. */
+  def pairStats(vocab: DataFrame): DataFrame =
+    vocab
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+           i -> struct(element_at(syms, i) AS a,
+                       element_at(syms, i + 1) AS b))""")).as("p"))
+      .groupBy(col("p.a").as("sym_a"), col("p.b").as("sym_b"))
+      .agg(sum("freq").as("weight"))
+
+  /** Greedy left-to-right merge of adjacent (a, b) into a+b — the exact
+    * reference semantics, including the a == b case ("l l l" → "ll l").
+    * A pure `aggregate` fold with (emitted, pending) state: `pending`
+    * holds an `a` awaiting its `b`; the finish lambda flushes it. Runs
+    * interpreted, but only over the vocabulary rows that pass the
+    * adjacency pre-filter in [[train]]/[[encodeTokenCounts]]. */
+  private[ext] def mergePair(syms: Column, a: String, b: String): Column = {
+    val merged = a + b
+    aggregate(
+      syms,
+      struct(expr("CAST(array() AS ARRAY<STRING>)").as("out"),
+        lit("").as("prev")),
+      (acc, x) => {
+        val out = acc.getField("out")
+        val pending = acc.getField("prev") === lit(a)
+        val newOut =
+          when(pending && (x === lit(b)), concat(out, array(lit(merged))))
+            .when(pending && (x === lit(a)), concat(out, array(lit(a))))
+            .when(pending, concat(out, array(lit(a)), array(x)))
+            .when(x === lit(a), out)
+            .otherwise(concat(out, array(x)))
+        val newPrev =
+          when(pending && (x === lit(b)), lit(""))
+            .when(x === lit(a), lit(a))
+            .otherwise(lit(""))
+        struct(newOut.as("out"), newPrev.as("prev"))
+      },
+      acc => when(acc.getField("prev") === lit(a),
+          concat(acc.getField("out"), array(lit(a))))
+        .otherwise(acc.getField("out")))
+  }
+
+  /** One merge-rule application over a vocabulary frame: words whose
+    * space-joined symbols contain "a b" go through the fold (symbols
+    * contain no spaces — words were whitespace-tokenized — so the
+    * substring probe has no false negatives; a false positive only
+    * costs the no-op fold). */
+  private def applyRule(vocab: DataFrame, a: String, b: String): DataFrame =
+    vocab.withColumn("syms",
+      when(concat_ws(" ", col("syms")).contains(s"$a $b"),
+        mergePair(col("syms"), a, b))
+        .otherwise(col("syms")))
+
+  /** Train `merges` rounds; returns the merge table
+    * (step, sym_a, sym_b, merged, weight) — step is 1-based rule order,
+    * which is all an encoder needs. Argmax ties break lexicographically
+    * on (sym_a, sym_b); rounds whose best pair occurs once stop training
+    * (nothing left worth merging). The vocabulary is re-staged per round
+    * (the k-means/connected-components move) so lineage stays flat. */
+  def train(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges > 0, "need at least one merge round")
+    val session = docs.sparkSession
+    var vocab = wordFreq(docs, textCol).staged
+    val rules = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      // bounded driver data by contract: ONE rule row per round
+      val top = pairStats(vocab)
+        .orderBy(col("weight").desc, col("sym_a"), col("sym_b"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2) exhausted = true
+      else {
+        val (a, b, w) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += ((step, a, b, a + b, w))
+        vocab = applyRule(vocab, a, b).staged
+        step += 1
+      }
+    }
+    import session.implicits._
+    rules.toSeq.toDF("step", "sym_a", "sym_b", "merged", "weight")
+  }
+
+  /** Token counts under a learned merge table: encode DISTINCT words
+    * (vocabulary-sized fold, rules applied in step order), then join the
+    * per-word subword count back onto the token stream and sum per doc.
+    * Returns (id, n_words, n_bpe_tok). The token stream is staged once —
+    * it feeds the distinct-word frame AND the final join. */
+  def encodeTokenCounts(docs: DataFrame, textCol: String, idCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(filter(split(col(textCol), " "),
+          w => length(w) > 0)).as("word"))
+      .staged
+    val encoded = rules.foldLeft(
+        tok.select("word").distinct()
+          .withColumn("syms", split(col("word"), ""))) {
+        case (df, (a, b)) => applyRule(df, a, b)
+      }
+      .select(col("word"), size(col("syms")).cast("long").as("n_sym"))
+    tok.join(encoded, Seq("word"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe_tok"))
+  }
+}

@@ -938,6 +938,40 @@ object ExtOps {
               CAST(n AS BIGINT) AS n_tok, CAST(post AS DOUBLE) AS log_post
             FROM rk WHERE rk = 1 ORDER BY id"""))
 
+  /** First BPE round, fully oracle-gated: the adjacent-pair statistic
+    * every merge argmaxes, top-20 with the trainer's exact
+    * (weight DESC, a, b) ordering. */
+  val xBpePairStats = OpQuery(
+    "x_bpe_pair_stats",
+    "BPE pair statistics: top-20 adjacent symbol pairs by corpus word-frequency weight",
+    (s, dir) =>
+      graft.ext.Bpe.pairStats(graft.ext.Bpe.wordFreq(t(s, dir, "documents"), "text"))
+        .orderBy(col("weight").desc, col("sym_a"), col("sym_b"))
+        .limit(20),
+    Some("""WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+              x -> length(x) > 0)) AS word FROM documents),
+            wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY word),
+            s AS (SELECT freq, string_split(word, '') AS sy FROM wf),
+            p AS (SELECT freq, sy[CAST(i AS INT)] AS a,
+                   sy[CAST(i + 1 AS INT)] AS b
+                  FROM (SELECT freq, sy,
+                        unnest(generate_series(1, len(sy) - 1)) AS i
+                        FROM s WHERE len(sy) >= 2))
+            SELECT a AS sym_a, b AS sym_b, CAST(sum(freq) AS BIGINT) AS weight
+            FROM p GROUP BY 1, 2
+            ORDER BY weight DESC, sym_a, sym_b LIMIT 20"""))
+
+  /** The iterative trainer (argmax fixpoint — not SQL-expressible, same
+    * no_oracle category as the k-means queries; BpeSpec holds the
+    * brute-force-reference equivalence twin). */
+  val xBpeVocab = OpQuery(
+    "x_bpe_vocab",
+    "BPE tokenizer training: 10 merge rounds over the corpus word-frequency table",
+    (s, dir) =>
+      graft.ext.Bpe.train(t(s, dir, "documents"), "text", merges = 10)
+        .orderBy("step"),
+    None)
+
   val xSampleStratified = OpQuery(
     "x_sample_stratified",
     "deterministic md5-threshold stratified sample (50% of 'en', 25% of the rest)",
@@ -1785,5 +1819,6 @@ object ExtOps {
     xPackChunks, xPackStats, xShardAssign, xBudgetSelect,
     xPiiScrub, xRepetition, xDecontaminate, xLmQuality, xLmBigram,
     xDsirWeights, xDsirSelect, xNbClassify, xCcnetBuckets,
+    xBpePairStats, xBpeVocab,
     xCurationE2e, stCurationGate, xMultimodalFeatures)
 }
