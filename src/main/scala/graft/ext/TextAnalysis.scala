@@ -225,6 +225,39 @@ object TextAnalysis {
       .join(totals, Seq(idCol))
   }
 
+  /** [[contaminationWithin]] with a Bloom pre-filter on the corpus side —
+    * the 100-TB shape of the decontamination join. The exact fingerprint
+    * equi-join is correct at any scale but shuffles EVERY corpus
+    * fingerprint; the benchmark side is tiny by definition, so a Bloom
+    * filter built over its fingerprints (distributed partial/final
+    * aggregation, ~1.2 bytes/item at the default 1% fpp) turns the
+    * corpus side into a map-only probe: only probable hits ever reach
+    * the exchange. The exact join still runs behind the probe, so Bloom
+    * false positives are filtered out and the result is bit-identical
+    * to [[contaminationWithin]] — same oracle, no approximation in the
+    * output (gated by the shared x_decontaminate SQL).
+    *
+    * `fpp` trades filter size against wasted shuffle: at 1% a million
+    * benchmark fingerprints cost ~1.2 MB per task and let ~1% of
+    * non-matching corpus fps through to the join. */
+  def contaminationWithinBloom(corpus: DataFrame, textCol: String,
+      idCol: String, isBench: org.apache.spark.sql.Column,
+      k: Int = 16, w: Int = 4, fpp: Double = 0.01): DataFrame = {
+    val fps = winnowFingerprints(corpus, textCol, idCol, k, w).staged
+    val bench = fps.filter(isBench)
+    // benchmark row count: the small side by contract (a benchmark), so
+    // this bounded count sizes the filter; duplicates only over-size it
+    val nBench = bench.count()
+    val probe = graft.functions.BloomProbe
+      .buildFilterBytes(bench, col("fp"), math.max(nBench, 1L), fpp)
+      // empty benchmark → nothing can be contaminated; keep the join
+      // shape (for the shared schema) but probe nothing through
+      .map(bytes => graft.functions.BloomProbe
+        .mightContain(corpus.sparkSession, bytes, col("fp")))
+      .getOrElse(lit(false))
+    contaminationOnFps(fps.filter(probe), bench, idCol)
+  }
+
   private def contaminationOnFps(cf: DataFrame, bench: DataFrame,
       idCol: String): DataFrame = {
     // fresh aliases on the bench side: in the within-corpus path both

@@ -619,6 +619,22 @@ object ExtOps {
               AND b.doc_id <> c.doc_id AND b.doc_id % 7 = 0
             GROUP BY c.doc_id ORDER BY c.doc_id"""))
 
+  /** The 100-TB variant of the decontamination gate: a Bloom filter
+    * built over the benchmark fingerprints pre-filters the corpus side
+    * map-only, so only probable hits shuffle into the exact join. The
+    * oracle is IDENTICAL to x_decontaminate — the exact join behind the
+    * probe removes Bloom false positives, so the composition changes the
+    * plan, never the answer (PlanSpec asserts the probe sits below the
+    * first exchange). */
+  val xDecontaminateBloom = OpQuery(
+    "x_decontaminate_bloom",
+    "decontamination with a Bloom pre-filter: map-only probe, exact join verifies",
+    (s, dir) =>
+      TextAnalysis.contaminationWithinBloom(t(s, dir, "documents"),
+          "text", "doc_id", isBench = col("doc_id") % 7 === 0)
+        .orderBy("doc_id"),
+    xDecontaminate.oracle)
+
   val xRepetition = OpQuery(
     "x_repetition",
     "repetition quality signals: distinct-token ratio + duplicate-2-gram fraction",
@@ -1817,7 +1833,8 @@ object ExtOps {
     xApproxDistinct, xSampleStratified, xSampleKGroup, xDomainMix,
     xProfilePercentiles, xCorpusDiff,
     xPackChunks, xPackStats, xShardAssign, xBudgetSelect,
-    xPiiScrub, xRepetition, xDecontaminate, xLmQuality, xLmBigram,
+    xPiiScrub, xRepetition, xDecontaminate, xDecontaminateBloom,
+    xLmQuality, xLmBigram,
     xDsirWeights, xDsirSelect, xNbClassify, xCcnetBuckets,
     xBpePairStats, xBpeVocab,
     xCurationE2e, stCurationGate, xMultimodalFeatures)

@@ -210,6 +210,42 @@ class ExtSpec extends SparkTestBase {
     assert(!out.contains(1L))
   }
 
+  test("bloom decontamination is bit-identical to the exact join, at any fpp") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "completely unrelated content with different words entirely here"),
+      (3L, "prefix alpha beta gamma delta epsilon zeta eta theta iota kappa suffix"),
+      (7L, "another benchmark holdout sentence with its own distinct words"),
+      (14L, "another benchmark holdout sentence with its own distinct words twice"))
+      .toDF("doc_id", "text")
+    val isBench = $"doc_id" % 7 === 0
+    val exact = TextAnalysis.contaminationWithin(corpus, "text", "doc_id", isBench)
+      .orderBy("doc_id").collect().toSeq
+    // a sloppy 40% fpp filter lets most non-matches through; the exact
+    // join behind the probe must still strip every false positive
+    for (fpp <- Seq(0.01, 0.4)) {
+      val bloom = TextAnalysis.contaminationWithinBloom(
+          corpus, "text", "doc_id", isBench, fpp = fpp)
+        .orderBy("doc_id").collect().toSeq
+      assert(bloom == exact, s"fpp=$fpp")
+    }
+    // fixture sanity: benchmarks are 7 AND 14 (14 % 7 = 0); each contains
+    // the other's ≥19-char run, so both are cross-flagged and the
+    // equality above compares non-trivial frames (1/3 share a run too,
+    // but neither is a benchmark → correctly absent)
+    assert(exact.map(_.getLong(0)).toSet == Set(7L, 14L))
+  }
+
+  test("bloom decontamination with an empty benchmark returns no rows") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "completely unrelated content with different words entirely here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationWithinBloom(
+      corpus, "text", "doc_id", isBench = lit(false))
+    assert(out.collect().isEmpty)
+  }
+
   test("repetition signals: spam scores high, varied text scores low, edges safe") {
     val df = Seq(
       (1L, "buy now buy now buy now buy now"),       // 4x repeated 2-gram run

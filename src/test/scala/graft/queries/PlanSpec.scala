@@ -82,6 +82,29 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("bloom decontamination probes map-only, directly over the corpus scan") {
+    val p = planOf("x_decontaminate_bloom")
+    assert(p.contains("might_contain"), p)
+    val lines = p.linesIterator.toVector
+    // locate the detail block of the Filter whose condition is the bloom
+    // probe, take its node id, and assert that node's TREE child is the
+    // scan itself — probe-then-join, never shuffle-then-probe
+    val detail = lines.indexWhere(l => l.matches("""\(\d+\) Filter.*""") &&
+      lines.indexOf(l) >= 0 && {
+        val i = lines.indexOf(l)
+        lines.slice(i, i + 4).exists(_.contains("might_contain"))
+      })
+    assert(detail >= 0, p)
+    val id = lines(detail).drop(1).takeWhile(_ != ')')
+    val treeLine = lines.indexWhere(_.matches(s""".*[^)] Filter \\($id\\)\\s*"""))
+    assert(treeLine >= 0, p)
+    assert(lines(treeLine + 1).contains("Scan"),
+      s"bloom probe is not directly over the corpus scan:\n$p")
+    // the small (benchmark) side broadcasts; the corpus side never
+    // shuffles before the verifying join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("budget selection broadcasts the bucket-cutoff frame over the corpus") {
     val p = planOf("x_budget_select")
     // the corpus never sort-merge-joins the tiny (domain, score) cutoff
