@@ -85,6 +85,40 @@ object Sampling {
     val counts = weighted.groupBy("domain").agg(count(lit(1)).as("_cnt"))
       .withColumn("_w", wCol)
       .filter(col("_w") > 0)
+    mixFromCounts(weighted, idCol, counts)
+  }
+
+  /** Temperature-flattened mixture (the multilingual-LM α-sampling move:
+    * sample domains ∝ count^α, α ∈ (0, 1]): small domains are boosted
+    * relative to their natural share, big ones downsampled. Identical
+    * machinery to [[domainMix]] with the target weight DERIVED from the
+    * observed count — w_d = cnt_d^α, so scale = min_d(cnt_d^(1−α)) and
+    * the SMALLEST domain binds (kept whole); α = 1 is the identity (every
+    * domain binds), α → 0 approaches a uniform mixture.
+    *
+    * α = 0.5 computes through `sqrt`, which IEEE-754 requires to be
+    * correctly rounded — bit-identical in every engine, so that instance
+    * is oracle-gated. Other α go through libm `pow` (1-ulp
+    * cross-engine wobble possible at cutoff boundaries): spec-gate those,
+    * don't oracle-hash them. */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: Column,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val weighted = df.withColumn("domain", domainCol)
+    val wExpr =
+      if (alpha == 0.5) sqrt(col("_cnt").cast("double"))
+      else if (alpha == 1.0) col("_cnt").cast("double")
+      else pow(col("_cnt").cast("double"), lit(alpha))
+    val counts = weighted.groupBy("domain").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_w", wExpr)
+    mixFromCounts(weighted, idCol, counts)
+  }
+
+  /** Shared mixture tail: counts(domain, _cnt, _w>0) → per-domain cutoffs
+    * → content-addressed membership. One bounded-key count shuffle, a
+    * few-row cutoff frame broadcast back over the corpus. */
+  private def mixFromCounts(weighted: DataFrame, idCol: String,
+      counts: DataFrame): DataFrame = {
     val scale = counts.agg(min(col("_cnt") / col("_w")).as("_scale"))
     // The binding domain (argmin of cnt/w) is identified EXPLICITLY and
     // forced to cutoff 256: recomputing its keep fraction as

@@ -1051,6 +1051,38 @@ object ExtOps {
                   < printf('%02x', cut.cutoff)
             ORDER BY d.doc_id"""))
 
+  /** Temperature-flattened mixture (α = 0.5): target weights derived
+    * from the observed per-language counts as cnt^0.5, so the smallest
+    * language binds (kept whole) and bigger ones are downsampled toward
+    * a flatter mix — the multilingual-LM sampling move, with the same
+    * content-addressed membership as x_domain_mix. α = 0.5 is the
+    * oracle-gated instance because sqrt is IEEE-correctly-rounded
+    * (bit-identical across engines); generic α routes through libm pow
+    * and is spec-gated only (ExtSpec). */
+  val xDomainTemperature = OpQuery(
+    "x_domain_temperature",
+    "temperature-flattened language mixture (alpha=0.5): boost small domains, trim big ones",
+    (s, dir) =>
+      graft.ext.Sampling.temperatureMix(t(s, dir, "documents"), "doc_id",
+          col("lang"), alpha = 0.5)
+        .orderBy("doc_id"),
+    Some("""WITH counts AS (SELECT lang, count(*) AS cnt
+                            FROM documents GROUP BY lang),
+            cw AS (SELECT lang, cnt, sqrt(CAST(cnt AS DOUBLE)) AS wt
+                   FROM counts),
+            sc AS (SELECT min(cnt / wt) AS scale FROM cw),
+            cut AS (SELECT lang,
+                CAST(CASE WHEN cnt / wt = scale THEN 256
+                     ELSE greatest(1, least(256, floor(scale * wt / cnt * 256)))
+                     END AS INT) AS cutoff
+              FROM cw, sc)
+            SELECT d.doc_id, d.lang AS domain, cut.cutoff
+            FROM documents d JOIN cut ON cut.lang = d.lang
+            WHERE cut.cutoff = 256
+               OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+                  < printf('%02x', cut.cutoff)
+            ORDER BY d.doc_id"""))
+
   val xProfilePercentiles = OpQuery(
     "x_profile_percentiles",
     "exact disc percentiles (p50/p90/p99) of doc length and token count",
@@ -1831,6 +1863,7 @@ object ExtOps {
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xTfidfTopk, xVocabProfile,
     xApproxDistinct, xSampleStratified, xSampleKGroup, xDomainMix,
+    xDomainTemperature,
     xProfilePercentiles, xCorpusDiff,
     xPackChunks, xPackStats, xShardAssign, xBudgetSelect,
     xPiiScrub, xRepetition, xDecontaminate, xDecontaminateBloom,

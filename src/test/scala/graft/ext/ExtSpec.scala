@@ -369,6 +369,32 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("temperature mix: alpha=1 is identity, alpha=0.5 binds the smallest domain") {
+    val df = ((0 until 900).map(i => (i.toLong, "A")) ++
+      (900 until 1000).map(i => (i.toLong, "B")))
+      .toDF("doc_id", "domain")
+    // α = 1: w = cnt, cnt/w = 1 for every domain → all bind, keep all
+    val identity = Sampling.temperatureMix(df, "doc_id", col("domain"), alpha = 1.0)
+    assert(identity.count() == 1000)
+    assert(identity.select("cutoff").distinct().as[Int].collect().toSeq == Seq(256))
+    // α = 0.5: w = √cnt, scale = min(√900, √100) = 10 → B (smallest)
+    // binds whole; A keeps √100·√900/900 = 1/3 → cutoff floor(256/3) = 85
+    val flat = Sampling.temperatureMix(df, "doc_id", col("domain"), alpha = 0.5)
+    val byDomain = flat.groupBy("domain")
+      .agg(count(lit(1)).as("n"), first("cutoff").as("cut"))
+      .as[(String, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byDomain("B") == ((100L, 256)))
+    assert(byDomain("A")._2 == 85)
+    assert(byDomain("A")._1 > 0 && byDomain("A")._1 < 900)
+    // membership stays content-addressed: same subset at any parallelism
+    val again = Sampling.temperatureMix(df.repartition(13), "doc_id",
+      col("domain"), alpha = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(again == flat.select("doc_id").as[Long].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(df, "doc_id", col("domain"), alpha = 0.0)
+    }
+  }
+
   test("disc percentiles select real corpus values at exact ranks") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("n_chars", "ws_tokens")
     val pdf = Profiling.discPercentiles(df, Seq("n_chars", "ws_tokens"),
