@@ -92,6 +92,23 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** FILTERED vector search: top-k among only the candidates satisfying a
+    * metadata predicate (language, license, date range, source…), the
+    * standard serving composition ("pre-filter" in vector-DB terms —
+    * exact within the filtered set, unlike post-filtering a fixed-k ANN
+    * result, which can return FEWER than k survivors).
+    *
+    * Spark-first shape: the predicate is an ordinary Column, so Catalyst
+    * pushes it into the parquet scan (`PushedFilters`, asserted in
+    * PlanSpec) — candidates failing it are never read, and over a
+    * partitioned/clustered layout ([[writeClustered]]) it becomes
+    * partition pruning: I/O never issued. Queries broadcast; scoring is
+    * the native codegen'd expression; top-k is the bounded heap. */
+  def cosineTopKFiltered(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int,
+      candidatePred: org.apache.spark.sql.Column): DataFrame =
+    cosineTopKNative(embeddings.filter(candidatePred), idCol, vecCol, queries, k)
+
   /** Per-vector symmetric int8 SCALAR quantization (the faiss-SQ8 family,
     * public method): q_i = floor(x_i / max|x| × 127 + 0.5), one scale per
     * vector. 4× smaller vectors than float32 — at 100 TB of embeddings

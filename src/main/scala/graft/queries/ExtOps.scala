@@ -311,6 +311,46 @@ object ExtOps {
                    CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  /** Filtered vector search (the "pre-filter" serving composition):
+    * top-k among ONLY the candidates passing a metadata predicate —
+    * exact within the filtered set. The predicate is a plain Column, so
+    * it reaches the parquet scan as a pushed filter (PlanSpec) instead
+    * of post-filtering scored results. */
+  val xAnnFiltered = OpQuery(
+    "x_ann_filtered",
+    "filtered vector search: cosine top-5 among candidates with label <= 3 only",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineTopKFiltered(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), k = 5,
+          candidatePred = col("label") <= 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8),
+            qx AS (SELECT qid, unnest(qe) AS qv,
+                   unnest(generate_series(1, len(qe))) AS i FROM q),
+            cx AS (SELECT vec_id AS cid, unnest(embedding) AS cv,
+                   unnest(generate_series(1, len(embedding))) AS i
+                   FROM embeddings WHERE label <= 3),
+            dots AS (SELECT qid, cid,
+                     sum(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE)) AS dot
+                     FROM qx JOIN cx USING (i) GROUP BY qid, cid),
+            norms AS (SELECT vec_id AS id,
+                      sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nrm
+                      FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+                      GROUP BY vec_id),
+            scored AS (SELECT qid, cid,
+                floor(dot / (sqrt(qn.nrm) * sqrt(cn.nrm)) * 1000000.0) / 1000000.0 AS cosine
+              FROM dots JOIN norms qn ON qn.id = qid
+              JOIN norms cn ON cn.id = cid WHERE cid <> qid),
+            ranked AS (SELECT *, row_number() OVER
+                (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank FROM scored)
+            SELECT qid, cid, CAST(cosine AS DOUBLE) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val xAnnIvf = OpQuery(
     "x_ann_ivf",
     "IVF cosine top-5: probe 2 nearest label-centroids, scan only those clusters",
@@ -1859,7 +1899,7 @@ object ExtOps {
     xSimhash, xNeardupJaccard3, xDedupComponents, xDedupPipeline,
     xDedupIncremental, stDedupIncremental, xDedupKeepbest, xSubstringDedup,
     xSubstringCut,
-    xAnnBruteforce, xAnnNative, xAnnSq8, xAnnIvf, xAnnIvfKmeans,
+    xAnnBruteforce, xAnnNative, xAnnSq8, xAnnFiltered, xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xTfidfTopk, xVocabProfile,
     xApproxDistinct, xSampleStratified, xSampleKGroup, xDomainMix,

@@ -54,6 +54,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("filtered vector search pushes the metadata predicate into the scan") {
+    val p = planOf("x_ann_filtered")
+    // the label predicate must prune candidates AT THE SCAN — a
+    // post-scoring filter would read and score every vector first
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThanOrEqual(label,3)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ANN top-k is a bounded heap aggregate, not a window sort") {
     // the 100×-scale guarantee: no row_number().over(Window.partitionBy(qid))
     // single-reducer sort of the full candidate set — the TopKAgg runs as a
