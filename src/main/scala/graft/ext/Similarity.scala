@@ -330,6 +330,171 @@ object Similarity {
       path: String): Unit =
     embeddings.write.partitionBy(clusterCol).mode("overwrite").parquet(path)
 
+  /** Product-quantization codebook (the faiss-PQ family, public method):
+    * each vector splits into `m` contiguous subvectors and each subspace
+    * gets its own `ksub`-cell Lloyd's quantizer. All `m` quantizers train
+    * in ONE distributed loop: the sample explodes to (id, j, subvector)
+    * rows — m× the rows but the same total bytes — and cells are keyed by
+    * `cell = j·ksub + code`, so assignment and centroid updates are the
+    * single-frame TopK/centroids shapes the full-vector k-means already
+    * uses. Returns (cell, c: array<double>); cells that lose all members
+    * during training simply vanish (fewer codes in that subspace).
+    *
+    * Seeds are the `ksub` smallest sampled ids' subvectors (deterministic,
+    * content-addressed sample via [[Sampling.keepFraction]]); assignment
+    * is L2 argmin with ties to the smaller cell — every step
+    * deterministic, so the codebook is reproducible at any parallelism. */
+  def pqCodebook(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 3, fitFraction: Double = 1.0): DataFrame = {
+    require(m > 0 && ksub > 0 && iters > 0)
+    val emb = embeddings.select(col(idCol).as("id"), col(vecCol).as("e"))
+    val fitBase =
+      if (fitFraction >= 1.0) emb
+      else {
+        val sample = emb.filter(Sampling.keepFraction(col("id"), fitFraction)).staged
+        if (sample.isEmpty) emb else sample
+      }
+    // (id, j, sub): the per-row dsub = size/m keeps the API free of a dim
+    // parameter; the caller contract is m | dim (spec-asserted)
+    val subs = fitBase
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), j -> " +
+          s"transform(slice(e, j * CAST(size(e) / $m AS INT) + 1, " +
+          s"CAST(size(e) / $m AS INT)), x -> CAST(x AS DOUBLE)))"))
+        .as(Seq("j", "sub")))
+      .staged
+    // seeds: ksub smallest sampled ids, numbered via the zipWithIndex
+    // surrogate (same WARN-free pattern as kmeansAssign)
+    val seedIdsSorted = fitBase.select("id").distinct().orderBy("id").limit(ksub)
+    val seedIds = subs.sparkSession.createDataFrame(
+      seedIdsSorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i.toInt) },
+      org.apache.spark.sql.types.StructType(Seq(
+        seedIdsSorted.schema.fields.head.copy(name = "sid"),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    var cents = subs.join(broadcast(seedIds), col("id") === col("sid"))
+      .select((col("j") * ksub + col("code")).cast("int").as("cell"),
+        col("sub").as("c"))
+      .staged
+    val l2 = "aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    val best = graft.functions.TopK.topK(1)
+    for (_ <- 1 until iters) {
+      val assigned = subs
+        .join(broadcast(cents), col("j") === floor(col("cell") / ksub))
+        .withColumn("s", -expr(l2))
+        .groupBy("id", "j")
+        .agg(best(col("s"), col("cell").cast("long")).as("tk"))
+        .select(col("id"), col("j"),
+          col("tk.items")(0).getField("id").cast("int").as("cell"))
+      cents = centroids(
+          subs.join(assigned, Seq("id", "j")).select(col("cell"), col("sub")),
+          "cell", "sub")
+        .select(col("cluster").as("cell"), col("centroid").as("c"))
+        .staged
+    }
+    cents
+  }
+
+  /** PQ encode + ADC top-k (asymmetric distance computation): candidates
+    * are represented by `m` small codes; queries stay exact and score
+    * against per-query lookup tables of query-subvector × centroid dots.
+    *
+    * The 100-TB shape: the codebook (m·ksub centroids) is COLLECTED once
+    * — contract-bounded, ≤ m·ksub rows — and re-enters the plan as a
+    * typed literal, so encoding is a map-only expression over the corpus
+    * scan (no join, no shuffle; codes are m bytes of information per
+    * vector vs 4·dim for float32). Each query row carries its own
+    * (m × ksub) LUT built map-only from the same literal; scoring is then
+    * a broadcast of the few query rows over the code scan with a pure
+    * table-lookup fold, and ranking is the bounded TopK heap. Codes for
+    * cells that vanished in training index NaN LUT slots — unreachable,
+    * since the encoder only emits surviving codes.
+    *
+    * Approximation contract: cosine(q, x) ≈ Σⱼ dot(qⱼ, c_code) /
+    * (|q| · √Σⱼ|c_code|²) — recall vs the exact ranking is spec-gated
+    * (ExtSpec), not oracle-gated: the trained codebook is a Lloyd's
+    * fixpoint, impractical in SQL (same class as x_ann_ivf_kmeans). */
+  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, m: Int, ksub: Int,
+      iters: Int = 3, fitFraction: Double = 1.0): DataFrame = {
+    val spark = embeddings.sparkSession
+    val book = pqCodebook(embeddings, idCol, vecCol, m, ksub, iters, fitFraction)
+      .collect() // bounded by contract: ≤ m·ksub rows (the codebook)
+    val cb: Map[(Int, Int), Seq[Double]] = book.map { r =>
+      val cell = r.getInt(0)
+      ((cell / ksub, cell % ksub), r.getSeq[Double](1))
+    }.toMap
+    // per-subspace parallel arrays: surviving codes + their centroids +
+    // centroid norms; NaN-padded to ksub so LUT lookup is index-by-code
+    val codesByJ: Seq[Seq[Int]] =
+      (0 until m).map(j => (0 until ksub).filter(c => cb.contains((j, c))))
+    val centsByJ: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => codesByJ(j).map(c => cb((j, c))))
+    val cn2ByJ: Seq[Seq[Double]] = (0 until m).map { j =>
+      (0 until ksub).map(c => cb.get((j, c))
+        .map(v => v.map(x => x * x).sum).getOrElse(Double.NaN))
+    }
+    val cbArr = typedLit(centsByJ)   // cbArr[j][p] = centroid (survivors only)
+    val cbCode = typedLit(codesByJ)  // cbCode[j][p] = that centroid's code
+    val cn2Lit = typedLit(cn2ByJ)    // cn2Lit[j][code] (NaN when absent)
+    val dsub = s"CAST(size(e) / $m AS INT)"
+    val subJ = s"transform(slice(e, j * $dsub + 1, $dsub), x -> CAST(x AS DOUBLE))"
+    // map-only encoder: per subspace, L2 argmin over the surviving
+    // centroids (dists materialized into structs FIRST — the let-bind
+    // move that keeps CollapseProject from re-evaluating per comparison)
+    val codesExpr = expr(
+      s"""transform(sequence(0, ${m - 1}), j ->
+         |  element_at(element_at(cbcode, j + 1),
+         |    aggregate(
+         |      transform(sequence(0, size(element_at(cbarr, j + 1)) - 1), p ->
+         |        named_struct(
+         |          'd', aggregate(zip_with($subJ,
+         |                 element_at(element_at(cbarr, j + 1), p + 1),
+         |                 (x, y) -> (x - y) * (x - y)),
+         |               CAST(0 AS DOUBLE), (a, v) -> a + v),
+         |          'p', p)),
+         |      named_struct('d', CAST('Infinity' AS DOUBLE), 'p', -1),
+         |      (acc, s) -> CASE WHEN s.d < acc.d THEN s ELSE acc END).p + 1))
+         |""".stripMargin)
+    val coded = embeddings
+      .select(col(idCol).as("cid"), col(vecCol).as("e"))
+      .withColumn("cbarr", cbArr).withColumn("cbcode", cbCode)
+      .select(col("cid"), codesExpr.as("codes"))
+    // per-query LUT: lutd[j][code] = dot(q_j, centroid), NaN-padded like
+    // cn2 — built map-only on the few query rows
+    val lutExpr = expr(
+      s"""transform(sequence(0, ${m - 1}), j ->
+         |  transform(sequence(0, ${ksub - 1}), c ->
+         |    CASE WHEN array_position(element_at(cbcode, j + 1), c) > 0
+         |      THEN aggregate(zip_with($subJ,
+         |             element_at(element_at(cbarr, j + 1),
+         |               CAST(array_position(element_at(cbcode, j + 1), c) AS INT)),
+         |             (x, y) -> x * y),
+         |           CAST(0 AS DOUBLE), (a, v) -> a + v)
+         |      ELSE CAST('NaN' AS DOUBLE) END))
+         |""".stripMargin)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("e"))
+      .withColumn("cbarr", cbArr).withColumn("cbcode", cbCode)
+      .withColumn("qn", expr(
+        "aggregate(e, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .select(col("qid"), lutExpr.as("lutd"), col("qn"))
+    val lookupSum = (tbl: String) =>
+      s"""aggregate(transform(sequence(0, ${m - 1}), j ->
+         |  element_at(element_at($tbl, j + 1),
+         |    element_at(codes, j + 1) + 1)),
+         |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin
+    val scored = coded.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cn2", cn2Lit)
+      .withColumn("cosine",
+        floor(expr(lookupSum("lutd")) /
+          (sqrt(col("qn")) * sqrt(expr(lookupSum("cn2")))) * 1000000.0)
+          / 1000000.0)
+    rankTopK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs above a cosine
     * threshold, restricted to within-cluster pairs (the IVF blocking —
     * linear in cluster size, not corpus size). Pair generation goes

@@ -311,6 +311,24 @@ object ExtOps {
                    CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  /** Product quantization + ADC: the memory-scale ANN path (m codes per
+    * vector instead of 4·dim float bytes). Codebook trains as a Lloyd's
+    * fixpoint → no SQL oracle (same documented class as
+    * x_ann_ivf_kmeans); the driver records rows-only and the recall /
+    * determinism / code-validity contracts are spec-gated (ExtSpec
+    * "PQ-ADC ranking"). */
+  val xAnnPq = OpQuery(
+    "x_ann_pq",
+    "product-quantized cosine top-5 (m=16 subspaces x 16 codes, ADC lookup scoring)",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), k = 5, m = 16, ksub = 16, iters = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+    None)
+
   /** Filtered vector search (the "pre-filter" serving composition):
     * top-k among ONLY the candidates passing a metadata predicate —
     * exact within the filtered set. The predicate is a plain Column, so
@@ -1899,7 +1917,8 @@ object ExtOps {
     xSimhash, xNeardupJaccard3, xDedupComponents, xDedupPipeline,
     xDedupIncremental, stDedupIncremental, xDedupKeepbest, xSubstringDedup,
     xSubstringCut,
-    xAnnBruteforce, xAnnNative, xAnnSq8, xAnnFiltered, xAnnIvf, xAnnIvfKmeans,
+    xAnnBruteforce, xAnnNative, xAnnSq8, xAnnFiltered, xAnnPq,
+    xAnnIvf, xAnnIvfKmeans,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xTfidfTopk, xVocabProfile,
     xApproxDistinct, xSampleStratified, xSampleKGroup, xDomainMix,

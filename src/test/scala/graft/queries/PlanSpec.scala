@@ -67,7 +67,8 @@ class PlanSpec extends SparkTestBase {
     // the 100×-scale guarantee: no row_number().over(Window.partitionBy(qid))
     // single-reducer sort of the full candidate set — the TopKAgg runs as a
     // TypedImperativeAggregate with map-side partial merge
-    for (q <- Seq("x_ann_bruteforce", "x_ann_native_expr", "x_ann_ivf")) {
+    for (q <- Seq("x_ann_bruteforce", "x_ann_native_expr", "x_ann_ivf",
+        "x_ann_filtered", "x_ann_pq")) {
       val p = planOf(q)
       assert(!p.contains("Window"), s"$q still window-sorts:\n$p")
       assert(p.contains("ObjectHashAggregate"), s"$q lost the heap aggregate:\n$p")
