@@ -151,8 +151,11 @@ object Curation {
       .filter(col("is_kept")).select("doc_id")
 
     // 5. decontamination: fps over the PRE-dedup survivors (see scaladoc);
-    // integer-exact fraction test — n_shared·100 ≥ n_fps·pct
-    val contaminated = TextAnalysis.contaminationWithinStats(survivors,
+    // integer-exact fraction test — n_shared·100 ≥ n_fps·pct. The Bloom
+    // variant keeps the corpus side of the fingerprint join map-only
+    // (only probable hits shuffle); output is bit-identical, so the
+    // e2e oracle is untouched
+    val contaminated = TextAnalysis.contaminationWithinStatsBloom(survivors,
         "scrubbed", "doc_id", isBench = col("doc_id") % benchMod === 0)
       .filter(col("n_shared_fps") * 100 >= col("n_fps") * minSharedPct)
       .select("doc_id")

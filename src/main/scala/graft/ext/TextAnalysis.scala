@@ -245,18 +245,38 @@ object TextAnalysis {
       k: Int = 16, w: Int = 4, fpp: Double = 0.01): DataFrame = {
     val fps = winnowFingerprints(corpus, textCol, idCol, k, w).staged
     val bench = fps.filter(isBench)
-    // benchmark row count: the small side by contract (a benchmark), so
-    // this bounded count sizes the filter; duplicates only over-size it
-    val nBench = bench.count()
-    val probe = graft.functions.BloomProbe
-      .buildFilterBytes(bench, col("fp"), math.max(nBench, 1L), fpp)
-      // empty benchmark → nothing can be contaminated; keep the join
-      // shape (for the shared schema) but probe nothing through
-      .map(bytes => graft.functions.BloomProbe
-        .mightContain(corpus.sparkSession, bytes, col("fp")))
-      .getOrElse(lit(false))
-    contaminationOnFps(fps.filter(probe), bench, idCol)
+    contaminationOnFps(fps.filter(benchFpProbe(bench, fpp)), bench, idCol)
   }
+
+  /** [[contaminationWithinStats]] with the same Bloom pre-filter as
+    * [[contaminationWithinBloom]] — the overlap-fraction rule at the
+    * 100-TB join shape. The per-doc totals still aggregate the FULL
+    * fingerprint frame (they must — the denominator is every
+    * fingerprint, not just probable hits), but that is a map-side-
+    * combined count keyed by doc id, not a join shuffle. Output is
+    * bit-identical to the exact variant. */
+  def contaminationWithinStatsBloom(corpus: DataFrame, textCol: String,
+      idCol: String, isBench: org.apache.spark.sql.Column,
+      k: Int = 16, w: Int = 4, fpp: Double = 0.01): DataFrame = {
+    val fps = winnowFingerprints(corpus, textCol, idCol, k, w).staged
+    val totals = fps.groupBy(col(idCol)).agg(count(lit(1)).as("n_fps"))
+    val bench = fps.filter(isBench)
+    contaminationOnFps(fps.filter(benchFpProbe(bench, fpp)), bench, idCol)
+      .join(totals, Seq(idCol))
+  }
+
+  /** Bloom membership probe over a benchmark fingerprint frame: builds
+    * the filter (distributed aggregation; the benchmark row count — the
+    * small side by contract — sizes it, duplicates only over-size it)
+    * and returns the map-only might-contain predicate on `fp`. An empty
+    * benchmark probes nothing through (`false` — an empty set contains
+    * nothing), keeping the downstream join shape with zero rows. */
+  private def benchFpProbe(bench: DataFrame, fpp: Double): org.apache.spark.sql.Column =
+    graft.functions.BloomProbe
+      .buildFilterBytes(bench, col("fp"), math.max(bench.count(), 1L), fpp)
+      .map(bytes => graft.functions.BloomProbe
+        .mightContain(bench.sparkSession, bytes, col("fp")))
+      .getOrElse(lit(false))
 
   private def contaminationOnFps(cf: DataFrame, bench: DataFrame,
       idCol: String): DataFrame = {
