@@ -265,6 +265,38 @@ object TextAnalysis {
       .join(totals, Seq(idCol))
   }
 
+  /** Frozen benchmark index for STREAMING decontamination: the benchmark
+    * fingerprints (staged — built once, before the stream starts) plus
+    * the serialized Bloom filter over them. Mirrors Dedup.CorpusIndex:
+    * arriving micro-batches pay only their own fingerprinting + a
+    * map-only probe + the exact join against this frozen frame. */
+  final case class BenchIndex(fps: DataFrame, bloomBytes: Option[Array[Byte]])
+
+  /** Build the frozen index: one fingerprint pass over the benchmark +
+    * one distributed Bloom build (bounded: benchmark-sized). */
+  def buildBenchIndex(bench: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, w: Int = 4, fpp: Double = 0.01): BenchIndex = {
+    val fps = winnowFingerprints(bench, textCol, idCol, k, w).staged
+    BenchIndex(fps, graft.functions.BloomProbe
+      .buildFilterBytes(fps, col("fp"), math.max(fps.count(), 1L), fpp))
+  }
+
+  /** Flag one batch of documents against a frozen [[BenchIndex]] — the
+    * per-micro-batch body of the streaming gate. Per-doc flags depend
+    * only on the doc's own text and the FROZEN index, so the streamed
+    * union over any batching equals the one-shot batch run
+    * (st_decontaminate_stream shares x_decontaminate's oracle verbatim
+    * on that argument). */
+  def contaminationAgainst(index: BenchIndex, batch: DataFrame,
+      textCol: String, idCol: String, k: Int = 16, w: Int = 4): DataFrame = {
+    val bf = winnowFingerprints(batch, textCol, idCol, k, w)
+    val probe = index.bloomBytes
+      .map(b => graft.functions.BloomProbe
+        .mightContain(batch.sparkSession, b, col("fp")))
+      .getOrElse(lit(false))
+    contaminationOnFps(bf.filter(probe), index.fps, idCol)
+  }
+
   /** Bloom membership probe over a benchmark fingerprint frame: builds
     * the filter (distributed aggregation; the benchmark row count — the
     * small side by contract — sizes it, duplicates only over-size it)

@@ -693,6 +693,41 @@ object ExtOps {
         .orderBy("doc_id"),
     xDecontaminate.oracle)
 
+  /** The streaming arrangement of the decontamination gate: the
+    * benchmark fingerprint + Bloom index is built and frozen BEFORE the
+    * stream starts (TextAnalysis.buildBenchIndex), then every arriving
+    * micro-batch pays only its own fingerprinting, a map-only Bloom
+    * probe, and the exact join against the frozen index inside a
+    * checkpointed foreachBatch topology. Per-doc flags depend only on
+    * the doc's own text and the frozen index, so the streamed union
+    * equals the one-shot batch run — proved by sharing
+    * x_decontaminate's oracle verbatim. Restart semantics spec-gated
+    * (DecontaminateStreamSpec). */
+  val stDecontaminate = OpQuery(
+    "st_decontaminate_stream",
+    "streaming decontamination: micro-batches probed against a frozen benchmark bloom+fps index",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val index = TextAnalysis.buildBenchIndex(
+        t(s, dir, "documents").filter(col("doc_id") % 7 === 0),
+        "text", "doc_id")
+      val scratch = graft.core.Scratch.tempDir("graft_decon_stream_")
+      val out = s"$scratch/out"; val ck = s"$scratch/ckpt"
+      val stream = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.Runner.toBatchSink(stream, ck) { (batch, _) =>
+        TextAnalysis.contaminationAgainst(index, batch, "text", "doc_id")
+          .write.mode("append").parquet(out)
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out).orderBy("doc_id")
+    },
+    xDecontaminate.oracle)
+
   val xRepetition = OpQuery(
     "x_repetition",
     "repetition quality signals: distinct-token ratio + duplicate-2-gram fraction",
@@ -1926,7 +1961,7 @@ object ExtOps {
     xProfilePercentiles, xCorpusDiff,
     xPackChunks, xPackStats, xShardAssign, xBudgetSelect,
     xPiiScrub, xRepetition, xDecontaminate, xDecontaminateBloom,
-    xLmQuality, xLmBigram,
+    stDecontaminate, xLmQuality, xLmBigram,
     xDsirWeights, xDsirSelect, xNbClassify, xCcnetBuckets,
     xBpePairStats, xBpeVocab,
     xCurationE2e, stCurationGate, xMultimodalFeatures)
