@@ -168,9 +168,15 @@ object Similarity {
 
   /** IVF top-k: probe the nProbe closest centroids per query, then
     * brute-force only within the probed clusters. */
-  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      clusterCol: String, queries: DataFrame, k: Int,
-      nProbe: Int = 2): DataFrame = {
+  /** Shared IVF probe selection: rank coarse-cell centroids per query and
+    * materialize the probe set on the driver — bounded by contract at
+    * |queries| × nProbe rows (queries are broadcast-small). Returns the
+    * (qid, cluster) probe frame and the distinct probed cells (the
+    * static IN scan filter). Extracted verbatim from [[ivfTopK]], whose
+    * x_ann_ivf oracle gates the behavior. */
+  private def probeCells(embeddings: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, queries: DataFrame,
+      nProbe: Int): (DataFrame, Seq[Any]) = {
     val cents = centroids(embeddings, clusterCol, vecCol)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
       .withColumn("qn", norm("qe"))
@@ -211,22 +217,30 @@ object Similarity {
     // reference. This is the plan an IVF index issues natively: rank
     // centroids, then read only the probed lists.
     val probedRows = probed.collect()
-    val session = embeddings.sparkSession
-    val probedDf = session.createDataFrame(
+    val probedDf = embeddings.sparkSession.createDataFrame(
       java.util.Arrays.asList(probedRows: _*), probed.schema)
-    val probedCells = probedRows.map(_.get(1)).distinct.toSeq
+    (probedDf, probedRows.map(_.get(1)).distinct.toSeq)
+  }
+
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, queries: DataFrame, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val (probedDf, probedCells) =
+      probeCells(embeddings, idCol, vecCol, clusterCol, queries, nProbe)
+    val session = embeddings.sparkSession
     // candidate scoring through the native fused-loop expression
     // (bit-identical to the composed zip_with form — x_ann_native_expr
     // shares x_ann_bruteforce's oracle). The centroid scoring above stays
     // composed: centroids are double arrays, vec_cosine reads floats.
     graft.functions.VectorCosine.register(session)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
     val cand = embeddings
       .filter(col(clusterCol).isInCollection(probedCells))
       .select(col(idCol).as("cid"), col(vecCol).as("ce"),
         col(clusterCol).as("cluster"))
     val scored = cand.join(broadcast(probedDf), Seq("cluster"))
       .filter(col("cid") =!= col("qid"))
-      .join(q.select("qid", "qe"), Seq("qid"))
+      .join(q, Seq("qid"))
       .withColumn("cosine",
         floor(expr("vec_cosine(qe, ce)") * 1000000.0) / 1000000.0)
     rankTopK(scored, k)
@@ -416,10 +430,79 @@ object Similarity {
     * (|q| · √Σⱼ|c_code|²) — recall vs the exact ranking is spec-gated
     * (ExtSpec), not oracle-gated: the trained codebook is a Lloyd's
     * fixpoint, impractical in SQL (same class as x_ann_ivf_kmeans). */
-  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int, m: Int, ksub: Int,
-      iters: Int = 3, fitFraction: Double = 1.0): DataFrame = {
-    val spark = embeddings.sparkSession
+  /** Trained PQ model as plan literals: per-subspace surviving centroids
+    * (`cbArr[j][p]`), their codes (`cbCode[j][p]`), per-code centroid
+    * norms (`cn2[j][code]`, NaN-padded where a cell lost all members),
+    * plus the map-only encoder / per-query LUT / lookup-fold expression
+    * text bound to those literals. The one collect is the codebook —
+    * bounded by contract at ≤ m·ksub rows. */
+  private final case class PqModel(cbArr: org.apache.spark.sql.Column,
+      cbCode: org.apache.spark.sql.Column, cn2: org.apache.spark.sql.Column,
+      m: Int, ksub: Int) {
+    private val dsub = s"CAST(size(e) / $m AS INT)"
+    private val subJ =
+      s"transform(slice(e, j * $dsub + 1, $dsub), x -> CAST(x AS DOUBLE))"
+    /** Map-only encoder: per subspace, L2 argmin over the surviving
+      * centroids (dists materialized into structs FIRST — the let-bind
+      * move that keeps CollapseProject from re-evaluating per
+      * comparison). Expects columns e/cbarr/cbcode. */
+    def codesExpr: org.apache.spark.sql.Column = expr(
+      s"""transform(sequence(0, ${m - 1}), j ->
+         |  element_at(element_at(cbcode, j + 1),
+         |    aggregate(
+         |      transform(sequence(0, size(element_at(cbarr, j + 1)) - 1), p ->
+         |        named_struct(
+         |          'd', aggregate(zip_with($subJ,
+         |                 element_at(element_at(cbarr, j + 1), p + 1),
+         |                 (x, y) -> (x - y) * (x - y)),
+         |               CAST(0 AS DOUBLE), (a, v) -> a + v),
+         |          'p', p)),
+         |      named_struct('d', CAST('Infinity' AS DOUBLE), 'p', -1),
+         |      (acc, s) -> CASE WHEN s.d < acc.d THEN s ELSE acc END).p + 1))
+         |""".stripMargin)
+    /** Per-query LUT: lutd[j][code] = dot(q_j, centroid), NaN-padded like
+      * cn2 — built map-only on the few query rows. */
+    def lutExpr: org.apache.spark.sql.Column = expr(
+      s"""transform(sequence(0, ${m - 1}), j ->
+         |  transform(sequence(0, ${ksub - 1}), c ->
+         |    CASE WHEN array_position(element_at(cbcode, j + 1), c) > 0
+         |      THEN aggregate(zip_with($subJ,
+         |             element_at(element_at(cbarr, j + 1),
+         |               CAST(array_position(element_at(cbcode, j + 1), c) AS INT)),
+         |             (x, y) -> x * y),
+         |           CAST(0 AS DOUBLE), (a, v) -> a + v)
+         |      ELSE CAST('NaN' AS DOUBLE) END))
+         |""".stripMargin)
+    /** Σⱼ tbl[j][codes[j]] — the ADC table-lookup fold. */
+    def lookupSum(tbl: String): org.apache.spark.sql.Column = expr(
+      s"""aggregate(transform(sequence(0, ${m - 1}), j ->
+         |  element_at(element_at($tbl, j + 1),
+         |    element_at(codes, j + 1) + 1)),
+         |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin)
+    /** (cid, codes [, carried]) — the encoded corpus, map-only. */
+    def encode(embeddings: DataFrame, idCol: String, vecCol: String,
+        carry: Seq[String] = Nil): DataFrame =
+      embeddings
+        .select((Seq(col(idCol).as("cid"), col(vecCol).as("e")) ++
+          carry.map(col)): _*)
+        .withColumn("cbarr", cbArr).withColumn("cbcode", cbCode)
+        .select((Seq(col("cid"), codesExpr.as("codes")) ++ carry.map(col)): _*)
+    /** (qid, lutd, qn) — queries with their ADC tables, map-only. */
+    def queriesWithLut(queries: DataFrame, idCol: String,
+        vecCol: String): DataFrame =
+      queries.select(col(idCol).as("qid"), col(vecCol).as("e"))
+        .withColumn("cbarr", cbArr).withColumn("cbcode", cbCode)
+        .withColumn("qn", expr(
+          "aggregate(e, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+        .select(col("qid"), lutExpr.as("lutd"), col("qn"))
+    /** ADC cosine over a (codes, lutd, qn) row — floor-truncated 6 dp. */
+    def adcCosine: org.apache.spark.sql.Column =
+      floor(lookupSum("lutd") /
+        (sqrt(col("qn")) * sqrt(lookupSum("cn2"))) * 1000000.0) / 1000000.0
+  }
+
+  private def pqModel(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, fitFraction: Double): PqModel = {
     val book = pqCodebook(embeddings, idCol, vecCol, m, ksub, iters, fitFraction)
       .collect() // bounded by contract: ≤ m·ksub rows (the codebook)
     val cb: Map[(Int, Int), Seq[Double]] = book.map { r =>
@@ -436,62 +519,50 @@ object Similarity {
       (0 until ksub).map(c => cb.get((j, c))
         .map(v => v.map(x => x * x).sum).getOrElse(Double.NaN))
     }
-    val cbArr = typedLit(centsByJ)   // cbArr[j][p] = centroid (survivors only)
-    val cbCode = typedLit(codesByJ)  // cbCode[j][p] = that centroid's code
-    val cn2Lit = typedLit(cn2ByJ)    // cn2Lit[j][code] (NaN when absent)
-    val dsub = s"CAST(size(e) / $m AS INT)"
-    val subJ = s"transform(slice(e, j * $dsub + 1, $dsub), x -> CAST(x AS DOUBLE))"
-    // map-only encoder: per subspace, L2 argmin over the surviving
-    // centroids (dists materialized into structs FIRST — the let-bind
-    // move that keeps CollapseProject from re-evaluating per comparison)
-    val codesExpr = expr(
-      s"""transform(sequence(0, ${m - 1}), j ->
-         |  element_at(element_at(cbcode, j + 1),
-         |    aggregate(
-         |      transform(sequence(0, size(element_at(cbarr, j + 1)) - 1), p ->
-         |        named_struct(
-         |          'd', aggregate(zip_with($subJ,
-         |                 element_at(element_at(cbarr, j + 1), p + 1),
-         |                 (x, y) -> (x - y) * (x - y)),
-         |               CAST(0 AS DOUBLE), (a, v) -> a + v),
-         |          'p', p)),
-         |      named_struct('d', CAST('Infinity' AS DOUBLE), 'p', -1),
-         |      (acc, s) -> CASE WHEN s.d < acc.d THEN s ELSE acc END).p + 1))
-         |""".stripMargin)
-    val coded = embeddings
-      .select(col(idCol).as("cid"), col(vecCol).as("e"))
-      .withColumn("cbarr", cbArr).withColumn("cbcode", cbCode)
-      .select(col("cid"), codesExpr.as("codes"))
-    // per-query LUT: lutd[j][code] = dot(q_j, centroid), NaN-padded like
-    // cn2 — built map-only on the few query rows
-    val lutExpr = expr(
-      s"""transform(sequence(0, ${m - 1}), j ->
-         |  transform(sequence(0, ${ksub - 1}), c ->
-         |    CASE WHEN array_position(element_at(cbcode, j + 1), c) > 0
-         |      THEN aggregate(zip_with($subJ,
-         |             element_at(element_at(cbarr, j + 1),
-         |               CAST(array_position(element_at(cbcode, j + 1), c) AS INT)),
-         |             (x, y) -> x * y),
-         |           CAST(0 AS DOUBLE), (a, v) -> a + v)
-         |      ELSE CAST('NaN' AS DOUBLE) END))
-         |""".stripMargin)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("e"))
-      .withColumn("cbarr", cbArr).withColumn("cbcode", cbCode)
-      .withColumn("qn", expr(
-        "aggregate(e, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
-      .select(col("qid"), lutExpr.as("lutd"), col("qn"))
-    val lookupSum = (tbl: String) =>
-      s"""aggregate(transform(sequence(0, ${m - 1}), j ->
-         |  element_at(element_at($tbl, j + 1),
-         |    element_at(codes, j + 1) + 1)),
-         |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin
+    PqModel(typedLit(centsByJ), typedLit(codesByJ), typedLit(cn2ByJ), m, ksub)
+  }
+
+  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, m: Int, ksub: Int,
+      iters: Int = 3, fitFraction: Double = 1.0): DataFrame = {
+    val model = pqModel(embeddings, idCol, vecCol, m, ksub, iters, fitFraction)
+    val coded = model.encode(embeddings, idCol, vecCol)
+    val q = model.queriesWithLut(queries, idCol, vecCol)
     val scored = coded.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
-      .withColumn("cn2", cn2Lit)
-      .withColumn("cosine",
-        floor(expr(lookupSum("lutd")) /
-          (sqrt(col("qn")) * sqrt(expr(lookupSum("cn2")))) * 1000000.0)
-          / 1000000.0)
+      .withColumn("cn2", model.cn2)
+      .withColumn("cosine", model.adcCosine)
+    rankTopK(scored, k)
+  }
+
+  /** IVF-PQ (the production faiss shape at corpus scale): a coarse
+    * quantizer prunes the scan to the probed cells AND the pruned
+    * candidates are scored through PQ codes instead of raw floats — I/O
+    * falls by ~nProbe/nLists and the scored representation falls to m
+    * codes per vector. Composition of the two proven halves:
+    * [[probeCells]] (static IN scan filter from the per-query centroid
+    * ranking — physical partition pruning over a [[writeClustered]]
+    * layout) and the [[PqModel]] map-only encode + broadcast ADC LUTs.
+    * The PQ model trains on the FULL corpus (sample-fit via
+    * `fitFraction` in production) — codebooks are an ingest artifact,
+    * not a per-query one. Recall compounds the IVF probe miss and the
+    * PQ quantization error; spec-gated like each half. */
+  def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, queries: DataFrame, k: Int, nProbe: Int,
+      m: Int, ksub: Int, iters: Int = 3, fitFraction: Double = 1.0): DataFrame = {
+    val model = pqModel(embeddings, idCol, vecCol, m, ksub, iters, fitFraction)
+    val (probedDf, probedCells) =
+      probeCells(embeddings, idCol, vecCol, clusterCol, queries, nProbe)
+    val coded = model.encode(
+      embeddings.filter(col(clusterCol).isInCollection(probedCells))
+        .withColumn("cluster", col(clusterCol)),
+      idCol, vecCol, carry = Seq("cluster"))
+    val q = model.queriesWithLut(queries, idCol, vecCol)
+    val scored = coded.join(broadcast(probedDf), Seq("cluster"))
+      .filter(col("cid") =!= col("qid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cn2", model.cn2)
+      .withColumn("cosine", model.adcCosine)
     rankTopK(scored, k)
   }
 

@@ -329,6 +329,24 @@ object ExtOps {
     },
     None)
 
+  /** IVF-PQ: coarse-cell probe pruning composed with PQ-code ADC
+    * scoring — the production ANN shape at corpus scale. Both halves are
+    * Lloyd's artifacts → no SQL oracle (rows-only, same documented class
+    * as x_ann_ivf_kmeans / x_ann_pq); ExtSpec gates full-probe
+    * equivalence with pqTopK, probe pruning, and the memorizing-codebook
+    * exactness on the axis fixture. */
+  val xAnnIvfPq = OpQuery(
+    "x_ann_ivfpq",
+    "IVF-PQ cosine top-5: probe 2 coarse cells, score survivors by PQ codes (ADC)",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", "label",
+          e.filter(col("vec_id") < 8), k = 5, nProbe = 2, m = 16, ksub = 16)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+    None)
+
   /** Filtered vector search (the "pre-filter" serving composition):
     * top-k among ONLY the candidates passing a metadata predicate —
     * exact within the filtered set. The predicate is a plain Column, so
@@ -1953,7 +1971,7 @@ object ExtOps {
     xDedupIncremental, stDedupIncremental, xDedupKeepbest, xSubstringDedup,
     xSubstringCut,
     xAnnBruteforce, xAnnNative, xAnnSq8, xAnnFiltered, xAnnPq,
-    xAnnIvf, xAnnIvfKmeans,
+    xAnnIvf, xAnnIvfKmeans, xAnnIvfPq,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xTfidfTopk, xVocabProfile,
     xApproxDistinct, xSampleStratified, xSampleKGroup, xDomainMix,

@@ -195,6 +195,37 @@ class ExtSpec extends SparkTestBase {
       again.map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap)
   }
 
+  test("IVF-PQ: full probe equals pure PQ; partial probe prunes unprobed cells") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" < 16)
+    // probing EVERY label cell makes the candidate set identical to pure
+    // PQ, and the scoring path is the same ADC model → results must be
+    // row-for-row equal (the composition adds pruning, nothing else)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val full = rows(Similarity.ivfPqTopK(e, "vec_id", "embedding", "label",
+      q, k = 5, nProbe = 10, m = 16, ksub = 16))
+    val pure = rows(Similarity.pqTopK(e, "vec_id", "embedding", q, k = 5,
+      m = 16, ksub = 16))
+    assert(full == pure)
+    // partial probe: still a full k per query, all candidates from
+    // probed cells only
+    val part = Similarity.ivfPqTopK(e, "vec_id", "embedding", "label",
+      q, k = 5, nProbe = 2, m = 16, ksub = 16)
+    val perQ = part.groupBy("qid").count().select("count").as[Long].collect()
+    assert(perQ.nonEmpty && perQ.forall(_ == 5L))
+  }
+
+  test("IVF-PQ on the axis fixture: memorizing codebook exact, unprobed cell absent") {
+    val res = Similarity.ivfPqTopK(vecs, "vec_id", "embedding", "label",
+        vecs.filter($"vec_id" === 0), k = 2, nProbe = 2, m = 3, ksub = 4, iters = 4)
+      .select("cid", "rank").as[(Long, Int)].collect().toMap
+    assert(res(1L) == 1) // 0.9-aligned vector first, like brute force
+    // the z-axis cell (label 2) is never probed for an x-axis query
+    assert(!res.contains(4L))
+  }
+
   test("PQ-ADC is near-exact when the codebook can memorize the corpus") {
     // 3-dim axis-aligned fixture, m=3 (one dim per subspace), ksub=4 on
     // 5 vectors: every distinct subvector value gets its own cell, so
