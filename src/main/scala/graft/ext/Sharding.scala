@@ -42,4 +42,34 @@ object Sharding {
       .withColumn("shard", expr(s"CAST($byte0 % $nShards AS BIGINT)"))
       .withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** CURRICULUM layout: a global total order by `orderCol` (short→long,
+    * easy→hard, low→high perplexity — whatever the curriculum metric is),
+    * cut into `nShards` contiguous, equal-as-possible shards. A loader
+    * reading shards 0..n-1 in (shard, global_rank) order replays the
+    * exact curriculum; the order is a pure function of (orderCol, id) —
+    * engine-, parallelism- and rerun-independent.
+    *
+    * The 100-TB shape: global rank WITHOUT a global window. A
+    * `row_number().over(Window.orderBy(...))` funnels the corpus through
+    * ONE task; here rank is a [[PrefixSum.runningTotal]] of ones — range-
+    * partition on the sort key, partition-local ranks in parallel, then
+    * merge config-bounded per-partition totals into offsets. Shard cut
+    * points are integer arithmetic on the rank ((rank−1)·nShards div N —
+    * exact in BIGINT, no float boundary), so the whole layout is
+    * oracle-verifiable against a row_number reference. */
+  def curriculumOrder(df: DataFrame, idCol: String,
+      orderCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val ranked = graft.ext.PrefixSum.runningTotal(
+      df.select(col(idCol), col(orderCol)).withColumn("_one", lit(1L)),
+      partCols = Nil, orderCols = Seq(orderCol, idCol),
+      valueCol = "_one", outCol = "global_rank")
+    val total = df.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("shard",
+        expr(s"CAST((global_rank - 1) * $nShards DIV _n AS BIGINT)"))
+      .select(col(idCol), col(orderCol),
+        col("global_rank").cast("long").as("global_rank"), col("shard"))
+  }
 }

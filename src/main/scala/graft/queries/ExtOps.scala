@@ -1848,6 +1848,28 @@ object ExtOps {
                 AS BIGINT) AS pos
             FROM s ORDER BY doc_id"""))
 
+  /** Curriculum layout: global rank by document length (short→long, the
+    * classic length curriculum) cut into 8 contiguous shards. The Spark
+    * side computes the rank as a distributed prefix sum of ones (no
+    * global window — PlanSpec holds every window to the prefix-sum
+    * partition key); the oracle is the plain row_number reference, so
+    * the two-phase rank is hash-verified bit-for-bit. */
+  val xCurriculumOrder = OpQuery(
+    "x_curriculum_order",
+    "curriculum ordering: global rank by n_chars via distributed prefix sum, 8 contiguous shards",
+    (s, dir) =>
+      graft.ext.Sharding.curriculumOrder(
+          t(s, dir, "documents"), "doc_id", "n_chars", nShards = 8)
+        .orderBy("global_rank"),
+    Some("""WITH r AS (SELECT doc_id, n_chars,
+              row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
+              FROM documents),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+              CAST(global_rank AS BIGINT) AS global_rank,
+              CAST(((global_rank - 1) * 8) // n AS BIGINT) AS shard
+            FROM r, n ORDER BY global_rank"""))
+
   val xBudgetSelect = OpQuery(
     "x_budget_select",
     "token-budget selection: per source, keep best-quality docs while the " +
@@ -1977,7 +1999,7 @@ object ExtOps {
     xApproxDistinct, xSampleStratified, xSampleKGroup, xDomainMix,
     xDomainTemperature,
     xProfilePercentiles, xCorpusDiff,
-    xPackChunks, xPackStats, xShardAssign, xBudgetSelect,
+    xPackChunks, xPackStats, xShardAssign, xCurriculumOrder, xBudgetSelect,
     xPiiScrub, xRepetition, xDecontaminate, xDecontaminateBloom,
     stDecontaminate, xLmQuality, xLmBigram,
     xDsirWeights, xDsirSelect, xNbClassify, xCcnetBuckets,

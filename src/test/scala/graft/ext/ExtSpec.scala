@@ -477,6 +477,24 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("curriculum order: dense global rank, contiguous near-equal shards, rerun-stable") {
+    val df = (1 to 100).map(i => (i.toLong, (101 - i).toLong)) // reverse order
+      .toDF("doc_id", "len")
+    val out = Sharding.curriculumOrder(df, "doc_id", "len", nShards = 4)
+      .select("doc_id", "global_rank", "shard")
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    // dense 1..n rank following the metric (reverse of doc_id here)
+    assert(out.map(_._2).toSeq == (1L to 100L))
+    assert(out.head._1 == 100L && out.last._1 == 1L)
+    // shards are contiguous rank ranges of equal size
+    assert(out.map(_._3).toSeq == (0 until 4).flatMap(s => Seq.fill(25)(s.toLong)))
+    // partition-layout independence
+    val again = Sharding.curriculumOrder(df.repartition(13), "doc_id", "len", 4)
+      .select("doc_id", "global_rank", "shard")
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("disc percentiles select real corpus values at exact ranks") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("n_chars", "ws_tokens")
     val pdf = Profiling.discPercentiles(df, Seq("n_chars", "ws_tokens"),

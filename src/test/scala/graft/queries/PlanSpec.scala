@@ -181,7 +181,7 @@ class PlanSpec extends SparkTestBase {
     // window that appears must be keyed by the prefix-sum partition id
     // (_pid...) — a partition-less (global) window would serialize the
     // frame through one task at scale
-    for (q <- Seq("x_dsir_select", "x_ccnet_buckets")) {
+    for (q <- Seq("x_dsir_select", "x_ccnet_buckets", "x_curriculum_order")) {
       val p = planOf(q)
       val windowDefs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
       assert(windowDefs.forall(_.contains("_pid")),
