@@ -141,6 +141,32 @@ object Sampling {
       .select(col(idCol), col("domain"), col("cutoff"))
   }
 
+  /** Deterministic train/val/test split assignment: every row gets
+    * exactly one split label, a pure function of md5(id) — the same
+    * content-addressed contract as the samplers (rerun-, engine- and
+    * layout-independent, so a document NEVER migrates between train and
+    * eval across pipeline reruns, the property that makes eval splits
+    * trustworthy). `head` lists the leading splits with their fractions
+    * (quantized to 1/65536 via 4-hex-char cutoffs — fine enough for
+    * 0.01% eval slices); everything above the last cutoff falls into
+    * `rest`. Cutoffs are cumulative, so splits are disjoint and
+    * exhaustive by construction. */
+  def assignSplits(df: DataFrame, idCol: String,
+      head: Seq[(String, Double)], rest: String): DataFrame = {
+    require(head.nonEmpty, "need at least one leading split")
+    require(head.forall(_._2 > 0.0), "split fractions must be positive")
+    require(head.map(_._2).sum < 1.0, "leading fractions must sum below 1")
+    val cuts = head.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.max(1L, math.round(f * 65536)) }.tail
+    require(cuts.last <= 65536, "cumulative cutoffs overflow the hash range")
+    val hx = substring(md5(col(idCol).cast("string")), 1, 4)
+    val split = head.map(_._1).zip(cuts).reverse
+      .foldLeft(lit(rest)) { case (acc, (name, cut)) =>
+        when(hx < lit(f"$cut%04x"), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", split)
+  }
+
   /** Uniform k-per-group sampling (the "keep exactly k docs per stratum"
     * move — per-domain eval slices, debugging samples, labeling batches):
     * the k members with the SMALLEST content hash win, so membership is

@@ -1124,6 +1124,26 @@ object ExtOps {
               (CASE WHEN stratum = 'en' THEN '80' ELSE '40' END)
             ORDER BY doc_id"""))
 
+  /** Deterministic split assignment (content-addressed 1% val / 1% test
+    * / 98% train): cutoffs quantize to 1/65536 (val,test → 655/65536
+    * each ≈ 0.99945%), and the oracle restates the exact hex-string
+    * comparisons, so membership is hash-verified bit-for-bit. */
+  val xSplitAssign = OpQuery(
+    "x_split_assign",
+    "deterministic train/val/test split assignment (content-addressed, 1%/1%/98%)",
+    (s, dir) =>
+      graft.ext.Sampling.assignSplits(t(s, dir, "documents"), "doc_id",
+          head = Seq("val" -> 0.01, "test" -> 0.01), rest = "train")
+        .select("doc_id", "split")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '028f'
+                     THEN 'val'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '051e'
+                     THEN 'test'
+                   ELSE 'train' END AS split
+            FROM documents ORDER BY doc_id"""))
+
   /** Mixture rebalancing toward target language weights (en-heavy corpus
     * rebalanced toward a flatter mix): the binding domain keeps everything
     * (cutoff 256) and the over-represented ones are deterministically
@@ -1996,7 +2016,8 @@ object ExtOps {
     xAnnIvf, xAnnIvfKmeans, xAnnIvfPq,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xTfidfTopk, xVocabProfile,
-    xApproxDistinct, xSampleStratified, xSampleKGroup, xDomainMix,
+    xApproxDistinct, xSampleStratified, xSampleKGroup, xSplitAssign,
+    xDomainMix,
     xDomainTemperature,
     xProfilePercentiles, xCorpusDiff,
     xPackChunks, xPackStats, xShardAssign, xCurriculumOrder, xBudgetSelect,

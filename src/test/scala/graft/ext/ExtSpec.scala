@@ -477,6 +477,30 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("split assignment: disjoint+exhaustive, fractions respected, layout-stable") {
+    val df = (0 until 20000).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    val out = Sampling.assignSplits(df, "doc_id",
+        head = Seq("val" -> 0.01, "test" -> 0.01), rest = "train")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    // every row gets exactly one label
+    assert(out.values.sum == 20000L)
+    assert(out.keySet == Set("val", "test", "train"))
+    // md5 is uniform: each 1% slice lands near 200 of 20000
+    assert(out("val") > 100 && out("val") < 300, out.toString)
+    assert(out("test") > 100 && out("test") < 300, out.toString)
+    // membership is content-addressed: identical at any layout
+    val a = Sampling.assignSplits(df, "doc_id",
+      Seq("val" -> 0.01, "test" -> 0.01), "train")
+      .as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplits(df.repartition(17), "doc_id",
+      Seq("val" -> 0.01, "test" -> 0.01), "train")
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(df, "doc_id", Seq("a" -> 0.6, "b" -> 0.5), "c")
+    }
+  }
+
   test("curriculum order: dense global rank, contiguous near-equal shards, rerun-stable") {
     val df = (1 to 100).map(i => (i.toLong, (101 - i).toLong)) // reverse order
       .toDF("doc_id", "len")
