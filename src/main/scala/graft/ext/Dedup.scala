@@ -84,6 +84,34 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** MinHash similarity ESTIMATION over an explicit candidate pair list:
+    * est_jaccard = fraction of the k signature positions where the two
+    * documents agree — E[est] is the true shingle Jaccard (Broder), so
+    * this is the standard cheap scorer between LSH banding and exact
+    * verification: two hash-joins against the (already materialized)
+    * signature frame, no token explode, no per-pair set intersection.
+    * At 100 TB the exact verify pass touches Σ(pair token sets); this
+    * touches k integers per pair — run it first and reserve exact
+    * Jaccard for pairs whose estimate clears a looser bar.
+    * est is an exact multiple of 1/k (k a power of two → exactly
+    * representable as double → engine-stable without truncation). */
+  def minhashEstimate(signatures: DataFrame, pairs: DataFrame,
+      idCol: String, k: Int = 8): DataFrame = {
+    val sigA = signatures.select(
+      col(idCol).as("doc_a") +: (0 until k).map(i => col(s"h$i").as(s"_a$i")): _*)
+    val sigB = signatures.select(
+      col(idCol).as("doc_b") +: (0 until k).map(i => col(s"h$i").as(s"_b$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"_a$i") === col(s"_b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.select("doc_a", "doc_b").distinct()
+      .join(sigA, Seq("doc_a"))
+      .join(sigB, Seq("doc_b"))
+      .withColumn("n_match", matches)
+      .withColumn("est_jaccard", col("n_match").cast("double") / k)
+      .select("doc_a", "doc_b", "n_match", "est_jaccard")
+  }
+
   /** Exact word-set Jaccard over candidate pairs (n-gram Jaccard with
     * n=1 over word tokens; bucketing keeps the pair count linear).
     * `bucketKey` is any blocking expression (prefix, LSH band, …).

@@ -105,6 +105,43 @@ object ExtOps {
       |        FROM banded a JOIN banded b USING (band)
       |        WHERE a.doc_id < b.doc_id)""".stripMargin
 
+  val xMinhashEst = OpQuery(
+    "x_minhash_est",
+    "signature-agreement Jaccard estimate (n_match/k) over LSH candidate " +
+      "pairs - the cheap scorer between banding and exact verification",
+    (s, dir) => {
+      val sig = Dedup.minhashSignatures(t(s, dir, "documents"), "text",
+        "doc_id", k = 8)
+      Dedup.minhashEstimate(sig,
+          Dedup.lshCandidatePairs(sig, "doc_id", k = 8, bands = 2),
+          "doc_id", k = 8)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $sigCte,
+            $lshPairsCte
+            SELECT doc_a, doc_b,
+              CAST((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END)
+                 + (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END)
+                 + (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END)
+                 + (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_match,
+              CAST(((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END)) / 8.0
+                AS DOUBLE) AS est_jaccard
+            FROM prs JOIN sig a ON a.doc_id = doc_a
+            JOIN sig b ON b.doc_id = doc_b
+            ORDER BY doc_a, doc_b"""))
+
   val xDedupComponents = OpQuery(
     "x_dedup_components",
     "connected components over LSH candidate pairs → duplicate clusters " +
@@ -2008,7 +2045,8 @@ object ExtOps {
             FROM r WHERE rank <= 5 ORDER BY domain, rank"""))
 
   val all: Seq[OpQuery] = Seq(
-    xDedupExact, xMinhashSignature, xLshCandidatePairs, xNeardupJaccard,
+    xDedupExact, xMinhashSignature, xLshCandidatePairs, xMinhashEst,
+    xNeardupJaccard,
     xSimhash, xNeardupJaccard3, xDedupComponents, xDedupPipeline,
     xDedupIncremental, stDedupIncremental, xDedupKeepbest, xSubstringDedup,
     xSubstringCut,

@@ -80,6 +80,22 @@ class ExtSpec extends SparkTestBase {
     assert(single.count() > 0) // non-vacuous
   }
 
+  test("minhashEstimate: exact dups estimate 1.0, estimate bounds hold") {
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id", k = 8)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", k = 8, bands = 2)
+    val est = Dedup.minhashEstimate(sig, pairs, "doc_id", k = 8)
+      .select("doc_a", "doc_b", "n_match", "est_jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    val m = est.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // exact duplicates agree at every signature position
+    assert(m((1L, 3L)) == (8L, 1.0))
+    // LSH candidates share at least one band key = all 4 positions of
+    // that band agree, so n_match >= 4 under the 2-band/4-row scheme
+    est.foreach { case (_, _, n, e) =>
+      assert(n >= 4 && n <= 8 && e == n / 8.0, s"n=$n e=$e")
+    }
+  }
+
   test("simhash: identical docs equal, near-dups close, distinct docs far") {
     val sh = Dedup.simhash(docs, "text", "doc_id")
       .as[(Long, Long)].collect().toMap
