@@ -43,6 +43,72 @@ object Packing {
       .select("doc_id", "n_tokens", "start_offset", "pack_id")
   }
 
+  /** Sliding-window chunking with overlap — the context-window splitter
+    * for RAG indexing / long-doc eval: token windows of size `window`
+    * advancing by `stride` (< window ⇒ overlap of window−stride tokens).
+    * Windows stop once the document tail is covered:
+    * n_chunks = 1 + ⌈max(n−window, 0) / stride⌉, so a doc shorter than
+    * one window yields exactly one chunk and the last chunk of a longer
+    * doc is the final stride step (its `len_tok` may be < window only
+    * when n < window; interior chunks are always full).
+    *
+    * All-integer chunk math (no float rank), one `explode` over a
+    * per-row `sequence` — map-only, zero shuffle, the cheapest possible
+    * 100-TB shape: chunking parallelism is per-document and the output
+    * inherits the input partitioning. Token counting is the standard
+    * whitespace tokenizer ([[TextAnalysis.tokenCounts]] `ws_tokens`). */
+  def slidingChunks(docs: DataFrame, textCol: String, idCol: String,
+      window: Long, stride: Long): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(filter(split(col(textCol), " "), w => length(w) > 0))
+          .cast("long").as("n_tok"))
+      .withColumn("_nc",
+        lit(1L) + expr(s"(greatest(n_tok - $window, 0L) + $stride - 1) div $stride"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(expr("sequence(0L, _nc - 1)")).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("len_tok",
+        least(lit(window), col("n_tok") - col("start_tok")))
+      .select("doc_id", "chunk_id", "start_tok", "len_tok")
+  }
+
+  /** Length-bucketed batching profile — the padding-efficiency planner
+    * for dynamic-batching trainers/servers: documents grouped by the
+    * smallest power-of-two bucket ≥ their token count (floored at
+    * `minBucket`), with per-bucket doc/token mass and the padding waste
+    * incurred by padding every member to the bucket size.
+    *
+    * The bucket is computed with INTEGER bit math — `2^bitlen(n−1)` via
+    * the length of the binary string, never `ceil(log2)` (float log at
+    * an exact power-of-two boundary is engine-divergent). Waste is one
+    * IEEE division of two exact integers, floor-truncated to 4 dp.
+    * Map-side partial aggregation onto ≤ ~40 distinct buckets: the
+    * shuffle moves one row per (partition, bucket) regardless of corpus
+    * size. */
+  def lengthBuckets(docs: DataFrame, textCol: String,
+      minBucket: Long = 16L): DataFrame = {
+    require(minBucket >= 1 && (minBucket & (minBucket - 1)) == 0,
+      s"minBucket must be a power of two, got $minBucket")
+    docs
+      .select(size(filter(split(col(textCol), " "), w => length(w) > 0))
+        .cast("long").as("n_tok"))
+      .withColumn("bucket",
+        when(col("n_tok") <= minBucket, minBucket)
+          .otherwise(expr("shiftleft(1L, length(bin(n_tok - 1)))")))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tokens"))
+      .withColumn("padded", col("n_docs") * col("bucket"))
+      .withColumn("waste_frac",
+        floor((lit(1.0) - col("tokens").cast("double") / col("padded")) *
+          10000.0) / 10000.0)
+      .select("bucket", "n_docs", "tokens", "padded", "waste_frac")
+  }
+
   /** Per-pack occupancy: documents starting in the pack and their total
     * token count (a spanning document attributes ALL its tokens to the
     * pack where it starts, so `tokens` can exceed `budget` — under

@@ -1306,6 +1306,29 @@ object ExtOps {
                    CAST(start_offset // 512 AS BIGINT) AS pack_id
             FROM c ORDER BY doc_id"""))
 
+  /** Sliding context windows for RAG/eval chunking — the overlap-window
+    * complement of concat-and-chunk packing. All-integer chunk math,
+    * map-only (the explode is per-row, no shuffle at any scale). */
+  val xChunkSliding = OpQuery(
+    "x_chunk_sliding",
+    "sliding-window chunking: 64-token windows advancing by 32 (half overlap)",
+    (s, dir) =>
+      graft.ext.Packing.slidingChunks(t(s, dir, "documents"), "text",
+          "doc_id", window = 64, stride = 32)
+        .orderBy("doc_id", "chunk_id"),
+    Some("""WITH d AS (SELECT doc_id,
+              CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+                AS BIGINT) AS n_tok
+              FROM documents),
+            c AS (SELECT doc_id, n_tok,
+              unnest(generate_series(0,
+                (greatest(n_tok - 64, 0) + 31) // 32)) AS chunk_id
+              FROM d)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(chunk_id * 32 AS BIGINT) AS start_tok,
+                   CAST(least(64, n_tok - chunk_id * 32) AS BIGINT) AS len_tok
+            FROM c ORDER BY doc_id, chunk_id"""))
+
   /** Per-pack occupancy rollup over the packing assignment — the profile
     * that sizes a pretraining data-loader (docs per pack, spanning-doc
     * token mass). Gates [[graft.ext.Packing.packStats]], which was
@@ -1334,6 +1357,33 @@ object ExtOps {
                    CAST(sum(n_tokens) AS BIGINT) AS tokens,
                    CAST(512 AS BIGINT) AS budget
             FROM c GROUP BY 1 ORDER BY pack_id"""))
+
+  /** Padding-efficiency profile for dynamic batching. Bucket arithmetic
+    * is integer bit math on both engines (see
+    * [[graft.ext.Packing.lengthBuckets]]); waste is a single IEEE
+    * division, floor-truncated. */
+  val xLengthBuckets = OpQuery(
+    "x_length_buckets",
+    "power-of-two length buckets with per-bucket padding waste",
+    (s, dir) =>
+      graft.ext.Packing.lengthBuckets(t(s, dir, "documents"), "text",
+          minBucket = 16L)
+        .orderBy("bucket"),
+    Some("""WITH d AS (SELECT
+              CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+                AS BIGINT) AS n_tok
+              FROM documents),
+            b AS (SELECT n_tok, CASE WHEN n_tok <= 16 THEN 16
+                ELSE (1::BIGINT << length(bin(n_tok - 1))) END AS bucket
+              FROM d),
+            g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS tokens
+              FROM b GROUP BY bucket)
+            SELECT bucket, n_docs, tokens,
+                   CAST(n_docs * bucket AS BIGINT) AS padded,
+                   CAST(floor((1.0 - CAST(tokens AS DOUBLE) / (n_docs * bucket))
+                     * 10000.0) / 10000.0 AS DOUBLE) AS waste_frac
+            FROM g ORDER BY bucket"""))
 
   /** THE flagship: the whole curation family composed end to end — the
     * "curate a training corpus" call a 100 TB pipeline actually makes.
@@ -2058,7 +2108,8 @@ object ExtOps {
     xDomainMix,
     xDomainTemperature,
     xProfilePercentiles, xCorpusDiff,
-    xPackChunks, xPackStats, xShardAssign, xCurriculumOrder, xBudgetSelect,
+    xPackChunks, xPackStats, xChunkSliding, xLengthBuckets,
+    xShardAssign, xCurriculumOrder, xBudgetSelect,
     xPiiScrub, xRepetition, xDecontaminate, xDecontaminateBloom,
     stDecontaminate, xLmQuality, xLmBigram,
     xDsirWeights, xDsirSelect, xNbClassify, xCcnetBuckets,

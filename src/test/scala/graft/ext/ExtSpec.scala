@@ -586,6 +586,53 @@ class ExtSpec extends SparkTestBase {
     assert(stats.agg(sum("tokens")).as[Long].head() == 1600L)
   }
 
+  test("sliding chunks: coverage, overlap, and edge cases") {
+    // 10 tokens of one letter each; window 4, stride 2
+    val d = Seq(
+      (1L, (1 to 10).map(_ => "a").mkString(" ")), // 10 tok → 4 chunks
+      (2L, "a b c"),                               // shorter than window → 1
+      (3L, ""))                                    // empty → 1 zero-len chunk
+      .toDF("doc_id", "text")
+    val c = Packing.slidingChunks(d, "text", "doc_id", window = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start_tok", "len_tok")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(c == Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 2L, 4L), (1L, 2L, 4L, 4L), (1L, 3L, 6L, 4L),
+      (2L, 0L, 0L, 3L),
+      (3L, 0L, 0L, 0L)))
+    // interior chunks are always full and consecutive chunks overlap by
+    // window - stride; the last chunk reaches the document end
+    val byDoc = c.groupBy(_._1)
+    byDoc.foreach { case (_, ch) =>
+      val n = ch.map(r => r._3 + r._4).max
+      assert(ch.last._3 + ch.last._4 == n)
+    }
+    // map-only: no exchange in the physical plan
+    val plan = Packing.slidingChunks(d, "text", "doc_id", 4, 2)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty)
+  }
+
+  test("length buckets: power-of-two assignment and exact waste accounting") {
+    val d = Seq.fill(3)((1 to 20).map(_ => "w").mkString(" ")) ++ // 20 tok → 32
+      Seq((1 to 16).map(_ => "w").mkString(" "),                  // 16 → 16
+          (1 to 33).map(_ => "w").mkString(" "),                  // 33 → 64
+          "w")                                                    // 1 → 16
+    val df = d.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val b = Packing.lengthBuckets(df, "text", minBucket = 16L)
+      .orderBy("bucket")
+      .select("bucket", "n_docs", "tokens", "padded", "waste_frac")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(b == Seq(
+      (16L, 2L, 17L, 32L, math.floor((1.0 - 17.0 / 32) * 10000) / 10000),
+      (32L, 3L, 60L, 96L, 0.375),
+      (64L, 1L, 33L, 64L, math.floor((1.0 - 33.0 / 64) * 10000) / 10000)))
+  }
+
   test("k-means recovers well-separated clusters deterministically") {
     // three orthogonal bundles of 10 vectors each; k-means with k=3 must
     // put each bundle in one cell, and rerunning must give the same cells
