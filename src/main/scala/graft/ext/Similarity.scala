@@ -166,6 +166,31 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(i, cv))), s -> s.cv)")
         .as("centroid"))
 
+  /** Per-label mean embedding in FIXED-POINT arithmetic — the exportable
+    * centroid table (cluster seeds, per-domain "topic" vectors, SemDedup
+    * cell initialization). Unlike [[centroids]] (internal, float `avg`
+    * whose low bits depend on partition visit order), every element is
+    * quantized to `floor(v·scale)` BIGINT first, so the sums are exact
+    * integers — order-independent, engine-reproducible, safe to gate
+    * against a SQL oracle and to diff across runs/clusters. The mean is
+    * one IEEE division of two exactly-representable integers, then
+    * 4-dp floor truncation. Cost shape: posexplode to (label, dim) rows
+    * with map-side partial aggregation — the shuffle carries one row per
+    * (input partition, label, dim), independent of corpus row count. */
+  def labelCentroids(embeddings: DataFrame, labelCol: String,
+      vecCol: String, scale: Long = 1000000L): DataFrame =
+    embeddings
+      .select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .withColumn("_q", floor(col("v").cast("double") * scale).cast("long"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum("_q").as("_qs"))
+      .withColumn("centroid",
+        floor(col("_qs").cast("double") / (col("n_vecs") * scale) * 10000.0)
+          / 10000.0)
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("n_vecs"), col("centroid"))
+
   /** IVF top-k: probe the nProbe closest centroids per query, then
     * brute-force only within the probed clusters. */
   /** Shared IVF probe selection: rank coarse-cell centroids per query and

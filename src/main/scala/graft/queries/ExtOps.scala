@@ -301,6 +301,31 @@ object ExtOps {
     // bit-for-bit with the zip_with fold (same index-order double sums)
     xAnnBruteforce.oracle)
 
+  /** Exportable per-label mean embeddings. Fixed-point (floor(v·1e6)
+    * BIGINT) sums make the cross-row aggregation order-independent and
+    * engine-exact — the float-sum nondeterminism that keeps the internal
+    * [[graft.ext.Similarity.centroids]] un-oracle-able is engineered out
+    * here (see the impl scaladoc). */
+  val xEmbedCentroids = OpQuery(
+    "x_embed_centroids",
+    "per-label mean embedding (fixed-point exact) - centroid/seed export",
+    (s, dir) =>
+      Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "dim"),
+    Some("""WITH x AS (SELECT label,
+              unnest(embedding) AS v,
+              unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings),
+            g AS (SELECT CAST(label AS BIGINT) AS label,
+                CAST(i - 1 AS BIGINT) AS dim,
+                CAST(count(*) AS BIGINT) AS n_vecs,
+                sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS qs
+              FROM x GROUP BY 1, 2)
+            SELECT label, dim, n_vecs,
+              CAST(floor(CAST(qs AS DOUBLE) / (n_vecs * 1000000.0) * 10000.0)
+                / 10000.0 AS DOUBLE) AS centroid
+            FROM g ORDER BY label, dim"""))
+
   /** The memory-scale path for brute force: per-vector symmetric int8
     * quantization (4× smaller corpus, integer dot products; the scales
     * cancel out of cosine so ranking never dequantizes). The oracle
@@ -2101,6 +2126,7 @@ object ExtOps {
     xDedupIncremental, stDedupIncremental, xDedupKeepbest, xSubstringDedup,
     xSubstringCut,
     xAnnBruteforce, xAnnNative, xAnnSq8, xAnnFiltered, xAnnPq,
+    xEmbedCentroids,
     xAnnIvf, xAnnIvfKmeans, xAnnIvfPq,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xTfidfTopk, xVocabProfile,

@@ -113,6 +113,26 @@ class ExtSpec extends SparkTestBase {
     (4L, Array(0.0f, 0.0f, 1.0f), 2))
     .toDF("vec_id", "embedding", "label")
 
+  test("labelCentroids: fixed-point exact means, deterministic under reorder") {
+    val c = Similarity.labelCentroids(vecs, "label", "embedding")
+      .select("label", "dim", "n_vecs", "centroid")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // label 0 = vecs (1,0,0) and (0.9f,0.1f,0): quantized floor(v*1e6)
+    // sums are 1000000+899999 and 0+100000 (0.9f widens to 0.8999999761…)
+    assert(c((0L, 0L)) == (2L, 0.9499))
+    assert(c((0L, 1L)) == (2L, 0.05))
+    assert(c((0L, 2L)) == (2L, 0.0))
+    assert(c((2L, 2L)) == (1L, 1.0))
+    // order-independence: reversing the input rows changes nothing
+    val rev = Similarity.labelCentroids(
+      vecs.orderBy(col("vec_id").desc).repartition(3), "label", "embedding")
+      .select("label", "dim", "n_vecs", "centroid")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(rev == c)
+  }
+
   test("brute-force cosine top-k ranks the aligned vector first") {
     val top = Similarity.cosineTopK(vecs, "vec_id", "embedding",
       vecs.filter($"vec_id" === 0), k = 2)
