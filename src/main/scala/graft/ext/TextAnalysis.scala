@@ -123,6 +123,30 @@ object TextAnalysis {
       .select(col(idCol), explode(expr(s"winnow_fps(norm, $k, $w)")).as("fp"))
   }
 
+  /** Cross-document clone detection (the MOSS arrangement): documents
+    * sharing ≥ `minShared` winnow fingerprints are clone pairs. The
+    * document-frequency cap (`maxDf`) drops fingerprints present in more
+    * than maxDf documents BEFORE the self-join — exactly MOSS's "ignore
+    * matches that appear in many programs" rule. It is simultaneously the
+    * scale guard: post-cap, one fingerprint key fans out to at most
+    * maxDf² pairs, so the equi-join's skew is contract-bounded no matter
+    * how much boilerplate the corpus carries. One fingerprint pass
+    * (materialized) feeds the df census and both join sides. */
+  def clonePairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, w: Int = 4, maxDf: Long = 20L,
+      minShared: Long = 5L): DataFrame = {
+    val fps = winnowFingerprints(docs, textCol, idCol, k, w).staged
+    val rare = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select("fp"),
+      Seq("fp"))
+    val a = rare.select(col(idCol).as("doc_a"), col("fp"))
+    val b = rare.select(col(idCol).as("doc_b"), col("fp"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Repetition quality signals (the Gopher/C4 family of filters):
     * `rep_distinct_ratio` = distinct words / words (low → the document
     * repeats a small vocabulary) and `dup_2gram_frac` = 1 − distinct

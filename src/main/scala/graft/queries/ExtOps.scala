@@ -662,27 +662,52 @@ object ExtOps {
                    min(md5(substr(norm, i, 16))) AS fp_winnow
             FROM pos GROUP BY pos.doc_id ORDER BY doc_id"""))
 
+  /** Shared CTE text: full winnowing (k=16, w=4) of documents into
+    * distinct (doc_id, fp) rows — the oracle twin of
+    * [[TextAnalysis.winnowFingerprints]], reused by the clone-pair
+    * oracle. */
+  private val winnowCte =
+    """n AS (SELECT doc_id,
+      |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |g AS (SELECT doc_id, p, md5(substr(norm, CAST(p AS INT), 16)) AS h
+      |      FROM (SELECT doc_id, norm,
+      |        unnest(generate_series(1, greatest(length(norm) - 15, 1))) AS p
+      |        FROM n)),
+      |wm AS (SELECT doc_id, p,
+      |    count(*) OVER (PARTITION BY doc_id) AS np,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+      |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+      |  FROM g),
+      |fps AS (SELECT DISTINCT doc_id, minh AS fp FROM wm
+      |        WHERE p <= greatest(np - 3, 1))""".stripMargin
+
   val xWinnow = OpQuery(
     "x_winnow_fingerprints",
     "full winnowing: distinct per-window k-gram hash minima (k=16, w=4)",
     (s, dir) =>
       TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id", "fp"),
-    Some("""WITH n AS (SELECT doc_id,
-              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-              FROM documents),
-            g AS (SELECT doc_id, p, md5(substr(norm, CAST(p AS INT), 16)) AS h
-                  FROM (SELECT doc_id, norm,
-                    unnest(generate_series(1, greatest(length(norm) - 15, 1))) AS p
-                    FROM n)),
-            wm AS (SELECT doc_id, p,
-                count(*) OVER (PARTITION BY doc_id) AS np,
-                min(h) OVER (PARTITION BY doc_id ORDER BY p
-                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
-              FROM g)
-            SELECT DISTINCT doc_id, minh AS fp FROM wm
-            WHERE p <= greatest(np - 3, 1)
-            ORDER BY doc_id, fp"""))
+    Some(s"WITH $winnowCte SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"))
+
+  /** MOSS-style clone detection over the winnow fingerprints: the
+    * df cap (≤20 docs) is both the boilerplate filter and the join-skew
+    * bound (see [[TextAnalysis.clonePairs]]). */
+  val xClonePairs = OpQuery(
+    "x_clone_pairs",
+    "clone pairs: >=5 shared winnow fingerprints, df-capped (MOSS rule)",
+    (s, dir) =>
+      TextAnalysis.clonePairs(t(s, dir, "documents"), "text", "doc_id",
+          maxDf = 20L, minShared = 5L)
+        .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $winnowCte,
+            rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+            fr AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 5
+            ORDER BY doc_a, doc_b"""))
 
   /** The 100 TB scale path for distinct counts: HLL++ sketches. No oracle —
     * approximation algorithms differ across engines by design, so the
@@ -2129,7 +2154,7 @@ object ExtOps {
     xEmbedCentroids,
     xAnnIvf, xAnnIvfKmeans, xAnnIvfPq,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
-    xFingerprint, xWinnow, xTfidfTopk, xVocabProfile,
+    xFingerprint, xWinnow, xClonePairs, xTfidfTopk, xVocabProfile,
     xApproxDistinct, xSampleStratified, xSampleKGroup, xSplitAssign,
     xDomainMix,
     xDomainTemperature,

@@ -113,6 +113,27 @@ class ExtSpec extends SparkTestBase {
     (4L, Array(0.0f, 0.0f, 1.0f), 2))
     .toDF("vec_id", "embedding", "label")
 
+  test("clonePairs: exact dups pair, boilerplate above the df cap is ignored") {
+    // docs 1 and 3 are identical → share every fingerprint
+    val p = TextAnalysis.clonePairs(docs, "text", "doc_id",
+        maxDf = 20L, minShared = 2L)
+      .select("doc_a", "doc_b", "n_shared")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val nFps = TextAnalysis.winnowFingerprints(
+      docs.filter($"doc_id" === 1), "text", "doc_id").count()
+    assert(p((1L, 3L)) == nFps)
+    assert(p.contains((1L, 2L))) // near-dup shares most of the prefix
+    // the MOSS df cap: a sentence shared by 3 docs has df 3 > maxDf 2 →
+    // all its fingerprints drop and no pair survives
+    val boiler = Seq(1L, 2L, 3L)
+      .map(i => (i, "this exact boilerplate disclaimer appears everywhere"))
+      .toDF("doc_id", "text")
+    val none = TextAnalysis.clonePairs(boiler, "text", "doc_id",
+      maxDf = 2L, minShared = 1L)
+    assert(none.count() == 0)
+  }
+
   test("labelCentroids: fixed-point exact means, deterministic under reorder") {
     val c = Similarity.labelCentroids(vecs, "label", "embedding")
       .select("label", "dim", "n_vecs", "centroid")
