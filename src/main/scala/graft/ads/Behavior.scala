@@ -1,0 +1,88 @@
+package graft.ads
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral ADS-layer analytics over the event stream: funnel
+  * conversion and cohort retention — the two serving queries a commerce
+  * warehouse (reference: gmall2021 ADS layer, e.g.
+  * RT/app/ads — province/visitor/keyword stats) runs beside topN, here
+  * generalized to any ordered event-type cascade.
+  *
+  * Both are pure keyed-shuffle shapes: every join and aggregation is
+  * keyed by user or by (cohort, offset) — no global sort, no
+  * partition-less window, no driver-side data. At 100 TB the per-user
+  * state is one timestamp per stage, and the event scan per stage is
+  * filter-pushed to the type predicate.
+  */
+object Behavior {
+
+  /** Ordered funnel with a per-step deadline: a user advances to stage
+    * i+1 on their FIRST stage-(i+1) event strictly after their stage-i
+    * entry time and within `withinSecs` of it. Returns one row per
+    * stage: entrants, and conversion from the previous stage
+    * (`conv_from_prev`, 4-dp floor-truncated; 1.0 for the first stage).
+    *
+    * The cascade folds left over `stages`: each step is one
+    * user_id-keyed join between the survivors (one row per user) and
+    * the next stage's (type-filtered, min-per-user) events — stage
+    * predicates reach the scan, and shuffle keys never leave user_id
+    * until the final tiny per-stage rollup. */
+  def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String], withinSecs: Long): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val u = col(userCol).as("uid")
+    // stage 0: first qualifying event per user
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(u).agg(min(col(tsCol)).as("t"))
+    // survivors(i): (uid, t) = entry time into stage i
+    val survivors = stages.tail.scanLeft(first) { (prev, stage) =>
+      val nxt = events.filter(col(typeCol) === stage)
+        .select(col(userCol).as("uid"), col(tsCol).as("_ts"))
+      prev.join(nxt, Seq("uid"))
+        .filter(col("_ts") > col("t") &&
+          col("_ts") <= col("t") + expr(s"INTERVAL $withinSecs SECONDS"))
+        .groupBy("uid").agg(min(col("_ts")).as("t"))
+    }
+    val counts = stages.zip(survivors).zipWithIndex.map {
+      case ((stage, df), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
+            col("n_users"))
+    }.reduce(_.unionByName(_))
+    // conversion vs the previous stage via a shifted self-join (the
+    // frame is |stages| rows; a lag() here would be a partition-less
+    // window, banned repo-wide even when harmless)
+    val prev = counts.select(col("stage_idx") + 1 as "stage_idx",
+      col("n_users").as("_prev"))
+    counts.join(prev, Seq("stage_idx"), "left")
+      .withColumn("conv_from_prev",
+        when(col("_prev").isNull, 1.0).otherwise(
+          floor(col("n_users").cast("double") / col("_prev") * 10000.0)
+            / 10000.0))
+      .select("stage_idx", "stage", "n_users", "conv_from_prev")
+  }
+
+  /** Daily cohort retention: users are cohorted by their first activity
+    * date; each (cohort_day, day_offset) cell counts the cohort's users
+    * active that day, with retention relative to the cohort's size.
+    * Two keyed shuffles (user_id, then the cohort×offset cell grid —
+    * bounded by days², not by events). `retention` is one IEEE division
+    * of two exact integers, 4-dp floor-truncated. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val d = events.select(col(userCol).as("uid"),
+      to_date(col(tsCol)).as("day"))
+    val cohort = d.groupBy("uid").agg(min(col("day")).as("cohort_day"))
+    val active = d.distinct().join(cohort, Seq("uid"))
+      .groupBy("cohort_day", "day")
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("_size"))
+    active.join(sizes, Seq("cohort_day"))
+      .withColumn("retention",
+        floor(col("n_users").cast("double") / col("_size") * 10000.0) / 10000.0)
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"), col("retention"))
+  }
+}

@@ -234,7 +234,64 @@ object AggOps {
             FROM w GROUP BY ws, event_type
             ORDER BY stt, event_type"""))
 
+  /** Ordered funnel with a 24h per-step deadline — the ADS conversion
+    * query beside the reference's topN serving layer. The user-keyed
+    * cascade and deliberate lag()-free rollup are documented on
+    * [[graft.ads.Behavior.funnelSteps]]. */
+  val a10Funnel = OpQuery(
+    "a10_funnel_steps",
+    "view->click->purchase funnel, 24h per-step deadline, per-stage conversion",
+    (s, dir) =>
+      graft.ads.Behavior.funnelSteps(t(s, dir, "events"), "user_id",
+          "event_type", "ts", Seq("view", "click", "purchase"),
+          withinSecs = 86400L)
+        .orderBy("stage_idx"),
+    Some("""WITH s0 AS (SELECT user_id AS uid, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            s1 AS (SELECT e.user_id AS uid, min(e.ts) AS t FROM events e
+              JOIN s0 ON s0.uid = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s0.t
+                AND e.ts <= s0.t + INTERVAL 86400 SECONDS GROUP BY 1),
+            s2 AS (SELECT e.user_id AS uid, min(e.ts) AS t FROM events e
+              JOIN s1 ON s1.uid = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s1.t
+                AND e.ts <= s1.t + INTERVAL 86400 SECONDS GROUP BY 1),
+            c AS (SELECT 0 AS stage_idx, 'view' AS stage, count(*) AS n FROM s0
+              UNION ALL SELECT 1, 'click', count(*) FROM s1
+              UNION ALL SELECT 2, 'purchase', count(*) FROM s2)
+            SELECT CAST(c.stage_idx AS BIGINT) AS stage_idx, c.stage,
+                   CAST(c.n AS BIGINT) AS n_users,
+                   CAST(CASE WHEN p.n IS NULL THEN 1.0
+                     ELSE floor(CAST(c.n AS DOUBLE) / p.n * 10000.0) / 10000.0
+                     END AS DOUBLE) AS conv_from_prev
+            FROM c LEFT JOIN c p ON p.stage_idx = c.stage_idx - 1
+            ORDER BY stage_idx"""))
+
+  /** Daily cohort retention — first-activity cohorts × day offsets.
+    * Scale shape on [[graft.ads.Behavior.retentionCohorts]]. */
+  val a11Retention = OpQuery(
+    "a11_retention_cohorts",
+    "daily cohort retention: first-activity cohort x active-day offset",
+    (s, dir) =>
+      graft.ads.Behavior.retentionCohorts(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_day", "day_offset"),
+    Some("""WITH d AS (SELECT DISTINCT user_id AS uid, CAST(ts AS DATE) AS day
+              FROM events),
+            cohort AS (SELECT uid, min(day) AS cohort_day FROM d GROUP BY 1),
+            sizes AS (SELECT cohort_day, count(*) AS sz FROM cohort GROUP BY 1),
+            act AS (SELECT c.cohort_day, d.day, count(*) AS n_users
+              FROM d JOIN cohort c USING (uid) GROUP BY 1, 2)
+            SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+                   CAST(date_diff('day', a.cohort_day, a.day) AS BIGINT)
+                     AS day_offset,
+                   CAST(a.n_users AS BIGINT) AS n_users,
+                   CAST(floor(CAST(a.n_users AS DOUBLE) / s.sz * 10000.0)
+                     / 10000.0 AS DOUBLE) AS retention
+            FROM act a JOIN sizes s USING (cohort_day)
+            ORDER BY cohort_day, day_offset"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
-    a7ServingTopN, a8SessionWindow, a9SlidingWindow, k5LatestVersion)
+    a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
+    k5LatestVersion)
 }

@@ -1,0 +1,64 @@
+package graft.ads
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+
+/** Funnel + retention semantics on hand-computed fixtures (sf0.01
+  * hash-parity is the oracle gate's job; these pin the ordering and
+  * deadline rules a hash can't explain). */
+class BehaviorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-0${1 + h / 24}%s ${h % 24}%02d:$m%02d:00")
+
+  test("funnelSteps: deadline, ordering, and missing-stage rules") {
+    // u1 converts fully; u2's click misses the 24h deadline; u3 stops at
+    // view; u4 clicks without ever viewing; u5's click PRECEDES its view
+    val events = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "view", ts(0)), (2L, "click", ts(25)),
+      (3L, "view", ts(0)),
+      (4L, "click", ts(1)),
+      (5L, "click", ts(0)), (5L, "view", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val f = Behavior.funnelSteps(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), withinSecs = 86400L)
+      .orderBy("stage_idx")
+      .select("stage_idx", "stage", "n_users", "conv_from_prev")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(f == Seq(
+      (0L, "view", 4L, 1.0),
+      (1L, "click", 1L, 0.25),
+      (2L, "purchase", 1L, 1.0)))
+  }
+
+  test("funnelSteps: a stage event at exactly the entry time does not advance") {
+    // strict ts > entry: a click sharing the view's timestamp is ignored
+    val events = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(0)),
+      (2L, "view", ts(0)), (2L, "click", ts(0)), (2L, "click", ts(3)))
+      .toDF("user_id", "event_type", "ts")
+    val f = Behavior.funnelSteps(events, "user_id", "event_type", "ts",
+        Seq("view", "click"), withinSecs = 86400L)
+      .orderBy("stage_idx").select("n_users").as[Long].collect().toSeq
+    assert(f == Seq(2L, 1L)) // only u2's later click advances
+  }
+
+  test("retentionCohorts: cohort by first activity, per-day distinct users") {
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(2)), (1L, ts(24)), // u1: day0 cohort, day0+day1
+      (2L, ts(1)),                            // u2: day0 cohort, day0 only
+      (3L, ts(48)))                           // u3: day2 cohort
+      .toDF("user_id", "ts")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("view"))
+    val r = Behavior.retentionCohorts(events, "user_id", "ts")
+      .orderBy("cohort_day", "day_offset")
+      .select("cohort_day", "day_offset", "n_users", "retention")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      ("2024-01-01", 0L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 0.5),
+      ("2024-01-03", 0L, 1L, 1.0)))
+  }
+}
