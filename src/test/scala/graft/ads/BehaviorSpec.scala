@@ -45,6 +45,22 @@ class BehaviorSpec extends SparkTestBase {
     assert(f == Seq(2L, 1L)) // only u2's later click advances
   }
 
+  test("both plans are window-free (keyed joins/aggregations only)") {
+    // the lag-free funnel rollup and join-based retention keep the plans
+    // free of ANY Window operator — nothing to degenerate into a
+    // partition-less global sort at scale
+    val events = Seq((1L, "view", ts(0))).toDF("user_id", "event_type", "ts")
+    Seq(
+      Behavior.funnelSteps(events, "user_id", "event_type", "ts",
+        Seq("view", "click"), 60L),
+      Behavior.retentionCohorts(events, "user_id", "ts")
+    ).foreach { df =>
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+      assert(wins.isEmpty, wins.mkString("\n"))
+    }
+  }
+
   test("retentionCohorts: cohort by first activity, per-day distinct users") {
     val events = Seq(
       (1L, ts(0)), (1L, ts(2)), (1L, ts(24)), // u1: day0 cohort, day0+day1
