@@ -604,4 +604,40 @@ object Dedup {
       .select(col(idCol),
         expr(simhashAssembleSql(bits)).cast("long").as("simhash"))
   }
+
+  /** SimHash near-duplicate pairs — the banded hamming join of Manku,
+    * Jain & Sarma (WWW'07, "Detecting Near-Duplicates for Web
+    * Crawling"; public method). Pigeonhole: two hashes within hamming
+    * distance `maxHam` agree exactly on at least one of `maxHam + 1`
+    * disjoint bit bands, so candidates come from `maxHam + 1` equi-joins
+    * on (band, band-bits) keys — never an all-pairs scan — and each
+    * candidate is verified with one XOR + popcount. The same
+    * sketch-then-block-then-verify shape as MinHash→LSH→Jaccard, at one
+    * 64-bit word per document of state: the cheapest near-dup path when
+    * token sets aren't needed. One signature pass (materialized) feeds
+    * both join sides and the verification. */
+  def simhashNeardupPairs(docs: DataFrame, textCol: String, idCol: String,
+      bits: Int = 16, maxHam: Int = 1): DataFrame = {
+    val bands = maxHam + 1
+    require(bits % bands == 0, s"bits=$bits not divisible by ${bands} bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sh = simhash(docs, textCol, idCol, bits).staged
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("simhash"), b * width).bitwiseAND(mask).as("key"))
+      ): _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.b"), col("bk.key"))
+    val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("_sa"),
+      col("b"), col("key"))
+    val bSide = banded.select(col(idCol).as("doc_b"), col("simhash").as("_sb"),
+      col("b"), col("key"))
+    a.join(bSide, Seq("b", "key")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "_sa", "_sb").distinct()
+      .withColumn("hamming",
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("long"))
+      .filter(col("hamming") <= maxHam)
+      .select("doc_a", "doc_b", "hamming")
+  }
 }

@@ -236,19 +236,47 @@ object ExtOps {
   private val simhashBitsSql = (0 until 16).map(b =>
     s"sum(${Dedup.simhashBitSql("hh", b)}) AS b$b").mkString(", ")
 
+  /** Shared CTE text: 16-bit SimHash per document, reused by the
+    * banded near-dup join oracle. */
+  private val simhashCte =
+    s"""tok2 AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+      |h AS (SELECT doc_id, md5(word) AS hh FROM tok2 WHERE length(word) > 0),
+      |bits AS (SELECT doc_id, count(*) AS n, $simhashBitsSql
+      |         FROM h GROUP BY doc_id),
+      |sh AS (SELECT doc_id,
+      |  CAST(${Dedup.simhashAssembleSql(16)} AS BIGINT) AS simhash
+      |  FROM bits)""".stripMargin
+
   val xSimhash = OpQuery(
     "x_simhash",
     "16-bit SimHash per document (majority vote over token md5 bits)",
     (s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", bits = 16)
         .orderBy("doc_id"),
-    Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
-            h AS (SELECT doc_id, md5(word) AS hh FROM tok WHERE length(word) > 0),
-            bits AS (SELECT doc_id, count(*) AS n, $simhashBitsSql
-                     FROM h GROUP BY doc_id)
-            SELECT doc_id,
-              CAST(${Dedup.simhashAssembleSql(16)} AS BIGINT) AS simhash
-            FROM bits ORDER BY doc_id"""))
+    Some(s"WITH $simhashCte SELECT doc_id, simhash FROM sh ORDER BY doc_id"))
+
+  /** The banded hamming join of Manku et al. over the SimHash sketch:
+    * maxHam+1 disjoint bit bands, equi-join per band, XOR+popcount
+    * verify (see [[graft.ext.Dedup.simhashNeardupPairs]]). */
+  val xSimhashNeardup = OpQuery(
+    "x_simhash_neardup",
+    "SimHash near-dup pairs: 2-band blocking, hamming <= 1 verified",
+    (s, dir) =>
+      Dedup.simhashNeardupPairs(t(s, dir, "documents"), "text", "doc_id",
+          bits = 16, maxHam = 1)
+        .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $simhashCte,
+            banded AS (SELECT doc_id, simhash, g.b,
+                (simhash >> (g.b * 8)) & 255 AS key
+              FROM sh, (SELECT unnest(generate_series(0, 1)) AS b) g),
+            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                x.simhash AS sa, y.simhash AS sb
+              FROM banded x JOIN banded y
+                ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+            ORDER BY doc_a, doc_b"""))
 
   // ---------- similarity search ----------
 
@@ -2147,7 +2175,8 @@ object ExtOps {
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xMinhashEst,
     xNeardupJaccard,
-    xSimhash, xNeardupJaccard3, xDedupComponents, xDedupPipeline,
+    xSimhash, xSimhashNeardup, xNeardupJaccard3, xDedupComponents,
+    xDedupPipeline,
     xDedupIncremental, stDedupIncremental, xDedupKeepbest, xSubstringDedup,
     xSubstringCut,
     xAnnBruteforce, xAnnNative, xAnnSq8, xAnnFiltered, xAnnPq,

@@ -113,6 +113,30 @@ class ExtSpec extends SparkTestBase {
     (4L, Array(0.0f, 0.0f, 1.0f), 2))
     .toDF("vec_id", "embedding", "label")
 
+  test("simhashNeardupPairs: banding finds exactly the brute-force hamming set") {
+    // exact dups are hamming 0
+    val p = Dedup.simhashNeardupPairs(docs, "text", "doc_id", 16, maxHam = 1)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(p.contains((1L, 3L, 0L)))
+    // Manku pigeonhole completeness: on a generated corpus, the banded
+    // join returns THE SAME pair set as an all-pairs hamming filter
+    val gen = (1 to 60).map { i =>
+      val words = (0 until 12).map(j => s"w${(i * 7 + j * (i % 5 + 1)) % 23}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val banded = Dedup.simhashNeardupPairs(gen, "text", "doc_id", 16, maxHam = 1)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val sh = Dedup.simhash(gen, "text", "doc_id", 16)
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 1
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute && brute.nonEmpty)
+  }
+
   test("clonePairs: exact dups pair, boilerplate above the df cap is ignored") {
     // docs 1 and 3 are identical → share every fingerprint
     val p = TextAnalysis.clonePairs(docs, "text", "doc_id",
