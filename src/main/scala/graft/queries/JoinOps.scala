@@ -139,6 +139,41 @@ object JoinOps {
             WHERE sink_type = 'kafka'
             ORDER BY event_id"""))
 
+  /** J6 (beyond ref) — as-of join: each purchase event enriched with the
+    * user's most recent signup value at purchase time. The union +
+    * partitioned-window arrangement (one keyed shuffle, no per-row
+    * subquery) is documented on [[graft.ops.AsOfJoin]]; the oracle is
+    * DuckDB's NATIVE ASOF JOIN — an independent implementation of the
+    * same operator, so parity here is a cross-engine semantic check,
+    * not a mirrored formula. */
+  val j6AsofJoin = OpQuery(
+    "j6_asof_join",
+    "as-of join: purchases x latest prior signup per user (point-in-time)",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val fact = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      val dim = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("vts"),
+          col("value").as("signup_value"))
+      graft.ops.AsOfJoin.asOf(fact, dim, Seq("user_id"), "ts", "vts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("purchase_value"), col("signup_value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT f.event_id, f.user_id,
+              strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+              f.value AS purchase_value, d.value AS signup_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') f
+            ASOF LEFT JOIN
+              (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'signup') d
+              ON f.user_id = d.user_id AND f.ts >= d.ts
+            ORDER BY event_id"""))
+
   val all: Seq[OpQuery] =
-    Seq(j1IntervalJoin, j2IntervalJoinAsym, j3DimEnrichment, j4ConfigRouting)
+    Seq(j1IntervalJoin, j2IntervalJoinAsym, j3DimEnrichment, j4ConfigRouting,
+      j6AsofJoin)
 }
