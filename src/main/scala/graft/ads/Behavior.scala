@@ -2,6 +2,7 @@ package graft.ads
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
 
 /** Behavioral ADS-layer analytics over the event stream: funnel
   * conversion and cohort retention — the two serving queries a commerce
@@ -44,15 +45,27 @@ object Behavior {
           col("_ts") <= col("t") + expr(s"INTERVAL $withinSecs SECONDS"))
         .groupBy("uid").agg(min(col("_ts")).as("t"))
     }
-    val counts = stages.zip(survivors).zipWithIndex.map {
-      case ((stage, df), i) =>
-        df.agg(count(lit(1)).as("n_users"))
-          .select(lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
-            col("n_users"))
+    val reached = stages.indices.map { i =>
+      survivors(i).select(col("uid"), lit(i.toLong).as("stage_idx"))
     }.reduce(_.unionByName(_))
-    // conversion vs the previous stage via a shifted self-join (the
-    // frame is |stages| rows; a lag() here would be a partition-less
-    // window, banned repo-wide even when harmless)
+    funnelRollup(reached, stages)
+  }
+
+  /** Per-stage rollup of a (uid, stage_idx) reached frame — shared by
+    * the batch cascade above and the streaming state-machine twin
+    * (st_funnel_stream), so both emit the identical serving shape.
+    * Conversion vs the previous stage goes through a shifted self-join:
+    * the frame is |stages| rows, and a lag() here would be a
+    * partition-less window, banned repo-wide even when harmless. */
+  def funnelRollup(reached: DataFrame, stages: Seq[String]): DataFrame = {
+    val spark = reached.sparkSession
+    import spark.implicits._
+    val stageFrame = stages.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("stage_idx", "stage")
+    val counts = stageFrame.join(
+        reached.groupBy("stage_idx").agg(count(lit(1)).as("_n")),
+        Seq("stage_idx"), "left")
+      .withColumn("n_users", coalesce(col("_n"), lit(0L)))
     val prev = counts.select(col("stage_idx") + 1 as "stage_idx",
       col("n_users").as("_prev"))
     counts.join(prev, Seq("stage_idx"), "left")
@@ -61,6 +74,35 @@ object Behavior {
           floor(col("n_users").cast("double") / col("_prev") * 10000.0)
             / 10000.0))
       .select("stage_idx", "stage", "n_users", "conv_from_prev")
+  }
+
+  case class FunnelEv(event_id: Long, user_id: Long, usec: Long, et: String)
+
+  /** The streaming twin's per-user state machine (flatMapGroupsWithState
+    * body): state = entry time (usec) of each stage reached so far; an
+    * event advances the user iff it is the next stage's type, strictly
+    * after the previous entry, and within the per-step deadline. Folding
+    * in event-time order makes "first qualifying event" ≡ the batch
+    * cascade's min-per-window join, so both paths share a10's oracle.
+    * State continues across micro-batches (a stage entered in batch N
+    * accepts qualifying events in batch N+1 — spec-pinned). */
+  def funnelAdvance(stages: IndexedSeq[String], withinUs: Long)(
+      user: Long, rows: Iterator[FunnelEv],
+      state: GroupState[Seq[Long]]): Iterator[(Long, Long)] = {
+    var entries = state.getOption.getOrElse(Seq.empty)
+    val out = Seq.newBuilder[(Long, Long)]
+    rows.toSeq.sortBy(e => (e.usec, e.event_id)).foreach { e =>
+      val next = entries.size
+      if (next < stages.size && e.et == stages(next) &&
+          (next == 0 ||
+            (e.usec > entries(next - 1) &&
+             e.usec <= entries(next - 1) + withinUs))) {
+        entries = entries :+ e.usec
+        out += ((user, next.toLong))
+      }
+    }
+    state.update(entries)
+    out.result().iterator
   }
 
   /** Daily cohort retention: users are cohorted by their first activity

@@ -231,7 +231,35 @@ object StreamingOps {
             min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
             FROM documents GROUP BY md5(text) ORDER BY content_hash"""))
 
+  /** A10, streaming-executed — the funnel cascade as a per-user keyed
+    * STATE MACHINE: the flatMapGroupsWithState body is
+    * [[graft.ads.Behavior.funnelAdvance]] (shared with the cross-batch
+    * continuation spec), and the serving rollup on the drained sink is
+    * the SAME [[graft.ads.Behavior.funnelRollup]] the batch query uses —
+    * so the oracle is IDENTICAL to a10's. */
+  val stFunnel = OpQuery(
+    "st_funnel_stream",
+    "view->click->purchase funnel via per-user streaming keyed state",
+    (s, dir) => withStatePartitions(s, 8) {
+      import s.implicits._
+      val stages = Vector("view", "click", "purchase")
+      val typed = eventStream(s, dir)
+        .filter(col("event_type").isin(stages: _*))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("usec"), col("event_type").as("et"))
+        .as[graft.ads.Behavior.FunnelEv]
+      val reached = typed.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          graft.ads.Behavior.funnelAdvance(stages, 86400L * 1000000L) _)
+        .toDF("uid", "stage_idx")
+      graft.ads.Behavior.funnelRollup(drain(reached, "st_funnel_out"), stages)
+        .orderBy("stage_idx")
+    },
+    // identical oracle to a10_funnel_steps: the state machine must agree
+    // with the batch min-per-window cascade
+    AggOps.a10Funnel.oracle)
+
   val all: Seq[OpQuery] =
     Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
-      stDedupExact)
+      stDedupExact, stFunnel)
 }

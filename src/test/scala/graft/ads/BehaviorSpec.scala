@@ -61,6 +61,33 @@ class BehaviorSpec extends SparkTestBase {
     }
   }
 
+  test("funnelAdvance: state continues across micro-batches, no re-emission") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import Behavior.FunnelEv
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[FunnelEv]
+    val reached = input.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Behavior.funnelAdvance(Vector("view", "click"), withinUs = 1000000L) _)
+      .toDF("uid", "stage_idx")
+    val q = reached.writeStream.format("memory").queryName("funnel_cb")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 views; u2 clicks without viewing
+      input.addData(FunnelEv(1, 1L, 100, "view"), FunnelEv(2, 2L, 100, "click"))
+      q.processAllAvailable()
+      // batch 2: u1's click qualifies against batch-1 state (within 1s);
+      // u2's late view starts its funnel; a second u1 view re-emits nothing
+      input.addData(FunnelEv(3, 1L, 500, "click"), FunnelEv(4, 2L, 600, "view"),
+        FunnelEv(5, 1L, 700, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_cb")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(rows == Seq((1L, 0L), (1L, 1L), (2L, 0L)))
+    } finally q.stop()
+  }
+
   test("retentionCohorts: cohort by first activity, per-day distinct users") {
     val events = Seq(
       (1L, ts(0)), (1L, ts(2)), (1L, ts(24)), // u1: day0 cohort, day0+day1
