@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 import graft.core.Tables
+import graft.core.Materialize.StageSyntax
 import graft.ext.{Dedup, LmScore, Multimodal, Similarity, TextAnalysis}
 
 /** Extension operators for large-scale training-data pipelines (north
@@ -110,8 +111,10 @@ object ExtOps {
     "signature-agreement Jaccard estimate (n_match/k) over LSH candidate " +
       "pairs - the cheap scorer between banding and exact verification",
     (s, dir) => {
+      // one materialized signature pass feeds candidate generation AND
+      // both sides of the estimation join (graft.core.Materialize.staged)
       val sig = Dedup.minhashSignatures(t(s, dir, "documents"), "text",
-        "doc_id", k = 8)
+        "doc_id", k = 8).staged
       Dedup.minhashEstimate(sig,
           Dedup.lshCandidatePairs(sig, "doc_id", k = 8, bands = 2),
           "doc_id", k = 8)
