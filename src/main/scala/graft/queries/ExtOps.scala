@@ -169,6 +169,47 @@ object ExtOps {
             SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS component
             FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  /** Leakage-safe train/val/test assignment: split by the DUPLICATE
+    * CLUSTER, not the document — every member of a near-dup component
+    * hashes to the same split (content-addressed on the component
+    * label), so an eval split can never contain a near-copy of a
+    * training document. The standard composition data-curation recipes
+    * call "dedup-aware splitting": components from the LSH pair graph,
+    * then the same 1/65536-quantized hash cutoffs as x_split_assign
+    * applied to the component id. */
+  val xSplitLeakageSafe = OpQuery(
+    "x_split_leakage_safe",
+    "dedup-aware split: near-dup cluster members share one train/val/test split",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, "text", "doc_id", k = 8),
+        "doc_id", k = 8, bands = 2)
+      val comp = Dedup.connectedComponents(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("component"))
+      graft.ext.Sampling.assignSplits(comp, "component",
+          head = Seq("val" -> 0.01, "test" -> 0.01), rest = "train")
+        .select("doc_id", "component", "split")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $sigCte,
+            $lshPairsCte,
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                      UNION SELECT doc_b, doc_a FROM prs),
+            reach(id, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+            comp AS (SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS component
+                     FROM reach GROUP BY id)
+            SELECT doc_id, component,
+              CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 4) < '028f'
+                     THEN 'val'
+                   WHEN substr(md5(CAST(component AS VARCHAR)), 1, 4) < '051e'
+                     THEN 'test'
+                   ELSE 'train' END AS split
+            FROM comp ORDER BY doc_id"""))
+
   val xNeardupJaccard3 = OpQuery(
     "x_neardup_jaccard3",
     "3-gram-shingle Jaccard ≥0.5 over LSH candidate pairs (order-sensitive n-gram sets)",
@@ -2188,6 +2229,7 @@ object ExtOps {
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xClonePairs, xTfidfTopk, xVocabProfile,
     xApproxDistinct, xSampleStratified, xSampleKGroup, xSplitAssign,
+    xSplitLeakageSafe,
     xDomainMix,
     xDomainTemperature,
     xProfilePercentiles, xCorpusDiff,

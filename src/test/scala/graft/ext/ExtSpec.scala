@@ -113,6 +113,25 @@ class ExtSpec extends SparkTestBase {
     (4L, Array(0.0f, 0.0f, 1.0f), 2))
     .toDF("vec_id", "embedding", "label")
 
+  test("leakage-safe split: every near-dup cluster lands in exactly one split") {
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(docs, "text", "doc_id", k = 8),
+      "doc_id", k = 8, bands = 2)
+    val comp = Dedup.connectedComponents(docs, "doc_id", pairs)
+      .select($"id".as("doc_id"), $"component")
+    val split = Sampling.assignSplits(comp, "component",
+      head = Seq("val" -> 0.25, "test" -> 0.25), rest = "train")
+    // the invariant: one distinct split per component
+    val perComp = split.groupBy("component")
+      .agg(countDistinct($"split").as("n"))
+      .select("n").as[Long].collect()
+    assert(perComp.nonEmpty && perComp.forall(_ == 1L))
+    // docs 1 and 3 are exact dups → same component → same split by
+    // construction; membership itself is content-addressed on the label
+    val m = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(m(1L) == m(3L))
+  }
+
   test("simhashNeardupPairs: banding finds exactly the brute-force hamming set") {
     // exact dups are hamming 0
     val p = Dedup.simhashNeardupPairs(docs, "text", "doc_id", 16, maxHam = 1)
