@@ -116,15 +116,50 @@ object Behavior {
     val d = events.select(col(userCol).as("uid"),
       to_date(col(tsCol)).as("day"))
     val cohort = d.groupBy("uid").agg(min(col("day")).as("cohort_day"))
-    val active = d.distinct().join(cohort, Seq("uid"))
+    retentionRollup(d.distinct().join(cohort, Seq("uid")))
+  }
+
+  /** Cohort-grid rollup of a per-visit frame (`uid`, `cohort_day` DATE,
+    * `day` DATE; one row per user per active day) — shared by the batch
+    * path above and the streaming state-machine twin
+    * (st_retention_stream). Cohort sizes fall out of the frame itself:
+    * every user visits on their own cohort day exactly once. */
+  def retentionRollup(perVisit: DataFrame): DataFrame = {
+    val active = perVisit
       .groupBy("cohort_day", "day")
       .agg(count(lit(1)).as("n_users"))
       .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
-    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("_size"))
+    val sizes = perVisit.filter(col("day") === col("cohort_day"))
+      .groupBy("cohort_day").agg(count(lit(1)).as("_size"))
     active.join(sizes, Seq("cohort_day"))
       .withColumn("retention",
         floor(col("n_users").cast("double") / col("_size") * 10000.0) / 10000.0)
       .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset"), col("n_users"), col("retention"))
+  }
+
+  case class VisitEv(user_id: Long, epochDay: Long)
+
+  /** The retention streaming twin's per-user state machine: state =
+    * (cohort epoch-day, set of emitted days); the first-ever event fixes
+    * the cohort, each unseen day emits one (uid, cohort, day) row and
+    * is never re-emitted. Same single-source ordering caveat as the
+    * first-visit dedup state machine (st_uv_dedup_stream): a later
+    * micro-batch carrying a day EARLIER than the fixed cohort would
+    * mis-cohort that user — the file source delivers event-time order,
+    * and the cross-batch spec pins the continuation behavior. */
+  def retentionAdvance(user: Long, rows: Iterator[VisitEv],
+      state: GroupState[(Long, Set[Long])]): Iterator[(Long, Long, Long)] = {
+    var (cohort, seen) = state.getOption.getOrElse((Long.MaxValue, Set.empty[Long]))
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    rows.toSeq.sortBy(_.epochDay).foreach { e =>
+      if (seen.isEmpty) cohort = e.epochDay
+      if (!seen(e.epochDay)) {
+        seen += e.epochDay
+        out += ((user, cohort, e.epochDay))
+      }
+    }
+    state.update((cohort, seen))
+    out.result().iterator
   }
 }

@@ -259,7 +259,37 @@ object StreamingOps {
     // with the batch min-per-window cascade
     AggOps.a10Funnel.oracle)
 
+  /** A11, streaming-executed — cohort retention as per-user keyed state
+    * ([[graft.ads.Behavior.retentionAdvance]]): the stream emits one
+    * (uid, cohort, day) row per first-sighting, the drained sink goes
+    * through the SAME [[graft.ads.Behavior.retentionRollup]] as the
+    * batch query — identical oracle to a11's. */
+  val stRetention = OpQuery(
+    "st_retention_stream",
+    "daily cohort retention via per-user streaming keyed state",
+    (s, dir) => withStatePartitions(s, 8) {
+      import s.implicits._
+      val typed = eventStream(s, dir)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+            .as("epochDay"))
+        .as[graft.ads.Behavior.VisitEv]
+      val visits = typed.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          graft.ads.Behavior.retentionAdvance _)
+        .toDF("uid", "cohortEpoch", "dayEpoch")
+      val perVisit = drain(visits, "st_ret_out")
+        .select(col("uid"),
+          expr("date_add(DATE '1970-01-01', cast(cohortEpoch AS INT))")
+            .as("cohort_day"),
+          expr("date_add(DATE '1970-01-01', cast(dayEpoch AS INT))").as("day"))
+      graft.ads.Behavior.retentionRollup(perVisit)
+        .orderBy("cohort_day", "day_offset")
+    },
+    // identical oracle to a11_retention_cohorts
+    AggOps.a11Retention.oracle)
+
   val all: Seq[OpQuery] =
     Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
-      stDedupExact, stFunnel)
+      stDedupExact, stFunnel, stRetention)
 }

@@ -88,6 +88,31 @@ class BehaviorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("retentionAdvance: cohort fixed at first sight, days never re-emitted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import Behavior.VisitEv
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[VisitEv]
+    val out = input.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Behavior.retentionAdvance _)
+      .toDF("uid", "cohort", "day")
+    val q = out.writeStream.format("memory").queryName("ret_cb")
+      .outputMode("append").start()
+    try {
+      input.addData(VisitEv(1L, 10), VisitEv(1L, 10), VisitEv(2L, 11))
+      q.processAllAvailable()
+      // batch 2: u1 revisits day 10 (no re-emission) and adds day 12
+      // against batch-1 cohort state
+      input.addData(VisitEv(1L, 12), VisitEv(1L, 10))
+      q.processAllAvailable()
+      val rows = spark.table("ret_cb")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(rows == Seq((1L, 10L, 10L), (1L, 10L, 12L), (2L, 11L, 11L)))
+    } finally q.stop()
+  }
+
   test("retentionCohorts: cohort by first activity, per-day distinct users") {
     val events = Seq(
       (1L, ts(0)), (1L, ts(2)), (1L, ts(24)), // u1: day0 cohort, day0+day1
