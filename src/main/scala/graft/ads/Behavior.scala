@@ -138,6 +138,38 @@ object Behavior {
         col("day_offset"), col("n_users"), col("retention"))
   }
 
+  /** Session path analysis — the "which journeys happen" ADS query:
+    * sessionize each user's events with an inactivity gap
+    * (gaps-and-islands: lag + running sum, both over user-partitioned
+    * windows — never a global sort), then count the event-type sequences
+    * and keep the top `k` (ordered by frequency, path tie-break, so the
+    * cut is deterministic). The per-session sequence is assembled with
+    * `array_sort(collect_list(struct(...)))` — collect_list order is
+    * partition-dependent, the struct sort by (time, event id) makes it
+    * exact. Top-k goes through orderBy+limit (TakeOrdered — a bounded
+    * heap per partition, not a full global sort). */
+  def sessionPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, gapMinutes: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("uid").orderBy("usec", "eid")
+    val sessions = events
+      .select(col(userCol).as("uid"), unix_micros(col(tsCol)).as("usec"),
+        col(idCol).as("eid"), col(typeCol).as("et"))
+      .withColumn("_prev", lag(col("usec"), 1).over(w))
+      .withColumn("_ns",
+        when(col("_prev").isNull || col("usec") - col("_prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum(col("_ns")).over(w))
+    sessions.groupBy("uid", "_sid")
+      .agg(expr(
+        "concat_ws('>', transform(array_sort(collect_list(struct(usec, eid, et))), s -> s.et))")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   case class VisitEv(user_id: Long, epochDay: Long)
 
   /** The retention streaming twin's per-user state machine: state =

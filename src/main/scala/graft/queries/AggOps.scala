@@ -290,8 +290,33 @@ object AggOps {
             FROM act a JOIN sizes s USING (cohort_day)
             ORDER BY cohort_day, day_offset"""))
 
+  /** Session path analysis — top event-type journeys per 30-min-gap
+    * session (the same gap as a8's session windows). Scale shape on
+    * [[graft.ads.Behavior.sessionPaths]]. */
+  val a12SessionPaths = OpQuery(
+    "a12_session_paths",
+    "top-20 session event-type paths (30-min inactivity gap)",
+    (s, dir) =>
+      graft.ads.Behavior.sessionPaths(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id", gapMinutes = 30L, k = 20),
+    Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS prev
+              FROM events),
+            f AS (SELECT *, CASE WHEN prev IS NULL
+                OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                THEN 1 ELSE 0 END AS ns FROM e),
+            s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS sid FROM f),
+            p AS (SELECT user_id, sid,
+                string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+              FROM s GROUP BY 1, 2)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY path
+            ORDER BY n_sessions DESC, path LIMIT 20"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
-    k5LatestVersion)
+    a12SessionPaths, k5LatestVersion)
 }

@@ -113,6 +113,23 @@ class BehaviorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionPaths: gap splits sessions, paths are time-ordered, top-k cut") {
+    // u1: a>b (1 min apart), then a NEW session c after a 2h gap;
+    // u2: the same a>b path — so a>b counts 2 sessions
+    val events = Seq(
+      (1L, ts(0, 0), 1L, "a"), (1L, ts(0, 1), 2L, "b"), (1L, ts(2, 1), 3L, "c"),
+      (2L, ts(0, 0), 4L, "a"), (2L, ts(0, 30), 5L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val p = Behavior.sessionPaths(events, "user_id", "ts", "event_type",
+        "event_id", gapMinutes = 60L, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(p == Seq(("a>b", 2L), ("c", 1L)))
+    // k cuts deterministically on (count desc, path)
+    val top1 = Behavior.sessionPaths(events, "user_id", "ts", "event_type",
+      "event_id", gapMinutes = 60L, k = 1).as[(String, Long)].collect().toSeq
+    assert(top1 == Seq(("a>b", 2L)))
+  }
+
   test("retentionCohorts: cohort by first activity, per-day distinct users") {
     val events = Seq(
       (1L, ts(0)), (1L, ts(2)), (1L, ts(24)), // u1: day0 cohort, day0+day1
