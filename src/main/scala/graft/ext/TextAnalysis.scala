@@ -123,6 +123,42 @@ object TextAnalysis {
       .select(col(idCol), explode(expr(s"winnow_fps(norm, $k, $w)")).as("fp"))
   }
 
+  /** Per-domain distribution shift: KL(domain unigram dist ‖ corpus
+    * unigram dist) — the data-selection diagnostic that says how far a
+    * source's token distribution sits from the corpus (DSIR-adjacent:
+    * high-KL domains dominate importance-weight tails). Computed as
+    * (1/n_d)·Σ_w c_dw·ln((c_dw·n)/(n_d·c_w)): every count product stays
+    * an exact integer, the single division feeding ln is one IEEE op,
+    * the ln output is floor-truncated to 4 dp IMMEDIATELY (libm results
+    * differ across engines in the last ulp), and the weighted sum runs
+    * in DECIMAL — exact and order-independent, the same discipline as
+    * [[LmScore]]. Since every domain word is a corpus word, c_w ≥ c_dw
+    * > 0: no smoothing needed and every term is finite.
+    * Shuffle shape: one (domain, word) aggregation (map-side combined),
+    * then vocabulary-keyed joins — never a row-level shuffle. */
+  def domainKl(docs: DataFrame, textCol: String,
+      domainCol: org.apache.spark.sql.Column): DataFrame = {
+    val dw = docs
+      .select(domainCol.as("domain"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("domain", "word").agg(count(lit(1)).as("c_dw"))
+      .staged
+    val dTot = dw.groupBy("domain").agg(sum("c_dw").as("n_d"))
+    val cw = dw.groupBy("word").agg(sum("c_dw").as("c_w"))
+    val nTot = dTot.agg(sum("n_d").as("n"))
+    dw.join(dTot, Seq("domain")).join(cw, Seq("word"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("_term",
+        floor(log((col("c_dw") * col("n")).cast("double") /
+          (col("n_d") * col("c_w"))) * 10000.0) / 10000.0)
+      .withColumn("_w", col("_term").cast("decimal(18,4)") * col("c_dw"))
+      .groupBy("domain", "n_d").agg(sum("_w").as("_s"))
+      .withColumn("kl",
+        floor(col("_s").cast("double") / col("n_d") * 10000.0) / 10000.0)
+      .select(col("domain"), col("n_d").as("n_tokens"), col("kl"))
+  }
+
   /** Cross-document clone detection (the MOSS arrangement): documents
     * sharing ≥ `minShared` winnow fingerprints are clone pairs. The
     * document-frequency cap (`maxDf`) drops fingerprints present in more

@@ -2192,6 +2192,37 @@ object ExtOps {
                 AS DOUBLE) AS type_token_ratio
             FROM wc GROUP BY domain ORDER BY domain"""))
 
+  /** Distribution-shift diagnostic; determinism discipline (term-wise
+    * ln truncation, exact-integer products, DECIMAL weighted sum) on
+    * [[TextAnalysis.domainKl]]. */
+  val xDomainKl = OpQuery(
+    "x_domain_kl",
+    "KL(domain unigram dist || corpus dist) per source - distribution shift",
+    (s, dir) =>
+      TextAnalysis.domainKl(t(s, dir, "documents"), "text", col("source"))
+        .orderBy("domain"),
+    Some("""WITH tok AS (SELECT source AS domain,
+              unnest(string_split(text, ' ')) AS word FROM documents),
+            dw AS (SELECT domain, word, CAST(count(*) AS BIGINT) AS c_dw
+                   FROM tok WHERE length(word) > 0 GROUP BY domain, word),
+            dt AS (SELECT domain, CAST(sum(c_dw) AS BIGINT) AS n_d
+                   FROM dw GROUP BY domain),
+            cwt AS (SELECT word, CAST(sum(c_dw) AS BIGINT) AS c_w
+                    FROM dw GROUP BY word),
+            nt AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM dt),
+            terms AS (SELECT dw.domain, dt.n_d, dw.c_dw,
+                CAST(floor(ln(CAST(dw.c_dw * nt.n AS DOUBLE) /
+                  (dt.n_d * cwt.c_w)) * 10000.0) / 10000.0
+                  AS DECIMAL(18,4)) AS term
+              FROM dw JOIN dt USING (domain) JOIN cwt USING (word)
+              CROSS JOIN nt),
+            sums AS (SELECT domain, n_d, sum(term * c_dw) AS s
+                     FROM terms GROUP BY domain, n_d)
+            SELECT domain, n_d AS n_tokens,
+              CAST(floor(CAST(s AS DOUBLE) / n_d * 10000.0) / 10000.0
+                AS DOUBLE) AS kl
+            FROM sums ORDER BY domain"""))
+
   val xTfidfTopk = OpQuery(
     "x_tfidf_topk",
     "TF-IDF keyword extraction: top-5 most distinctive words per source",
@@ -2228,6 +2259,7 @@ object ExtOps {
     xAnnIvf, xAnnIvfKmeans, xAnnIvfPq,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xClonePairs, xTfidfTopk, xVocabProfile,
+    xDomainKl,
     xApproxDistinct, xSampleStratified, xSampleKGroup, xSplitAssign,
     xSplitLeakageSafe,
     xDomainMix,

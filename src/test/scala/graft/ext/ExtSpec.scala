@@ -113,6 +113,36 @@ class ExtSpec extends SparkTestBase {
     (4L, Array(0.0f, 0.0f, 1.0f), 2))
     .toDF("vec_id", "embedding", "label")
 
+  test("domainKl: exact arithmetic, equal domains score equal, divergence positive") {
+    // d1 and d2 share one word distribution (must score identically);
+    // d3 is z-heavy, pulling the pooled corpus away from all three
+    val d = Seq(
+      ("d1", "a a b c"), ("d2", "a a b c"),
+      ("d3", "z z z z z z z a"))
+      .toDF("src", "text")
+    val kl = TextAnalysis.domainKl(d, "text", col("src"))
+      .select("domain", "kl").as[(String, Double)].collect().toMap
+    val all = Seq.fill(2)(Seq("a", "a", "b", "c")).flatten ++
+      Seq("z", "z", "z", "z", "z", "z", "z", "a")
+    val cw = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // mirror the impl's arithmetic exactly: ln of ONE division of exact
+    // integer products, truncated, weighted by exact counts
+    def expKl(words: Seq[String]): Double = {
+      val nD = words.size.toLong
+      val s = words.groupBy(identity).map { case (w, ws) =>
+        val cDw = ws.size.toLong
+        cDw * (math.floor(math.log(
+          (cDw * all.size).toDouble / (nD * cw(w))) * 10000) / 10000)
+      }.sum
+      math.floor(s / nD * 10000) / 10000
+    }
+    assert(kl("d1") == expKl(Seq("a", "a", "b", "c")))
+    assert(kl("d1") == kl("d2"))
+    assert(kl("d3") == expKl(Seq("z", "z", "z", "z", "z", "z", "z", "a")))
+    // every domain differs from the z-heavy pooled corpus → positive KL
+    assert(kl("d1") > 0.0 && kl("d3") > 0.0)
+  }
+
   test("leakage-safe split: every near-dup cluster lands in exactly one split") {
     val pairs = Dedup.lshCandidatePairs(
       Dedup.minhashSignatures(docs, "text", "doc_id", k = 8),
