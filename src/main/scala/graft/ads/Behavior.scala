@@ -31,13 +31,23 @@ object Behavior {
     * until the final tiny per-stage rollup. */
   def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, stages: Seq[String], withinSecs: Long): DataFrame = {
+    val survivors = funnelSurvivors(events, userCol, typeCol, tsCol,
+      stages, withinSecs)
+    val reached = stages.indices.map { i =>
+      survivors(i).select(col("uid"), lit(i.toLong).as("stage_idx"))
+    }.reduce(_.unionByName(_))
+    funnelRollup(reached, stages)
+  }
+
+  /** The shared stage cascade: survivors(i) = (uid, t) with t the entry
+    * time into stage i (first qualifying event; see [[funnelSteps]]). */
+  private def funnelSurvivors(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, stages: Seq[String],
+      withinSecs: Long): Seq[DataFrame] = {
     require(stages.nonEmpty, "need at least one funnel stage")
-    val u = col(userCol).as("uid")
-    // stage 0: first qualifying event per user
     val first = events.filter(col(typeCol) === stages.head)
-      .groupBy(u).agg(min(col(tsCol)).as("t"))
-    // survivors(i): (uid, t) = entry time into stage i
-    val survivors = stages.tail.scanLeft(first) { (prev, stage) =>
+      .groupBy(col(userCol).as("uid")).agg(min(col(tsCol)).as("t"))
+    stages.tail.scanLeft(first) { (prev, stage) =>
       val nxt = events.filter(col(typeCol) === stage)
         .select(col(userCol).as("uid"), col(tsCol).as("_ts"))
       prev.join(nxt, Seq("uid"))
@@ -45,10 +55,22 @@ object Behavior {
           col("_ts") <= col("t") + expr(s"INTERVAL $withinSecs SECONDS"))
         .groupBy("uid").agg(min(col("_ts")).as("t"))
     }
-    val reached = stages.indices.map { i =>
-      survivors(i).select(col("uid"), lit(i.toLong).as("stage_idx"))
-    }.reduce(_.unionByName(_))
-    funnelRollup(reached, stages)
+  }
+
+  /** Time-to-convert for users completing the WHOLE funnel: entry time
+    * of the first stage minus entry time of the last, in exact
+    * microseconds (BIGINT — no float time math). One row per converting
+    * user; the downstream percentile/histogram of choice runs on this
+    * frame. Same cascade, so the funnel count invariants carry over. */
+  def conversionLags(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String], withinSecs: Long): DataFrame = {
+    val survivors = funnelSurvivors(events, userCol, typeCol, tsCol,
+      stages, withinSecs)
+    val start = survivors.head.select(col("uid"), col("t").as("_t0"))
+    val end = survivors.last.select(col("uid"), col("t").as("_tn"))
+    end.join(start, Seq("uid"))
+      .select(col("uid").as("user_id"),
+        (unix_micros(col("_tn")) - unix_micros(col("_t0"))).as("lag_usec"))
   }
 
   /** Per-stage rollup of a (uid, stage_idx) reached frame — shared by

@@ -315,8 +315,32 @@ object AggOps {
             FROM p GROUP BY path
             ORDER BY n_sessions DESC, path LIMIT 20"""))
 
+  /** Time-to-convert through the a10 funnel, exact microseconds. */
+  val a13ConversionLag = OpQuery(
+    "a13_conversion_lag",
+    "view->purchase conversion lag per fully-converting user (exact usec)",
+    (s, dir) =>
+      graft.ads.Behavior.conversionLags(t(s, dir, "events"), "user_id",
+          "event_type", "ts", Seq("view", "click", "purchase"),
+          withinSecs = 86400L)
+        .orderBy("user_id"),
+    Some("""WITH s0 AS (SELECT user_id AS uid, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            s1 AS (SELECT e.user_id AS uid, min(e.ts) AS t FROM events e
+              JOIN s0 ON s0.uid = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s0.t
+                AND e.ts <= s0.t + INTERVAL 86400 SECONDS GROUP BY 1),
+            s2 AS (SELECT e.user_id AS uid, min(e.ts) AS t FROM events e
+              JOIN s1 ON s1.uid = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s1.t
+                AND e.ts <= s1.t + INTERVAL 86400 SECONDS GROUP BY 1)
+            SELECT s2.uid AS user_id,
+                   CAST(epoch_us(s2.t) - epoch_us(s0.t) AS BIGINT) AS lag_usec
+            FROM s2 JOIN s0 ON s0.uid = s2.uid
+            ORDER BY user_id"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
-    a12SessionPaths, k5LatestVersion)
+    a12SessionPaths, a13ConversionLag, k5LatestVersion)
 }

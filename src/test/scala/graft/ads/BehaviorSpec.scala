@@ -33,6 +33,17 @@ class BehaviorSpec extends SparkTestBase {
       (2L, "purchase", 1L, 1.0)))
   }
 
+  test("conversionLags: exact usec from first-stage entry to completion") {
+    val events = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "view", ts(0)), (2L, "click", ts(1)))  // never completes
+      .toDF("user_id", "event_type", "ts")
+    val lags = Behavior.conversionLags(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), withinSecs = 86400L)
+      .as[(Long, Long)].collect().toSeq
+    assert(lags == Seq((1L, 2L * 3600L * 1000000L)))
+  }
+
   test("funnelSteps: a stage event at exactly the entry time does not advance") {
     // strict ts > entry: a click sharing the view's timestamp is ignored
     val events = Seq(
