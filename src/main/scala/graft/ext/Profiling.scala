@@ -74,4 +74,38 @@ object Profiling {
           .when(col("_ho") === col("_hn"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** Per-column data-quality profile (the Deequ-/Great-Expectations-style
+    * ingest gate): row count, null count, exact distinct count, min and
+    * max — one row per profiled column.
+    *
+    * Callers pass (name, renderer) pairs where the renderer is a Column
+    * producing a STRING — type-specific rendering (decimal for doubles,
+    * formatted timestamps) stays at the call site so the profile itself
+    * is engine-portable: a raw double→string cast formats differently
+    * across engines, a decimal cast doesn't.
+    *
+    * Scale shape: ONE corpus scan, exploded map-side into (col_name,
+    * value) pairs, then a single aggregation keyed by column name. The
+    * explode multiplies rows by |cols| but never materializes — it feeds
+    * straight into partial aggregation, so what shuffles is one partial
+    * state per (task, column). Distinct is exact (count-distinct's
+    * expand adds one shuffle keyed by (col_name, v)); at 100 TB swap in
+    * approx_count_distinct — same plan minus the expand — as
+    * `x_approx_distinct` demonstrates. */
+  def columnProfile(df: DataFrame,
+      cols: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(cols.nonEmpty)
+    df.select(explode(array(cols.map { case (n, c) =>
+        struct(lit(n).as("col_name"), c.cast("string").as("v"))
+      }: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("v"))).as("null_ct"),
+        countDistinct(col("v")).as("distinct_ct"),
+        min(col("v")).as("min_s"),
+        max(col("v")).as("max_s"))
+  }
 }

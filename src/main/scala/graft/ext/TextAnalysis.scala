@@ -437,6 +437,59 @@ object TextAnalysis {
       .select("domain", "word", "tf", "df", "tfidf", "rank")
   }
 
+  /** BM25 ranked retrieval: top-k documents per query term under the
+    * Okapi BM25 weighting (k1 = 1.2, b = 0.75, the standard defaults) —
+    * the relevance engine behind corpus search, targeted decontamination
+    * probes ("which documents score highest against this benchmark
+    * phrase") and quality-biased selection.
+    *
+    *   idf(t)   = ln((N − df + 0.5) / (df + 0.5) + 1)        [BM25+-style
+    *              lower-bounded idf, always ≥ 0]
+    *   score(d,t) = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Oracle parity: ln is floor-truncated to 4 dp the moment it is
+    * computed (the LmScore discipline) and the remaining arithmetic is a
+    * fixed-shape chain of IEEE mul/div over exact integers (tf, dl) and
+    * one corpus constant (avgdl = Σdl/N, a single correctly-rounded
+    * division) — both engines evaluate the identical expression tree, so
+    * the truncated final score is bit-identical and rank ties break on
+    * doc_id.
+    *
+    * Scale shape: ONE tokenize scan staged and reused for document
+    * lengths AND term frequencies (never two corpus scans); tf is
+    * filtered to the query terms BEFORE its aggregation so the per-term
+    * frame is |terms|·|matching docs|, not vocabulary-sized; df and the
+    * corpus stats are single-row/tiny broadcasts; the final top-k is a
+    * window over the scored frame, partitioned by term. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], kTop: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty)
+    val tok = stage(docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val tf = tok.filter(col("word").isin(terms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("word")
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("word"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("tot").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", trunc4(log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0))))
+      .withColumn("score", trunc4(col("idf") * ((col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kTop)
+      .select(col("word"), col("rank"), col("doc_id"), col("tf"), col("dl"),
+        col("score"))
+  }
+
   /** Whole-document fingerprint: md5 of whitespace-normalized text, plus a
     * winnowing-style min-hash over 16-char windows at stride 8 (two docs
     * sharing any window hash share a 16-char run; the min over windows is

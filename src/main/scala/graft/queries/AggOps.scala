@@ -339,8 +339,90 @@ object AggOps {
             FROM s2 JOIN s0 ON s0.uid = s2.uid
             ORDER BY user_id"""))
 
+  /** A14 (beyond ref) — multi-level rollup in ONE pass: nation x year
+    * revenue with subtotals and grand total via ROLLUP. At 100 TB this is
+    * the difference between one shuffle (Expand feeds a single partial
+    * aggregation) and re-scanning the fact table once per grouping level;
+    * `grouping_id()` / DuckDB `GROUPING(a,b)` share the same bitmask
+    * contract, so lvl itself is oracle-checked. */
+  val a14GroupingSets = OpQuery(
+    "a14_grouping_sets",
+    "ROLLUP(nation, year) revenue: detail + subtotal + grand total, one pass",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).cast("string").as("yr"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .rollup(col("n_name"), col("yr"))
+        .agg(grouping_id().as("lvl"), count(lit(1)).as("ct"),
+          sum(col("p")).cast("double").as("revenue"))
+        .select(
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("yr"), lit("ALL")).as("yr"),
+          col("lvl").cast("long").as("lvl"), col("ct"), col("revenue"))
+        .orderBy("lvl", "nation", "yr")
+    },
+    Some("""SELECT coalesce(n_name, 'ALL') AS nation,
+              coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+              CAST(GROUPING(n_name, year(o_orderdate)) AS BIGINT) AS lvl,
+              CAST(count(*) AS BIGINT) AS ct,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP(n_name, year(o_orderdate))
+            ORDER BY lvl, nation, yr"""))
+
+  /** A15 (beyond ref) — pivot (long-to-wide) on a bounded category set:
+    * revenue per nation split into one column per order status. The value
+    * list is EXPLICIT (`pivot(col, Seq(...))`) — the two-pass
+    * distinct-collect form is a full extra scan at scale and
+    * nondeterministic column order besides. Plans as a single hash
+    * aggregate over CASE-WHEN projections; the oracle is the equivalent
+    * FILTER-clause conditional aggregation. */
+  val a15Pivot = OpQuery(
+    "a15_pivot",
+    "pivot order status to columns: per-nation revenue by status",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val zero = lit(0).cast("decimal(18,2)")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .groupBy(col("nation"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("p")))
+        .select(col("nation"),
+          coalesce(col("F"), zero).cast("double").as("rev_f"),
+          coalesce(col("O"), zero).cast("double").as("rev_o"),
+          coalesce(col("P"), zero).cast("double").as("rev_p"))
+        .orderBy("nation")
+    },
+    Some("""SELECT n_name AS nation,
+              CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS rev_f,
+              CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS rev_o,
+              CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'P'), 0) AS DOUBLE) AS rev_p
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY nation"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
-    a12SessionPaths, a13ConversionLag, k5LatestVersion)
+    a12SessionPaths, a13ConversionLag, a14GroupingSets, a15Pivot,
+    k5LatestVersion)
 }

@@ -2247,6 +2247,76 @@ object ExtOps {
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 5 ORDER BY domain, rank"""))
 
+  /** BM25 ranked retrieval over the corpus for a fixed probe-term set.
+    * Terms are parameters of the query (as a search engine's would be),
+    * chosen from the synthetic vocabulary so every term matches. */
+  val xBm25Topk = OpQuery(
+    "x_bm25_topk",
+    "Okapi BM25 top-5 documents per query term (k1=1.2, b=0.75)",
+    (s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("spark", "window", "hash"), kTop = 5)
+        .orderBy("word", "rank"),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                         FROM documents),
+            tk AS (SELECT doc_id, word FROM tok WHERE length(word) > 0),
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                   FROM tk GROUP BY doc_id),
+            corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                              CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+            tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                   FROM tk WHERE word IN ('spark', 'window', 'hash')
+                   GROUP BY doc_id, word),
+            dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY word),
+            sc AS (SELECT tf.doc_id, tf.word, tf.tf, dl.dl,
+                floor(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+                         + 1.0) * 10000.0) / 10000.0 AS idf,
+                CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+              FROM tf JOIN dl USING (doc_id) JOIN dfq USING (word)
+              CROSS JOIN corpus),
+            s2 AS (SELECT doc_id, word, tf, dl,
+                floor(idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                      * 10000.0) / 10000.0 AS score
+              FROM sc),
+            r AS (SELECT *, row_number() OVER (PARTITION BY word
+                    ORDER BY score DESC, doc_id) AS rank FROM s2)
+            SELECT word, CAST(rank AS BIGINT) AS rank, doc_id, tf, dl,
+                   CAST(score AS DOUBLE) AS score
+            FROM r WHERE rank <= 5 ORDER BY word, rank"""))
+
+  /** Deequ-style per-column quality profile of the orders fact table.
+    * Doubles render through DECIMAL(18,2), timestamps through the shared
+    * format — raw double→string casts differ across engines. */
+  val xDqProfile = OpQuery(
+    "x_dq_profile",
+    "per-column data-quality profile: rows, nulls, distinct, min/max",
+    (s, dir) =>
+      graft.ext.Profiling.columnProfile(t(s, dir, "orders"), Seq(
+          "o_orderkey" -> col("o_orderkey"),
+          "o_orderstatus" -> col("o_orderstatus"),
+          "o_totalprice" -> col("o_totalprice").cast("decimal(18,2)"),
+          "o_orderdate" -> date_format(col("o_orderdate"),
+            "yyyy-MM-dd HH:mm:ss"),
+          "o_orderpriority" -> col("o_orderpriority")))
+        .orderBy("col_name"),
+    Some("""WITH p AS (
+              SELECT 'o_orderkey' AS col_name,
+                     CAST(o_orderkey AS VARCHAR) AS v FROM orders
+              UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+              UNION ALL SELECT 'o_totalprice',
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                FROM orders
+              UNION ALL SELECT 'o_orderdate',
+                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') FROM orders
+              UNION ALL SELECT 'o_orderpriority', o_orderpriority
+                FROM orders)
+            SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) - count(v) AS BIGINT) AS null_ct,
+              CAST(count(DISTINCT v) AS BIGINT) AS distinct_ct,
+              min(v) AS min_s, max(v) AS max_s
+            FROM p GROUP BY col_name ORDER BY col_name"""))
+
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xMinhashEst,
     xNeardupJaccard,
@@ -2258,8 +2328,8 @@ object ExtOps {
     xEmbedCentroids,
     xAnnIvf, xAnnIvfKmeans, xAnnIvfPq,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
-    xFingerprint, xWinnow, xClonePairs, xTfidfTopk, xVocabProfile,
-    xDomainKl,
+    xFingerprint, xWinnow, xClonePairs, xTfidfTopk, xBm25Topk, xVocabProfile,
+    xDomainKl, xDqProfile,
     xApproxDistinct, xSampleStratified, xSampleKGroup, xSplitAssign,
     xSplitLeakageSafe,
     xDomainMix,

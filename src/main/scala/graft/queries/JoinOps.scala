@@ -173,7 +173,35 @@ object JoinOps {
               ON f.user_id = d.user_id AND f.ts >= d.ts
             ORDER BY event_id"""))
 
+  /** J7 (beyond ref) — explicit salted skew join: 600k lineitem rows over
+    * only 1k supplier keys is the hot-key shape AQE's skew split handles
+    * at shuffle time; [[graft.ops.SkewJoin.saltedJoin]] is the explicit
+    * fallback for placements AQE can't touch (stream-static joins,
+    * pre-shuffle stages). Correctness is salt-independent: the oracle is
+    * the plain (unsalted) join, so parity proves the scatter/replicate
+    * arrangement loses and duplicates nothing. */
+  val j7SkewJoin = OpQuery(
+    "j7_skew_join",
+    "salted skew join lineitem x supplier, revenue rollup per supplier",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          col("l_extendedprice").cast("decimal(18,2)").as("p"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      graft.ops.SkewJoin.saltedJoin(l, sup, "l_suppkey", "s_suppkey",
+          buckets = 8)
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("ct"), sum(col("p")).cast("double").as("revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS ct,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_suppkey, s_name
+            ORDER BY s_suppkey"""))
+
   val all: Seq[OpQuery] =
     Seq(j1IntervalJoin, j2IntervalJoinAsym, j3DimEnrichment, j4ConfigRouting,
-      j6AsofJoin)
+      j6AsofJoin, j7SkewJoin)
 }

@@ -198,4 +198,51 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("windowspecdefinition(id"), p)
   }
+
+  // formatted plans list each node twice (tree + detail section); count
+  // scans by their numbered detail lines only
+  private def scanCount(p: String): Int =
+    p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*.*"""))
+
+  test("ROLLUP is one pass: a single Expand, never a scan per grouping level (A14)") {
+    val p = planOf("a14_grouping_sets")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Expand\s*""")) == 1, p)
+    // one scan each of orders / customer / nation — 3 total, no re-scan
+    assert(scanCount(p) == 3, p)
+    assert(p.contains("BroadcastHashJoin"), p) // nation dim
+  }
+
+  test("explicit-values pivot skips the distinct-values scan (A15)") {
+    val p = planOf("a15_pivot")
+    // pivot(col, values) plans as conditional aggregation over ONE pass;
+    // the values-less overload would add a distinct collect scan first
+    assert(scanCount(p) == 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("salted skew join replicates the dim via explode, no cartesian (J7)") {
+    val p = planOf("j7_skew_join")
+    // the dim side replicates through Generate(explode(...)) — the
+    // sequence(0, b-1) literal is constant-folded to an array literal
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate\s*""")) == 1, p)
+    assert(p.contains("explode("), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("BM25 reuses one staged tokenize scan; top-k window is term-keyed") {
+    val p = planOf("x_bm25_topk")
+    // the tokenized frame is staged (localCheckpoint) and reused for dl
+    // AND tf — the final plan must not re-scan documents.parquet at all
+    assert(scanCount(p) == 0, p)
+    val windowDefs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowDefs.nonEmpty && windowDefs.forall(_.contains("word")), p)
+  }
+
+  test("column profile is one scan with map-side partial aggregation") {
+    val p = planOf("x_dq_profile")
+    assert(scanCount(p) == 1, p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate\s*""")) == 1, p)
+    // partial + final pairs (SortAggregate here: min/max over strings)
+    assert(p.split("(Sort|Hash)Aggregate").length - 1 >= 2, p)
+  }
 }
