@@ -2247,6 +2247,51 @@ object ExtOps {
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 5 ORDER BY domain, rank"""))
 
+  /** Token accounting under a FROZEN BPE merge table — the production
+    * shape: tokenizers are trained once and frozen, then every corpus
+    * pass counts tokens under the fixed rules (budget accounting, packing
+    * input). Rules here are the corpus's own top-8 trained merges, inlined
+    * as parameters.
+    *
+    * The oracle is an INDEPENDENT encoding arrangement: greedy
+    * left-to-right pair merging over a symbol array (Spark's
+    * `Bpe.mergePair` fold) is equivalent to sequential non-overlapping
+    * string `replace` over symbols wrapped as `|sym|` and concatenated —
+    * the wrapping makes every symbol boundary explicit, so `|a||b|` can
+    * only match a whole-symbol adjacency (never a substring of a longer
+    * symbol), and replace's continue-after-match scan IS the greedy
+    * left-to-right non-rescanning order. Parity is therefore a
+    * cross-implementation semantic check (like j6's native ASOF), not a
+    * mirrored formula. Assumes symbols never contain '|' (whitespace
+    * tokenization of this corpus guarantees it). */
+  val xBpeEncode = OpQuery(
+    "x_bpe_encode",
+    "per-doc token counts under a frozen 8-rule BPE merge table",
+    (s, dir) =>
+      graft.ext.Bpe.encodeTokenCounts(t(s, dir, "documents"), "text", "doc_id",
+          rules = Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+            "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u"))
+        .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_tok"))
+        .orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                         FROM documents),
+            tk AS (SELECT doc_id, word FROM tok WHERE length(word) > 0),
+            w AS (SELECT DISTINCT word FROM tk),
+            enc AS (SELECT word,
+                replace(replace(replace(replace(replace(replace(replace(replace(
+                  '|' || array_to_string(string_split(word, ''), '||') || '|',
+                  '|e||r|', '|er|'), '|i||n|', '|in|'), '|o||w|', '|ow|'),
+                  '|o||r|', '|or|'), '|s||t|', '|st|'), '|m||er|', '|mer|'),
+                  '|a||t|', '|at|'), '|l||u|', '|lu|') AS s
+              FROM w),
+            ns AS (SELECT word,
+                CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_sym
+              FROM enc)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n_sym) AS BIGINT) AS n_bpe_tok
+            FROM tk JOIN ns USING (word)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   /** BM25 ranked retrieval over the corpus for a fixed probe-term set.
     * Terms are parameters of the query (as a search engine's would be),
     * chosen from the synthetic vocabulary so every term matches. */
@@ -2340,6 +2385,6 @@ object ExtOps {
     xPiiScrub, xRepetition, xDecontaminate, xDecontaminateBloom,
     stDecontaminate, xLmQuality, xLmBigram,
     xDsirWeights, xDsirSelect, xNbClassify, xCcnetBuckets,
-    xBpePairStats, xBpeVocab,
+    xBpePairStats, xBpeVocab, xBpeEncode,
     xCurationE2e, stCurationGate, xMultimodalFeatures)
 }

@@ -289,7 +289,34 @@ object StreamingOps {
     // identical oracle to a11_retention_cohorts
     AggOps.a11Retention.oracle)
 
+  /** A8, streaming-executed — session windows (30-min gap) as a streaming
+    * aggregation. `session_window` is the one windowed-state shape whose
+    * streaming implementation is NOT a batch re-run: session state must
+    * MERGE when a new event bridges two open sessions (the merging state
+    * store path), so streaming parity here checks real merge logic, not
+    * just window arithmetic (SessionStreamSpec drives the cross-batch
+    * merge explicitly). Complete output mode at test scale (same call as
+    * st_visitor_window_stream — emission without a watermark-advancing
+    * extra batch); a production deploy uses append + this watermark so
+    * closed sessions emit once and state is evicted. */
+  val stSessionWindow = OpQuery(
+    "st_session_window_stream",
+    "streaming session-window (30 min gap) agg, run via Structured Streaming",
+    (s, dir) => withStatePartitions(s, 8) {
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("ct"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+          col("ct"), col("val_sum"))
+      drain(agg, "st_sw_out", mode = "complete").orderBy("user_id", "stt")
+    },
+    AggOps.a8SessionWindow.oracle)
+
   val all: Seq[OpQuery] =
     Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
-      stDedupExact, stFunnel, stRetention)
+      stDedupExact, stFunnel, stRetention, stSessionWindow)
 }
