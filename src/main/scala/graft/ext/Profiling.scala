@@ -93,6 +93,36 @@ object Profiling {
     * expand adds one shuffle keyed by (col_name, v)); at 100 TB swap in
     * approx_count_distinct — same plan minus the expand — as
     * `x_approx_distinct` demonstrates. */
+  /** Join-key skew diagnostic: the top-k heavy-hitter keys with their row
+    * counts and ratio over the mean key load — the number that decides
+    * whether a join needs salting ([[graft.ops.SkewJoin]]) or AQE's skew
+    * split suffices. ratio ≈ 1 everywhere → uniform; a top key with
+    * ratio ≫ 10 is the single-hot-task shape.
+    *
+    * Scale shape: ONE corpus scan into a key-count aggregation (map-side
+    * partials; the frame is distinct-key-sized and staged once to feed
+    * both the global stats AND the top-k). Top-k is TakeOrdered — a
+    * bounded heap per partition merged on the driver, never a global
+    * sort — and rank comes from zipWithIndex over the already-k-row
+    * result, keeping the plan window-free. */
+  def keySkew(df: DataFrame, keyCol: String, kTop: Int = 20): DataFrame = {
+    val counts = stage(df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("ct")))
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("ct")).as("total"))
+    val top = counts.orderBy(col("ct").desc, col("key")).limit(kTop)
+    val ranked = df.sparkSession.createDataFrame(
+      top.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      org.apache.spark.sql.types.StructType(top.schema.fields :+
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType)))
+    ranked.crossJoin(broadcast(stats))
+      .withColumn("ratio", TextAnalysis.trunc4(col("ct") /
+        (col("total").cast("double") / col("n_keys").cast("double"))))
+      .select(col("rank"), col("key"), col("ct"), col("ratio"))
+  }
+
   def columnProfile(df: DataFrame,
       cols: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(cols.nonEmpty)

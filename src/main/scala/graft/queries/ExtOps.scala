@@ -2330,6 +2330,26 @@ object ExtOps {
                    CAST(score AS DOUBLE) AS score
             FROM r WHERE rank <= 5 ORDER BY word, rank"""))
 
+  /** The skew diagnostic paired with j7_skew_join: ratio = key load over
+    * mean key load on the same lineitem⋈supplier key. */
+  val xKeySkew = OpQuery(
+    "x_key_skew",
+    "top-20 heavy-hitter join keys with load ratio over the mean key",
+    (s, dir) =>
+      graft.ext.Profiling.keySkew(t(s, dir, "lineitem"), "l_suppkey",
+          kTop = 20)
+        .orderBy("rank"),
+    Some("""WITH c AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS ct
+                       FROM lineitem GROUP BY l_suppkey),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                          CAST(sum(ct) AS BIGINT) AS total FROM c),
+            r AS (SELECT key, ct, row_number() OVER (ORDER BY ct DESC, key)
+                    AS rank FROM c)
+            SELECT CAST(rank AS BIGINT) AS rank, key, ct,
+              CAST(floor(ct / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE))
+                         * 10000.0) / 10000.0 AS DOUBLE) AS ratio
+            FROM r CROSS JOIN st WHERE rank <= 20 ORDER BY rank"""))
+
   /** Deequ-style per-column quality profile of the orders fact table.
     * Doubles render through DECIMAL(18,2), timestamps through the shared
     * format — raw double→string casts differ across engines. */
@@ -2374,7 +2394,7 @@ object ExtOps {
     xAnnIvf, xAnnIvfKmeans, xAnnIvfPq,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xClonePairs, xTfidfTopk, xBm25Topk, xVocabProfile,
-    xDomainKl, xDqProfile,
+    xDomainKl, xDqProfile, xKeySkew,
     xApproxDistinct, xSampleStratified, xSampleKGroup, xSplitAssign,
     xSplitLeakageSafe,
     xDomainMix,
