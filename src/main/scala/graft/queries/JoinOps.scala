@@ -201,7 +201,33 @@ object JoinOps {
             GROUP BY s_suppkey, s_name
             ORDER BY s_suppkey"""))
 
+  /** J8 (beyond ref) — semi/anti join pair: existence filtering without
+    * materializing the match. left_semi/left_anti move ONLY the probe
+    * side's columns through the plan (the build side reduces to its key),
+    * and a match short-circuits — at 100 TB this is the shape for "keep
+    * documents seen in the allowlist" / "drop ids already ingested",
+    * where a plain join + distinct would explode matched rows first and
+    * dedup after. */
+  val j8SemiAnti = OpQuery(
+    "j8_semi_anti",
+    "semi/anti join: customers partitioned into active vs dormant",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      val active = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .withColumn("status", lit("active"))
+      val dormant = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .withColumn("status", lit("dormant"))
+      active.unionByName(dormant).orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, 'active' AS status FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            UNION ALL
+            SELECT c_custkey, c_name, 'dormant' AS status FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
   val all: Seq[OpQuery] =
     Seq(j1IntervalJoin, j2IntervalJoinAsym, j3DimEnrichment, j4ConfigRouting,
-      j6AsofJoin, j7SkewJoin)
+      j6AsofJoin, j7SkewJoin, j8SemiAnti)
 }
