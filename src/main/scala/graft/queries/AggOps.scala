@@ -420,9 +420,43 @@ object AggOps {
             GROUP BY n_name
             ORDER BY nation"""))
 
+  /** A16 (beyond ref) — trailing-range rolling window (7-day rolling
+    * event volume): RANGE BETWEEN over an integer day number, per type.
+    * The scale discipline is the two-level shape: the corpus-sized frame
+    * reduces to (type, day) FIRST, and the range window runs over that
+    * tiny daily frame — never a per-row window over raw events. All
+    * arithmetic is integer (day numbers, counts), so parity is exact. */
+  val a16RollingWindow = OpQuery(
+    "a16_rolling_window",
+    "7-day trailing rolling sum of daily event counts per type",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("ct"))
+      val w = Window.partitionBy("event_type").orderBy(col("dnum"))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("dnum",
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("ct_7d", sum(col("ct")).over(w))
+        .select(col("event_type"),
+          date_format(col("d"), "yyyy-MM-dd").as("dt"),
+          col("ct"), col("ct_7d"))
+        .orderBy("event_type", "dt")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS ct
+                 FROM events GROUP BY event_type, CAST(ts AS DATE))
+            SELECT event_type, strftime(d, '%Y-%m-%d') AS dt, ct,
+              CAST(sum(ct) OVER (PARTITION BY event_type ORDER BY d
+                RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS ct_7d
+            FROM daily ORDER BY event_type, dt"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
     a12SessionPaths, a13ConversionLag, a14GroupingSets, a15Pivot,
-    k5LatestVersion)
+    a16RollingWindow, k5LatestVersion)
 }
