@@ -454,9 +454,65 @@ object AggOps {
                 AS BIGINT) AS ct_7d
             FROM daily ORDER BY event_type, dt"""))
 
+  /** A17 (beyond ref) — last-touch marketing attribution: each purchase
+    * is credited to the user's most recent view/click within 24h, else
+    * 'direct', and revenue rolls up per (channel, day). Composes the
+    * as-of join ([[graft.ops.AsOfJoin]] — one keyed shuffle, join-free
+    * carry-forward plan) into a serving metric; the oracle composes
+    * DuckDB's NATIVE ASOF JOIN the same way, so parity cross-checks two
+    * independent as-of implementations inside a larger rollup. Touches
+    * are deduped per (user, ts) with a deterministic max-priority before
+    * the join — AsOfJoin's documented (key, rightTs) uniqueness
+    * precondition, and the same rule inlined in the oracle. */
+  val a17Attribution = OpQuery(
+    "a17_attribution",
+    "last-touch attribution: purchase revenue per channel and day (24h window)",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      // the as-of payload excludes the right ts column by contract, so
+      // the touch time rides along as an explicit payload copy
+      val mkt = e.filter(col("event_type").isin("view", "click"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_type")).as("src_type"))
+        .withColumnRenamed("ts", "vts")
+        .withColumn("touch_ts", col("vts"))
+      graft.ops.AsOfJoin.asOf(purch, mkt, Seq("user_id"), "ts", "vts")
+        .withColumn("channel",
+          when(col("src_type").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("touch_ts")) >
+              lit(86400000000L), "direct")
+            .otherwise(col("src_type")))
+        .groupBy(col("channel"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("ct"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .select(col("channel"), date_format(col("d"), "yyyy-MM-dd").as("dt"),
+          col("ct"), col("revenue"))
+        .orderBy("channel", "dt")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+            m AS (SELECT user_id, ts AS vts, max(event_type) AS src_type
+                  FROM events WHERE event_type IN ('view', 'click')
+                  GROUP BY user_id, ts),
+            a AS (SELECT p.event_id, p.user_id, p.ts, p.value, m.vts,
+                         m.src_type
+                  FROM p ASOF LEFT JOIN m
+                    ON p.user_id = m.user_id AND p.ts >= m.vts),
+            c AS (SELECT CASE WHEN src_type IS NULL
+                     OR epoch_us(ts) - epoch_us(vts) > 86400000000
+                     THEN 'direct' ELSE src_type END AS channel,
+                   CAST(ts AS DATE) AS d, value FROM a)
+            SELECT channel, strftime(d, '%Y-%m-%d') AS dt,
+                   CAST(count(*) AS BIGINT) AS ct,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS revenue
+            FROM c GROUP BY channel, d ORDER BY channel, dt"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
     a12SessionPaths, a13ConversionLag, a14GroupingSets, a15Pivot,
-    a16RollingWindow, k5LatestVersion)
+    a16RollingWindow, a17Attribution, k5LatestVersion)
 }
