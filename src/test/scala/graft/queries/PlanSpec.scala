@@ -245,4 +245,21 @@ class PlanSpec extends SparkTestBase {
     // partial + final pairs (SortAggregate here: min/max over strings)
     assert(p.split("(Sort|Hash)Aggregate").length - 1 >= 2, p)
   }
+
+  test("rolling window runs over the daily aggregate, keyed by type (A16)") {
+    val p = planOf("a16_rolling_window")
+    // the range window must be keyed (never partition-less) and sit
+    // above the daily aggregation, not the raw event scan
+    val windowDefs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowDefs.nonEmpty && windowDefs.forall(_.contains("event_type")), p)
+    assert(scanCount(p) == 1, p)
+    assert(p.split("HashAggregate").length - 1 >= 2, p) // daily agg partial+final
+  }
+
+  test("attribution stays join-free: as-of is union + keyed carry-forward (A17)") {
+    val p = planOf("a17_attribution")
+    assert(!p.contains("Join"), p) // no join operator of any kind
+    val windowDefs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowDefs.nonEmpty && windowDefs.forall(_.contains("user_id")), p)
+  }
 }
