@@ -640,4 +640,91 @@ object Similarity {
       .select(col("id").as(idCol), col("component"), col("cluster_size"),
         (col("id") === col("component")).as("is_kept"))
   }
+
+  // ---------- signed-random-projection (hyperplane) LSH ----------
+
+  /** Deterministic ±1 hyperplane matrix for SRP-LSH, generated row-major
+    * by a fixed 64-bit LCG (Knuth MMIX multipliers). Keeping the signs a
+    * pure function of (nBits, dim) means the Spark plan literals and the
+    * generated DuckDB oracle text share one source of truth — there is no
+    * cross-engine RNG to keep in sync. */
+  def srpSigns(nBits: Int, dim: Int): Array[Array[Int]] = {
+    var x = 0x2545F4914F6CDD1DL
+    Array.tabulate(nBits, dim) { (_, _) =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      if ((x >>> 63) == 1L) 1 else -1
+    }
+  }
+
+  /** SRP-LSH band keys (Charikar 2002, public method): each of nBits
+    * hyperplanes contributes sign(Σᵢ sᵢ·vᵢ) as one bit; bits pack into
+    * nBits/bandBits keys of bandBits bits each. Elements are fixed-pointed
+    * to floor(v·1e6) BIGINT before the signed sum, so every bit is a pure
+    * integer predicate (order-independent, engine-exact — the same
+    * discipline as [[labelCentroids]]). Map-only: one zip_with traversal
+    * per bit, no shuffle; the downstream banding join is the only
+    * exchange. Vectors must all have length `dim`.
+    * Output: (idCol, band, band_key) — nBits/bandBits rows per vector. */
+  def srpBandKeys(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, bandBits: Int): DataFrame = {
+    require(nBits % bandBits == 0, "nBits must be a multiple of bandBits")
+    val signs = srpSigns(nBits, dim)
+    val dots = (0 until nBits).map { j =>
+      aggregate(
+        zip_with(col(vecCol), typedLit(signs(j).toSeq),
+          (v, sg) => sg.cast("long") * floor(v.cast("double") * lit(1000000.0))),
+        lit(0L), (acc, term) => acc + term).as(s"dot$j")
+    }
+    val withDots = embeddings.select(col(idCol) +: dots: _*)
+    val nBands = nBits / bandBits
+    val keys = (0 until nBands).map { b =>
+      val k = (0 until bandBits).map { r =>
+        when(col(s"dot${b * bandBits + r}") >= 0, 1L).otherwise(0L) *
+          lit(1L << (bandBits - 1 - r))
+      }.reduce(_ + _)
+      struct(lit(b.toLong).as("band"), k.as("band_key"))
+    }
+    withDots.select(col(idCol), explode(array(keys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs from SRP band keys: vectors sharing ≥1 band key,
+    * with the shared-band count kept as a collision-strength signal.
+    * The self-join shuffles on (band, band_key) — candidate volume is
+    * Σ bucket² per band, never all-pairs. */
+  def srpCandidatePairs(bandKeys: DataFrame, idCol: String): DataFrame = {
+    val a = bandKeys.select(col(idCol).as("doc_a"), col("band"),
+      col("band_key"))
+    val b = bandKeys.select(col(idCol).as("doc_b"), col("band"),
+      col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Global (blocker-free) cosine near-dup detection via SRP-LSH: band
+    * collisions propose candidates, the native vec_cosine verifies each
+    * exactly. Unlike [[cosineNearDupPairs]] this needs NO pre-existing
+    * blocking column — the hyperplane buckets ARE the blocker, the
+    * standard recipe when the corpus carries no label/cluster structure.
+    * A bit agrees between two vectors with probability 1 − θ/π, so
+    * high-cosine pairs collide in some band far above background; at
+    * corpus scale, widen bandBits to shrink buckets (the knob trades
+    * recall for candidate volume). */
+  def srpNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, bandBits: Int, threshold: Double): DataFrame = {
+    graft.functions.VectorCosine.register(embeddings.sparkSession)
+    val keys = srpBandKeys(embeddings, idCol, vecCol, dim, nBits, bandBits)
+    val pairs = srpCandidatePairs(keys, idCol)
+    val v = embeddings.select(col(idCol).as("id"), col(vecCol).as("e"))
+    pairs
+      .join(v.select(col("id").as("doc_a"), col("e").as("qe")), Seq("doc_a"))
+      .join(v.select(col("id").as("doc_b"), col("e").as("ce")), Seq("doc_b"))
+      .withColumn("cosine",
+        floor(expr("vec_cosine(qe, ce)") * 1000000.0) / 1000000.0)
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cosine"),
+        col("n_shared_bands"))
+  }
 }

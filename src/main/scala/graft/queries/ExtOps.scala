@@ -679,6 +679,76 @@ object ExtOps {
     },
     None)
 
+  // ---------- signed-random-projection LSH ----------
+
+  /** Sign-matrix VALUES rows shared by the two SRP oracles — generated
+    * from the SAME [[Similarity.srpSigns]] matrix the Spark plan embeds as
+    * zip_with literals, so both engines read one source of truth. */
+  private val srpSignRows: String =
+    Similarity.srpSigns(16, 64).zipWithIndex
+      .map { case (row, j) => s"($j, [${row.mkString(",")}])" }
+      .mkString(", ")
+
+  /** Shared oracle prefix: fixed-point element frame → signed dots →
+    * 16 sign bits → 4 four-bit band keys (matches srpBandKeys(64,16,4)). */
+  private val srpCte =
+    s"""ve AS (SELECT vec_id, unnest(embedding) AS x,
+      |       unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      |q AS (SELECT vec_id, i,
+      |      CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) AS qx FROM ve),
+      |sgn AS (SELECT j, unnest(sl) AS sv,
+      |        unnest(generate_series(1, 64)) AS i
+      |        FROM (VALUES $srpSignRows) t(j, sl)),
+      |sdots AS (SELECT q.vec_id, sgn.j, sum(sgn.sv * q.qx) AS dot
+      |          FROM q JOIN sgn ON q.i = sgn.i GROUP BY 1, 2),
+      |bits AS (SELECT vec_id, j, CASE WHEN dot >= 0 THEN 1 ELSE 0 END AS bit
+      |         FROM sdots),
+      |bkey AS (SELECT vec_id, j // 4 AS band,
+      |         sum(bit << (3 - (j % 4))) AS band_key
+      |         FROM bits GROUP BY 1, 2)""".stripMargin
+
+  val xSrpSignature = OpQuery(
+    "x_srp_signature",
+    "SRP-LSH hyperplane band keys (16 sign bits → 4×4-bit bands) per vector",
+    (s, dir) =>
+      Similarity.srpBandKeys(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, nBits = 16, bandBits = 4)
+        .orderBy("vec_id", "band"),
+    Some(s"""WITH $srpCte
+            SELECT vec_id, CAST(band AS BIGINT) AS band,
+                   CAST(band_key AS BIGINT) AS band_key
+            FROM bkey ORDER BY vec_id, band"""))
+
+  val xSrpNeardup = OpQuery(
+    "x_srp_neardup",
+    "blocker-free cosine near-dup: SRP band collisions → exact verify ≥0.3",
+    (s, dir) =>
+      Similarity.srpNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64, nBits = 16, bandBits = 4, threshold = 0.3)
+        .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $srpCte,
+            cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                     count(*) AS n_shared_bands
+                     FROM bkey a JOIN bkey b ON a.band = b.band
+                       AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+                     GROUP BY 1, 2),
+            norms AS (SELECT vec_id AS id,
+                      sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) AS nrm
+                      FROM ve GROUP BY 1),
+            pdots AS (SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+                      sum(CAST(va.x AS DOUBLE)*CAST(vb.x AS DOUBLE)) AS dot
+                      FROM cand c JOIN ve va ON va.vec_id = c.doc_a
+                      JOIN ve vb ON vb.vec_id = c.doc_b AND va.i = vb.i
+                      GROUP BY 1, 2, 3),
+            scored AS (SELECT doc_a, doc_b, n_shared_bands,
+                       floor(dot/(sqrt(na.nrm)*sqrt(nb.nrm))*1000000.0)
+                         /1000000.0 AS cosine
+                       FROM pdots JOIN norms na ON na.id = doc_a
+                       JOIN norms nb ON nb.id = doc_b)
+            SELECT doc_a, doc_b, CAST(cosine AS DOUBLE) AS cosine,
+                   CAST(n_shared_bands AS BIGINT) AS n_shared_bands
+            FROM scored WHERE cosine >= 0.3 ORDER BY doc_a, doc_b"""))
+
   // ---------- text analysis ----------
 
   private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
@@ -2392,7 +2462,8 @@ object ExtOps {
     xAnnBruteforce, xAnnNative, xAnnSq8, xAnnFiltered, xAnnPq,
     xEmbedCentroids,
     xAnnIvf, xAnnIvfKmeans, xAnnIvfPq,
-    xCosineNeardup, xSemDedup, xSemDedupKmeans, xTextStats, xLangidNgram,
+    xCosineNeardup, xSemDedup, xSemDedupKmeans, xSrpSignature, xSrpNeardup,
+    xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xClonePairs, xTfidfTopk, xBm25Topk, xVocabProfile,
     xDomainKl, xDqProfile, xKeySkew,
     xApproxDistinct, xSampleStratified, xSampleKGroup, xSplitAssign,

@@ -843,6 +843,43 @@ class ExtSpec extends SparkTestBase {
       assert(d(i.toLong) == ((i.toLong, (i % 2).toLong, i < 2)), s"id $i: ${d(i.toLong)}")
   }
 
+  test("SRP-LSH: band keys are the exact sign predicates, dups collide everywhere") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // exact dup of 1
+      (3L, Array(-1.0f, 0.2f, -0.3f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val keys = Similarity.srpBandKeys(vecs, "vec_id", "embedding",
+      dim = 4, nBits = 8, bandBits = 4)
+    // driver-side recomputation from the SAME sign matrix the plan embeds
+    val signs = Similarity.srpSigns(8, 4)
+    def expect(v: Array[Float]): Seq[(Long, Long)] = {
+      val bits = signs.map { row =>
+        val dot = row.zip(v).map { case (s, x) =>
+          s.toLong * math.floor(x.toDouble * 1e6).toLong
+        }.sum
+        if (dot >= 0) 1L else 0L
+      }
+      (0 until 2).map(b =>
+        (b.toLong, (0 until 4).map(r => bits(b * 4 + r) << (3 - r)).sum))
+    }
+    val got = keys.as[(Long, Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    assert(got(1L) == expect(Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    assert(got(3L) == expect(Array(-1.0f, 0.2f, -0.3f, 0.5f)))
+    assert(got(1L) == got(2L)) // identical vectors → identical signature
+    val pairs = Similarity.srpCandidatePairs(keys, "vec_id")
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) == 2L) // dups share every band
+    // verified pairs are sound: every emitted cosine clears the threshold,
+    // and the exact-dup pair scores exactly 1.0
+    val nd = Similarity.srpNearDupPairs(vecs, "vec_id", "embedding",
+        dim = 4, nBits = 8, bandBits = 4, threshold = 0.9)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(nd.forall(_._3 >= 0.9))
+    assert(nd.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 1.0))
+  }
+
   test("frame sampling slices exact byte windows at stride offsets") {
     val assets = Multimodal.toAssets(
       Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "doc_id", "text")
