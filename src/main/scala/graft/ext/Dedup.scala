@@ -187,6 +187,47 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Containment near-dup pairs (Broder 1997's containment coefficient):
+    * |A∩B| / min(|A|,|B|) over shingle sets. Detects SUBSET duplicates —
+    * a document embedded verbatim inside a longer one — which symmetric
+    * Jaccard dilutes below any practical threshold (|A∩B|/|A∪B| shrinks
+    * as the host grows). Blocking is the df-capped inverted index (the
+    * same recipe as clone detection): a candidate pair must share at
+    * least one shingle with document frequency ≤ maxDf, so candidate
+    * volume is Σ df² over rare shingles — never all-pairs, and ubiquitous
+    * boilerplate shingles are dropped by the cap. One staged shingle scan
+    * feeds the index, the sizes, and both sides of the intersection join.
+    * Output: (doc_a, doc_b, containment), floor-truncated to 4 dp. */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      ngram: Int = 3, maxDf: Long = 10L,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleTokens(docs, textCol, idCol, ngram).staged
+    val rare = sh.join(
+      sh.groupBy("word").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select("word"),
+      Seq("word"))
+    val cand = rare.select(col("id").as("doc_a"), col("word"))
+      .join(rare.select(col("id").as("doc_b"), col("word")), Seq("word"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("id").as("doc_a"), col("word")), Seq("doc_a"))
+      .join(sh.select(col("id").as("doc_b"), col("word")),
+        Seq("doc_b", "word"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("containment",
+        floor(col("inter").cast("double") / least(col("na"), col("nb"))
+          * 10000.0) / 10000.0)
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** LSH-blocked, Jaccard-verified near-duplicate pairs — MinHash →
     * banding → exact verification, from ONE shingle scan: the 3-shingle
     * token frame is locally checkpointed and feeds both the signatures

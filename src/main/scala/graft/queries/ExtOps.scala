@@ -238,6 +238,35 @@ object ExtOps {
             WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0) / 10000.0 >= 0.5
             ORDER BY doc_a, doc_b"""))
 
+  val xContainment = OpQuery(
+    "x_containment_neardup",
+    "subset-dup containment |A∩B|/min(|A|,|B|) ≥0.5 over df-capped shingle blocks",
+    (s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+        ngram = 3, maxDf = 10L, threshold = 0.5)
+        .withColumn("containment", col("containment").cast("double"))
+        .orderBy("doc_a", "doc_b"),
+    Some("""WITH words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+            pos AS (SELECT doc_id, w,
+                    unnest(generate_series(1, greatest(len(w)-2, 1))) AS i FROM words),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') AS s FROM pos),
+            df AS (SELECT s, count(*) AS d FROM sh GROUP BY s),
+            rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE d <= 10),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT doc_a, doc_b, count(*) AS i FROM cand
+                      JOIN sh ta ON ta.doc_id = doc_a
+                      JOIN sh tb ON tb.doc_id = doc_b AND tb.s = ta.s
+                      GROUP BY doc_a, doc_b),
+            c AS (SELECT doc_a, doc_b,
+                  floor(CAST(i AS DOUBLE)/least(sa.n, sb.n)*10000.0)/10000.0
+                    AS containment
+                  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b)
+            SELECT doc_a, doc_b, CAST(containment AS DOUBLE) AS containment
+            FROM c WHERE containment >= 0.5 ORDER BY doc_a, doc_b"""))
+
   val xDedupPipeline = OpQuery(
     "x_dedup_pipeline",
     "END-TO-END dedup: MinHash → LSH → Jaccard verify → components → canonical keep",
@@ -2455,7 +2484,8 @@ object ExtOps {
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xMinhashEst,
     xNeardupJaccard,
-    xSimhash, xSimhashNeardup, xNeardupJaccard3, xDedupComponents,
+    xSimhash, xSimhashNeardup, xNeardupJaccard3, xContainment,
+    xDedupComponents,
     xDedupPipeline,
     xDedupIncremental, stDedupIncremental, xDedupKeepbest, xSubstringDedup,
     xSubstringCut,

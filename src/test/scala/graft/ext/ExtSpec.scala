@@ -843,6 +843,24 @@ class ExtSpec extends SparkTestBase {
       assert(d(i.toLong) == ((i.toLong, (i % 2).toLong, i < 2)), s"id $i: ${d(i.toLong)}")
   }
 
+  test("containment catches the subset-dup that symmetric Jaccard misses") {
+    val host = (1 to 40).map(i => s"w$i").mkString(" ")   // 40-word host
+    val sub = (1 to 12).map(i => s"w$i").mkString(" ")    // strict prefix subset
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val d = Seq((1L, host), (2L, sub), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d, "text", "doc_id",
+        ngram = 3, maxDf = 10L, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    // every 3-shingle of the subset appears in the host → containment 1.0
+    assert(cont == Seq((1L, 2L, 1.0)))
+    // the same pair scored by symmetric Jaccard: 10 shared / 38 union —
+    // diluted far below any dedup threshold
+    val jac = Dedup.jaccardOnPairs(d, "text", "doc_id",
+        Seq((1L, 2L)).toDF("doc_a", "doc_b"), threshold = 0.0, ngram = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.head._3 < 0.3)
+  }
+
   test("SRP-LSH: band keys are the exact sign predicates, dups collide everywhere") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
