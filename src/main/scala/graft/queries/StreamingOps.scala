@@ -316,7 +316,36 @@ object StreamingOps {
     },
     AggOps.a8SessionWindow.oracle)
 
+  /** A4, streaming-executed — the reference KeywordStatsApp is a
+    * streaming SQL app: a registered tokenizer UDTF explodes search text
+    * inside a windowed aggregation (RT/app/dws/KeywordStatsApp.java).
+    * Same plan here: the F9 split_words UDTF runs inside the micro-batch,
+    * per-word counts accumulate in the state store (complete mode), and
+    * the drained sink matches a4's batch oracle exactly. */
+  val stKeywordStream = OpQuery(
+    "st_keyword_stream",
+    "streaming tokenizer-UDTF explode + per-word running count (KeywordStatsApp)",
+    (s, dir) => withStatePartitions(s, 8) {
+      graft.functions.Tokenize.register(s)
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val docs = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val agg = docs
+        .select(expr("explode(split_words(text))").as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("ct"))
+        .select(col("word"), lit("search").as("source"), col("ct"))
+      drain(agg, "st_kw_out", mode = "complete").orderBy("word")
+    },
+    Some("""SELECT word, 'search' AS source, CAST(count(*) AS BIGINT) AS ct
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE length(word) > 0
+            GROUP BY word ORDER BY word"""))
+
   val all: Seq[OpQuery] =
     Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
-      stDedupExact, stFunnel, stRetention, stSessionWindow)
+      stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream)
 }
