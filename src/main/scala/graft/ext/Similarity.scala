@@ -727,4 +727,23 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"), col("cosine"),
         col("n_shared_bands"))
   }
+
+  /** SemDedup with SRP-LSH as the blocker: fully blocker-free semantic
+    * dedup. [[semanticDedup]] needs a pre-existing cluster column and the
+    * k-means variant's fixpoint defeats any SQL oracle — this composition
+    * needs neither: hyperplane band collisions propose, exact cosine
+    * verifies, connected components group, min-id keeps. Every stage is
+    * SQL-restatable, so the whole blocker-free pipeline is oracle-gated
+    * end to end. Output mirrors [[semanticDedup]]:
+    * (idCol, component, cluster_size, is_kept). */
+  def srpSemanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, bandBits: Int, threshold: Double): DataFrame = {
+    val edges = srpNearDupPairs(embeddings, idCol, vecCol, dim, nBits,
+      bandBits, threshold).select("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(embeddings, idCol, edges)
+    val sizes = comps.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, Seq("component"))
+      .select(col("id").as(idCol), col("component"), col("cluster_size"),
+        (col("id") === col("component")).as("is_kept"))
+  }
 }

@@ -778,6 +778,48 @@ object ExtOps {
                    CAST(n_shared_bands AS BIGINT) AS n_shared_bands
             FROM scored WHERE cosine >= 0.3 ORDER BY doc_a, doc_b"""))
 
+  val xSrpSemDedup = OpQuery(
+    "x_srp_semdedup",
+    "blocker-free SemDedup: SRP bands → verified edges → components → keep",
+    (s, dir) =>
+      Similarity.srpSemanticDedup(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64, nBits = 16, bandBits = 4, threshold = 0.3)
+        .withColumn("is_kept", col("is_kept").cast("long"))
+        .orderBy("vec_id"),
+    Some(s"""WITH RECURSIVE $srpCte,
+            cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                     FROM bkey a JOIN bkey b ON a.band = b.band
+                       AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+                     GROUP BY 1, 2),
+            norms AS (SELECT vec_id AS id,
+                      sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) AS nrm
+                      FROM ve GROUP BY 1),
+            pdots AS (SELECT c.doc_a, c.doc_b,
+                      sum(CAST(va.x AS DOUBLE)*CAST(vb.x AS DOUBLE)) AS dot
+                      FROM cand c JOIN ve va ON va.vec_id = c.doc_a
+                      JOIN ve vb ON vb.vec_id = c.doc_b AND va.i = vb.i
+                      GROUP BY 1, 2),
+            verified AS (SELECT doc_a, doc_b
+                         FROM pdots JOIN norms na ON na.id = doc_a
+                         JOIN norms nb ON nb.id = doc_b
+                         WHERE floor(dot/(sqrt(na.nrm)*sqrt(nb.nrm))
+                           *1000000.0)/1000000.0 >= 0.3),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+                      UNION SELECT doc_b, doc_a FROM verified),
+            reach(id, lab) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+            comp AS (SELECT id AS vec_id, min(lab) AS component
+                     FROM reach GROUP BY id),
+            cs AS (SELECT component, count(*) AS cluster_size
+                   FROM comp GROUP BY component)
+            SELECT comp.vec_id, CAST(comp.component AS BIGINT) AS component,
+                   CAST(cs.cluster_size AS BIGINT) AS cluster_size,
+                   CAST(comp.vec_id = comp.component AS BIGINT) AS is_kept
+            FROM comp JOIN cs USING (component)
+            ORDER BY vec_id"""))
+
   // ---------- text analysis ----------
 
   private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
@@ -2493,6 +2535,7 @@ object ExtOps {
     xEmbedCentroids,
     xAnnIvf, xAnnIvfKmeans, xAnnIvfPq,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xSrpSignature, xSrpNeardup,
+    xSrpSemDedup,
     xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xClonePairs, xTfidfTopk, xBm25Topk, xVocabProfile,
     xDomainKl, xDqProfile, xKeySkew,

@@ -896,6 +896,14 @@ class ExtSpec extends SparkTestBase {
       .as[(Long, Long, Double, Long)].collect()
     assert(nd.forall(_._3 >= 0.9))
     assert(nd.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 1.0))
+    // blocker-free SemDedup over the same fixture: the dup pair collapses
+    // to keeper 1, the far vector survives alone
+    val sd = Similarity.srpSemanticDedup(vecs, "vec_id", "embedding",
+        dim = 4, nBits = 8, bandBits = 4, threshold = 0.9)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(sd(1L) == ((1L, 1L, 2L, true)))
+    assert(sd(2L) == ((2L, 1L, 2L, false)))
+    assert(sd(3L) == ((3L, 3L, 1L, true)))
   }
 
   test("frame sampling slices exact byte windows at stride offsets") {
