@@ -227,7 +227,39 @@ object JoinOps {
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
             ORDER BY c_custkey"""))
 
+  /** J9 — pure range join (no equi key): per signup, platform-wide event
+    * count in the following hour. There is no shared key between the
+    * interval side and the point side, the shape Catalyst can only plan
+    * as a nested-loop — [[graft.ops.RangeJoin]] rewrites it to a binned
+    * equi-join (point → its bin, interval → covered bins, residual
+    * BETWEEN inside the bucket), the standard scalable treatment.
+    * PlanSpec asserts the nested-loop never appears. */
+  val j9RangeJoin = OpQuery(
+    "j9_range_join",
+    "pure range join via bin expansion: events within 1h after each signup",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val points = ev.select(col("event_id").as("ev_id"),
+        unix_micros(col("ts")).as("ev_us"))
+      val hourUs = 3600L * 1000000L
+      val intervals = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sig_id"),
+          unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + lit(hourUs)).as("hi"))
+      graft.ops.RangeJoin
+        .pointInInterval(points, "ev_us", intervals, "lo", "hi",
+          binWidth = hourUs)
+        .groupBy("sig_id").agg(count(lit(1)).as("n_events"))
+        .orderBy("sig_id")
+    },
+    Some("""SELECT s.event_id AS sig_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM events s JOIN events e
+              ON epoch_us(e.ts) >= epoch_us(s.ts)
+             AND epoch_us(e.ts) <= epoch_us(s.ts) + 3600000000
+            WHERE s.event_type = 'signup'
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[OpQuery] =
     Seq(j1IntervalJoin, j2IntervalJoinAsym, j3DimEnrichment, j4ConfigRouting,
-      j6AsofJoin, j7SkewJoin, j8SemiAnti)
+      j6AsofJoin, j7SkewJoin, j8SemiAnti, j9RangeJoin)
 }
