@@ -36,6 +36,27 @@ class OpsSpec extends SparkTestBase {
     assert(salted.filter(col("name") === "hot").count() == 50)
   }
 
+  test("binned range join ≡ naive range join; bounds inclusive; pairs meet once") {
+    val points = Seq((1L, 0L), (2L, 999L), (3L, 1000L), (4L, 1500L),
+      (5L, 2500L), (6L, 10000L)).toDF("pid", "v")
+    val intervals = Seq(
+      (10L, 0L, 1000L),     // aligned to bin edges, inclusive both ends
+      (11L, 900L, 2600L),   // spans 18 bins — multi-bin pair must meet once
+      (12L, 5L, 4L),        // hi < lo: matches nothing
+      (13L, 9999L, 10001L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi",
+        binWidth = 100L)
+      .select("iid", "pid").as[(Long, Long)].collect().toSeq.sorted
+    val naive = intervals.crossJoin(points)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("iid", "pid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == naive)
+    assert(got.size == got.distinct.size, "a pair met in more than one bin")
+    assert(got.contains((10L, 1L)) && got.contains((10L, 3L)))
+    assert(!got.exists(_._1 == 12L))
+    assert(got.contains((13L, 6L)))
+  }
+
   test("ProductStats shaping: 7-way one-hot union aggregates correctly (P8/P9/A2)") {
     def page(item: String, pageId: String, ts: Long, displays: String = "[]") =
       s"""{"common":{"mid":"m"},"page":{"page_id":"$pageId","item":"$item","item_type":"sku_id"},"displays":$displays,"ts":$ts}"""

@@ -220,6 +220,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pure range join plans as a binned equi-join, never a nested loop (J9)") {
+    val p = planOf("j9_range_join")
+    // without the bin rewrite, a keyless BETWEEN predicate can only plan
+    // as BroadcastNestedLoopJoin / cartesian — O(n·m) per partition
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("salted skew join replicates the dim via explode, no cartesian (J7)") {
     val p = planOf("j7_skew_join")
     // the dim side replicates through Generate(explode(...)) — the
