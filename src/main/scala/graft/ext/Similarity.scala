@@ -736,6 +736,45 @@ object Similarity {
     * SQL-restatable, so the whole blocker-free pipeline is oracle-gated
     * end to end. Output mirrors [[semanticDedup]]:
     * (idCol, component, cluster_size, is_kept). */
+  /** Frozen SRP index for incremental (streaming) embedding dedup:
+    * staged band keys + staged vectors of the already-accepted corpus,
+    * built once and reused across micro-batches (the embedding-side
+    * analog of [[Dedup.CorpusIndex]]). */
+  final case class SrpIndex(bandKeys: DataFrame, vecs: DataFrame,
+      dim: Int, nBits: Int, bandBits: Int, threshold: Double)
+
+  def buildSrpIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, bandBits: Int, threshold: Double): SrpIndex =
+    SrpIndex(
+      srpBandKeys(embeddings, idCol, vecCol, dim, nBits, bandBits)
+        .withColumnRenamed(idCol, "_idx_id").staged,
+      embeddings.select(col(idCol).as("_idx_id"), col(vecCol).as("_idx_e"))
+        .staged,
+      dim, nBits, bandBits, threshold)
+
+  /** Incremental embedding-dedup gate: drop batch rows with a verified
+    * cosine near-dup in the frozen index, pass novel rows through with
+    * every column intact. Per micro-batch the band keys are map-only and
+    * the only joins are bounded by band collisions against the index —
+    * the same work profile as one srpNearDupPairs round restricted to
+    * (batch × index). Rows are independent given a frozen index, so
+    * streamed micro-batches equal the one-shot batch run. */
+  def srpDedupAgainst(index: SrpIndex, batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    graft.functions.VectorCosine.register(batch.sparkSession)
+    val bk = srpBandKeys(batch, idCol, vecCol, index.dim, index.nBits,
+      index.bandBits)
+    val cand = bk.join(index.bandKeys, Seq("band", "band_key"))
+      .select(col(idCol), col("_idx_id")).distinct()
+    val v = batch.select(col(idCol), col(vecCol).as("_q_e"))
+    val matched = cand.join(v, Seq(idCol))
+      .join(index.vecs, Seq("_idx_id"))
+      .filter(floor(expr("vec_cosine(_q_e, _idx_e)") * 1000000.0)
+        / 1000000.0 >= index.threshold)
+      .select(col(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
   def srpSemanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, nBits: Int, bandBits: Int, threshold: Double): DataFrame = {
     val edges = srpNearDupPairs(embeddings, idCol, vecCol, dim, nBits,

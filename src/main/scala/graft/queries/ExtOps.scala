@@ -820,6 +820,63 @@ object ExtOps {
             FROM comp JOIN cs USING (component)
             ORDER BY vec_id"""))
 
+  /** Embedding-side incremental dedup, streaming-executed — the analog of
+    * st_dedup_incremental_stream for the vector modality: a frozen SRP
+    * index over the accepted corpus (even vec_ids), incoming vectors (odd
+    * vec_ids) gated per micro-batch through the checkpointed foreachBatch
+    * topology. Kept = no verified cosine ≥0.3 against any band-colliding
+    * index vector. */
+  val stSrpDedup = OpQuery(
+    "st_srp_dedup_stream",
+    "streaming embedding dedup gate against a frozen SRP index (foreachBatch)",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val emb = t(s, dir, "embeddings")
+      val index = Similarity.buildSrpIndex(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        dim = 64, nBits = 16, bandBits = 4, threshold = 0.3)
+      val scratch = graft.core.Scratch.tempDir("graft_srp_stream_")
+      val out = s"$scratch/out"; val ck = s"$scratch/ckpt"
+      val embSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val stream = s.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") % 2 === 1)
+      val q = graft.streaming.Runner.toBatchSink(stream, ck) { (batch, _) =>
+        Similarity.srpDedupAgainst(index, batch, "vec_id", "embedding")
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+          .write.mode("append").parquet(out)
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out).orderBy("vec_id")
+    },
+    Some(s"""WITH $srpCte,
+            candoe AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                       FROM bkey a JOIN bkey b ON a.band = b.band
+                         AND a.band_key = b.band_key
+                       WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+                       GROUP BY 1, 2),
+            norms AS (SELECT vec_id AS id,
+                      sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) AS nrm
+                      FROM ve GROUP BY 1),
+            pdots AS (SELECT c.doc_a, c.doc_b,
+                      sum(CAST(va.x AS DOUBLE)*CAST(vb.x AS DOUBLE)) AS dot
+                      FROM candoe c JOIN ve va ON va.vec_id = c.doc_a
+                      JOIN ve vb ON vb.vec_id = c.doc_b AND va.i = vb.i
+                      GROUP BY 1, 2),
+            matched AS (SELECT DISTINCT doc_a AS id
+                        FROM pdots JOIN norms na ON na.id = doc_a
+                        JOIN norms nb ON nb.id = doc_b
+                        WHERE floor(dot/(sqrt(na.nrm)*sqrt(nb.nrm))
+                          *1000000.0)/1000000.0 >= 0.3)
+            SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+            FROM embeddings e
+            WHERE e.vec_id % 2 = 1
+              AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.id = e.vec_id)
+            ORDER BY e.vec_id"""))
+
   // ---------- text analysis ----------
 
   private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
@@ -2535,7 +2592,7 @@ object ExtOps {
     xEmbedCentroids,
     xAnnIvf, xAnnIvfKmeans, xAnnIvfPq,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xSrpSignature, xSrpNeardup,
-    xSrpSemDedup,
+    xSrpSemDedup, stSrpDedup,
     xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xClonePairs, xTfidfTopk, xBm25Topk, xVocabProfile,
     xDomainKl, xDqProfile, xKeySkew,

@@ -88,4 +88,44 @@ class IncrementalDedupStreamSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/out").count() == 3)
     assert(finalFlags(12L) == ((0L, 0L, 1L)))
   }
+
+  // ---------- embedding-side gate (Similarity.srpDedupAgainst) ----------
+
+  private def runSrpStream(inDir: String, outDir: String, ck: String,
+      index: Similarity.SrpIndex): Unit = {
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(s"$inDir/*")
+    val q = Runner.toBatchSink(stream, ck) { (batch, _) =>
+      Similarity.srpDedupAgainst(index, batch, "vec_id", "embedding")
+        .write.mode("append").parquet(outDir)
+    }
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("SRP gate: dup-of-index dropped across batches, restart re-emits nothing") {
+    val dir = tmpDir()
+    val e0 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val far = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val index = Similarity.buildSrpIndex(
+      Seq((0L, e0)).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dim = 4, nBits = 8, bandBits = 4, threshold = 0.9)
+    Seq((1L, e0), (3L, far)).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/in/b0")
+    runSrpStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", index)
+    val kept = spark.read.parquet(s"$dir/out")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(3L)) // the index dup is gated, the novel vector kept
+
+    // restart with no new input: nothing re-emitted
+    runSrpStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", index)
+    assert(spark.read.parquet(s"$dir/out").count() == 1)
+
+    // a late batch with another index dup is gated exactly once
+    Seq((5L, Array(2.0f, 0.0f, 0.0f, 0.0f)), (7L, Array(0.0f, 0.0f, 3.0f, 0.0f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/in/b1")
+    runSrpStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", index)
+    val finalKept = spark.read.parquet(s"$dir/out")
+      .select("vec_id").as[Long].collect().toSet
+    assert(finalKept == Set(3L, 7L)) // 5 ∥ e0 (cosine 1.0) → gated
+  }
 }
