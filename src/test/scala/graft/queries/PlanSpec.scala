@@ -220,6 +220,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("SRP signatures are map-only: no hash exchange before the final sort") {
+    val p = planOf("x_srp_signature")
+    // 16 hyperplane dots + band packing are pure projections over the
+    // scan; the only exchange a signature pass may need is the oracle
+    // ORDER BY's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("containment and SRP near-dup never degenerate to cartesian plans") {
+    for (q <- Seq("x_containment_neardup", "x_srp_neardup")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q goes cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q nested-loops:\n$p")
+    }
+  }
+
   test("pure range join plans as a binned equi-join, never a nested loop (J9)") {
     val p = planOf("j9_range_join")
     // without the bin rewrite, a keyless BETWEEN predicate can only plan
