@@ -128,6 +128,9 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail fast with one drift-naming line if the driver regenerated the
+    // testdata with a changed schema (the round-7 failure mode)
+    graft.core.Tables.contractCheck(spark, sfDir)
     // warm up codegen/shuffle/parquet machinery so the first query isn't
     // billed for one-time JVM setup
     spark.range(1000000).selectExpr("sum(id) s")

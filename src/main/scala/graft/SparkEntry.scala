@@ -12,8 +12,12 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the ProvinceStats slice (SURVEY §7.2 step 2): source → join →
     * tumbling window agg → distinct count → serving projection. */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    // fail fast with one drift-naming line if the driver regenerated the
+    // testdata with a changed schema (the round-7 failure mode)
+    graft.core.Tables.contractCheck(spark, "/root/testdata/sf0.001")
     Registry.byName("a3_province_stats").run(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -18,6 +18,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail fast with one drift-naming line if the driver regenerated the
+    // testdata with a changed schema (the round-7 failure mode)
+    graft.core.Tables.contractCheck(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

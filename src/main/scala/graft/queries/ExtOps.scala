@@ -708,6 +708,211 @@ object ExtOps {
     },
     None)
 
+  // ---------- memorizing-fixture promotions (oracle-gated twins of the
+  // Lloyd's-fixpoint queries) ----------
+  //
+  // The trained k-means / PQ codebooks above are Lloyd's fixpoints — not
+  // SQL-restatable in general. But one configuration IS: when the fit set
+  // has no more distinct (sub)vectors than the codebook has cells, the
+  // deterministic smallest-id seeding makes the codebook MEMORIZE the fit
+  // set (with iters = 1 the seeds ARE the codebook, no convergence
+  // argument needed), quantization error is zero, and the approximate
+  // ranking collapses to the exact one — which the brute-force SQL oracle
+  // states directly. These entries run the REAL trained-quantizer code
+  // paths (kmeansAssign / pqModel / probeCells — nothing stubbed) in that
+  // configuration, so the driver hash-gates the machinery end to end;
+  // the full-scale approximate configurations above stay rows-only +
+  // spec-gated for recall.
+
+  /** Brute-force oracle CTEs restricted to corpus vec_id < maxId. */
+  private def dotsCteCapped(maxId: Int) =
+    s"""q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |qx AS (SELECT qid, unnest(qe) AS qv,
+       |       unnest(generate_series(1, len(qe))) AS i FROM q),
+       |cx AS (SELECT vec_id AS cid, unnest(embedding) AS cv,
+       |       unnest(generate_series(1, len(embedding))) AS i FROM embeddings
+       |       WHERE vec_id < $maxId),
+       |dots AS (SELECT qid, cid, sum(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE)) AS dot
+       |         FROM qx JOIN cx USING (i) GROUP BY qid, cid),
+       |norms AS (SELECT vec_id AS id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nrm
+       |          FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings
+       |                WHERE vec_id < $maxId)
+       |          GROUP BY vec_id)""".stripMargin
+
+  private def bruteforceCappedSql(maxId: Int, k: Int) =
+    s"""WITH ${dotsCteCapped(maxId)},
+       scored AS (SELECT qid, cid,
+           floor(dot / (sqrt(qn.nrm) * sqrt(cn.nrm)) * 1000000.0) / 1000000.0 AS cosine
+         FROM dots JOIN norms qn ON qn.id = qid
+         JOIN norms cn ON cn.id = cid WHERE cid <> qid),
+       ranked AS (SELECT *, row_number() OVER
+           (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank FROM scored)
+       SELECT qid, cid, CAST(cosine AS DOUBLE) AS cosine,
+              CAST(rank AS BIGINT) AS rank
+       FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+
+  /** k-means IVF in the memorizing configuration: k = |corpus| cells with
+    * smallest-id seeds ⇒ every vector is its own cell (argmax cosine to a
+    * seed set containing yourself is yourself), cell centroids are the
+    * vectors, and probing the nProbe most query-similar cells enumerates
+    * exactly the nProbe most query-similar vectors. With nProbe ≥ k+1 the
+    * candidates always contain the true top-k, so ivfTopK over the
+    * quantizer's own output equals brute force — the SQL oracle. Probe
+    * tie-break (cell-index asc = id asc) matches the brute-force rank
+    * tie-break (cid asc), so even floored-cosine ties agree. */
+  val xAnnKmeansExact = OpQuery(
+    "x_ann_kmeans_exact",
+    "kmeansAssign+ivfTopK in the memorizing config (k=|corpus|): equals brute-force top-5",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 24)
+      val cells = Similarity
+        .kmeansAssign(e, "vec_id", "embedding", k = 24, iters = 1)
+        .withColumnRenamed("id", "vec_id")
+      Similarity.ivfTopK(e.join(cells, Seq("vec_id")), "vec_id", "embedding",
+          "cluster", e.filter(col("vec_id") < 8), k = 5, nProbe = 6)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+    Some(bruteforceCappedSql(maxId = 24, k = 5)))
+
+  /** PQ-ADC in the memorizing configuration: ksub = |corpus| and iters = 1
+    * make the per-subspace codebook exactly the corpus subvectors (the
+    * smallest-id seeds), so every vector encodes to itself, the ADC LUT
+    * sum reproduces the exact dot product (blocked summation), and the
+    * ADC ranking equals brute force within the corpus. Exercises the real
+    * pqModel collect→literal→encode→LUT path the approximate x_ann_pq
+    * uses, now under the driver's hash gate. */
+  val xAnnPqExact = OpQuery(
+    "x_ann_pq_exact",
+    "pqTopK in the memorizing config (ksub=|corpus|): ADC equals brute-force top-5",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 16)
+      Similarity.pqTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), k = 5, m = 16, ksub = 16, iters = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+    Some(bruteforceCappedSql(maxId = 16, k = 5)))
+
+  /** IVF-PQ with label coarse cells + memorizing PQ codebook: probe
+    * selection is SQL-expressible (per-label mean centroids, cosine rank,
+    * top-2 cells — the x_ann_ivf oracle recipe) and the memorizing PQ
+    * scores survivors exactly, so the whole composition is hash-gated. */
+  val xAnnIvfPqExact = OpQuery(
+    "x_ann_ivfpq_exact",
+    "ivfPqTopK, label cells + memorizing PQ codebook: probe top-2 cells, exact ADC top-3",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 16)
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", "label",
+          e.filter(col("vec_id") < 8), k = 3, nProbe = 2,
+          m = 16, ksub = 16, iters = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH ${dotsCteCapped(16)},
+            cents AS (SELECT label AS cluster, i, avg(CAST(v AS DOUBLE)) AS cv
+              FROM (SELECT label, unnest(embedding) AS v,
+                    unnest(generate_series(1, len(embedding))) AS i
+                    FROM embeddings WHERE vec_id < 16)
+              GROUP BY label, i),
+            cnorm AS (SELECT cluster, sum(cv * cv) AS nrm FROM cents GROUP BY cluster),
+            cdots AS (SELECT qid, cluster, sum(CAST(qv AS DOUBLE) * cv) AS dot
+              FROM qx JOIN cents ON cents.i = qx.i GROUP BY qid, cluster),
+            cscore AS (SELECT qid, cdots.cluster AS cluster,
+                floor(dot / (sqrt(qn.nrm) * sqrt(cn.nrm)) * 1000000.0) / 1000000.0 AS cosine
+              FROM cdots JOIN norms qn ON qn.id = qid
+              JOIN cnorm cn ON cn.cluster = cdots.cluster),
+            probed AS (SELECT qid, cluster FROM
+              (SELECT *, row_number() OVER
+                 (PARTITION BY qid ORDER BY cosine DESC, cluster) AS r FROM cscore)
+              WHERE r <= 2),
+            scored AS (SELECT d.qid, d.cid,
+                floor(d.dot / (sqrt(qn.nrm) * sqrt(cn.nrm)) * 1000000.0) / 1000000.0 AS cosine
+              FROM dots d
+              JOIN embeddings e ON e.vec_id = d.cid
+              JOIN probed p ON p.qid = d.qid AND p.cluster = e.label
+              JOIN norms qn ON qn.id = d.qid
+              JOIN norms cn ON cn.id = d.cid
+              WHERE d.cid <> d.qid),
+            ranked AS (SELECT *, row_number() OVER
+                (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank FROM scored)
+            SELECT qid, cid, CAST(cosine AS DOUBLE) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  /** SemDedup over TRAINED quantizer cells, hash-gated: with iters = 1
+    * the k-means "fixpoint" is just the seed assignment — cluster(v) =
+    * argmax over the 8 smallest-id seed vectors of dot(v, seed)/|seed|,
+    * ties to the lower cell — which IS SQL-restatable. The oracle
+    * computes the assignment, then runs the x_semdedup recipe (cosine
+    * edges within cells → recursive-CTE components → min-id keep) on the
+    * computed cells instead of the synthetic label column. */
+  val xSemDedupKmeans1r = OpQuery(
+    "x_semdedup_kmeans_1round",
+    "SemDedup over 1-round k-means cells (seed-argmax assignment, SQL-restatable)",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cells = Similarity
+        .kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 1)
+        .withColumnRenamed("id", "vec_id")
+      Similarity.semanticDedup(e.join(cells, Seq("vec_id")),
+          "vec_id", "embedding", "cluster", threshold = 0.35)
+        .withColumn("is_kept", col("is_kept").cast("long"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE
+            sd AS (SELECT embedding AS se,
+                     row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+                   FROM embeddings ORDER BY vec_id LIMIT 8),
+            sx AS (SELECT cluster, unnest(se) AS sv,
+                   unnest(generate_series(1, len(se))) AS i FROM sd),
+            snorm AS (SELECT cluster,
+                sum(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) AS nrm
+              FROM sx GROUP BY cluster),
+            vx AS (SELECT vec_id, unnest(embedding) AS v,
+                   unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+            sdots AS (SELECT vec_id, sx.cluster AS cluster,
+                sum(CAST(v AS DOUBLE) * CAST(sv AS DOUBLE)) AS dot
+              FROM vx JOIN sx USING (i) GROUP BY vec_id, sx.cluster),
+            assign AS (SELECT vec_id, cluster FROM
+              (SELECT vec_id, sdots.cluster AS cluster, row_number() OVER
+                 (PARTITION BY vec_id
+                  ORDER BY dot / sqrt(snorm.nrm) DESC, sdots.cluster) AS r
+               FROM sdots JOIN snorm ON snorm.cluster = sdots.cluster)
+              WHERE r = 1),
+            norms AS (SELECT vec_id AS id,
+                sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nrm
+              FROM vx GROUP BY vec_id),
+            dots AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+              FROM (SELECT vx.*, assign.cluster FROM vx
+                    JOIN assign USING (vec_id)) a
+              JOIN (SELECT vx.*, assign.cluster FROM vx
+                    JOIN assign USING (vec_id)) b
+                ON a.cluster = b.cluster AND a.i = b.i
+                AND a.vec_id < b.vec_id
+              GROUP BY a.vec_id, b.vec_id),
+            verified AS (SELECT doc_a, doc_b
+              FROM dots JOIN norms na ON na.id = doc_a
+              JOIN norms nb ON nb.id = doc_b
+              WHERE floor(dot / (sqrt(na.nrm) * sqrt(nb.nrm)) * 1000000.0)
+                    / 1000000.0 >= 0.35),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+                      UNION SELECT doc_b, doc_a FROM verified),
+            reach(id, lab) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+            comp AS (SELECT id AS vec_id, min(lab) AS component
+                     FROM reach GROUP BY id),
+            cs AS (SELECT component, count(*) AS cluster_size
+                   FROM comp GROUP BY component)
+            SELECT comp.vec_id, CAST(comp.component AS BIGINT) AS component,
+                   CAST(cs.cluster_size AS BIGINT) AS cluster_size,
+                   CAST(comp.vec_id = comp.component AS BIGINT) AS is_kept
+            FROM comp JOIN cs USING (component)
+            ORDER BY vec_id"""))
+
   // ---------- signed-random-projection LSH ----------
 
   /** Sign-matrix VALUES rows shared by the two SRP oracles — generated
@@ -1455,6 +1660,34 @@ object ExtOps {
       graft.ext.Bpe.train(t(s, dir, "documents"), "text", merges = 10)
         .orderBy("step"),
     None)
+
+  /** Hash-gated twin of x_bpe_vocab: the 10-round train over the corpus
+    * has no SQL restatement (each round's argmax feeds the next round's
+    * rewrite), but the training LOOP itself is deterministic, so its merge
+    * table on a fixed input is a known constant. This entry runs the REAL
+    * Bpe.train code path on the worked example from the method's source
+    * paper (Sennrich et al. 2016 §3.2: {low ×5, lower ×2, newest ×6,
+    * widest ×3}, here without the end-of-word marker per the documented
+    * divergence) and the oracle states the resulting merge table as
+    * VALUES — derivable by hand: es(9) → est(9) → lo(7) → low(7), with
+    * the round-1 tie between (e,s) and (s,t) at weight 9 broken
+    * lexicographically toward (e,s), same rule both engines state. */
+  val xBpeVocabToy = OpQuery(
+    "x_bpe_vocab_toy",
+    "BPE 4-round train on the Sennrich worked example; merge table vs VALUES oracle",
+    (s, dir) => {
+      import s.implicits._
+      val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+      graft.ext.Bpe.train(corpus.toDF("text"), "text", merges = 4)
+        .orderBy("step")
+    },
+    Some("""SELECT CAST(step AS INTEGER) AS step, sym_a, sym_b, merged,
+                   CAST(weight AS BIGINT) AS weight
+            FROM (VALUES (1, 'e', 's', 'es', 9), (2, 'es', 't', 'est', 9),
+                         (3, 'l', 'o', 'lo', 7), (4, 'lo', 'w', 'low', 7))
+              AS m(step, sym_a, sym_b, merged, weight)
+            ORDER BY step"""))
 
   val xSampleStratified = OpQuery(
     "x_sample_stratified",
@@ -2591,6 +2824,7 @@ object ExtOps {
     xAnnBruteforce, xAnnNative, xAnnSq8, xAnnFiltered, xAnnPq,
     xEmbedCentroids,
     xAnnIvf, xAnnIvfKmeans, xAnnIvfPq,
+    xAnnKmeansExact, xAnnPqExact, xAnnIvfPqExact, xSemDedupKmeans1r,
     xCosineNeardup, xSemDedup, xSemDedupKmeans, xSrpSignature, xSrpNeardup,
     xSrpSemDedup, stSrpDedup,
     xTextStats, xLangidNgram,
@@ -2606,6 +2840,6 @@ object ExtOps {
     xPiiScrub, xRepetition, xDecontaminate, xDecontaminateBloom,
     stDecontaminate, xLmQuality, xLmBigram,
     xDsirWeights, xDsirSelect, xNbClassify, xCcnetBuckets,
-    xBpePairStats, xBpeVocab, xBpeEncode,
+    xBpePairStats, xBpeVocab, xBpeVocabToy, xBpeEncode,
     xCurationE2e, stCurationGate, xMultimodalFeatures)
 }

@@ -13,22 +13,25 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events.parquet carries TIMESTAMP(NANOS): the streaming source reads
-    * ts as long (nanosAsLong) and we truncate to micros, same as
-    * Tables.load. */
-  private val eventsNanoSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
+  /** The file streaming source needs an explicit schema, and the generator
+    * has shipped events.ts as TIMESTAMP(NANOS) (→ long via nanosAsLong) in
+    * some rounds and TIMESTAMP_NTZ(µs) in others. Probe the footer with a
+    * one-time driver-side batch read (cheap: metadata only) and build the
+    * stream schema + normalization to match — same adaptive contract as
+    * Tables.load/normalizeTs, so batch and streaming agree byte-for-byte. */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
     // the file streaming source requires a directory: stream the sf dir,
     // glob-filtered to the events table
-    s.readStream.schema(eventsNanoSchema)
+    s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.core.Tables.normalizeTs(tsType))
   }
 
   private def drain(out: DataFrame, name: String,
