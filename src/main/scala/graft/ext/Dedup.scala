@@ -202,27 +202,42 @@ object Dedup {
       ngram: Int = 3, maxDf: Long = 10L,
       threshold: Double = 0.5): DataFrame = {
     val sh = shingleTokens(docs, textCol, idCol, ngram).staged
-    val rare = sh.join(
-      sh.groupBy("word").agg(count(lit(1)).as("_df"))
-        .filter(col("_df") <= maxDf).select("word"),
+    // Partition the vocabulary by document frequency ONCE; both halves of
+    // the intersection count flow from it. Shingles are distinct per doc
+    // (shingleTokens), so |A ∩ B| = |shared rare| + |shared common|.
+    val dfreq = sh.groupBy("word").agg(count(lit(1)).as("_df")).staged
+    val rare = sh.join(dfreq.filter(col("_df") <= maxDf).select("word"),
       Seq("word"))
-    val cand = rare.select(col("id").as("doc_a"), col("word"))
+    val common = sh.join(dfreq.filter(col("_df") > maxDf).select("word"),
+      Seq("word"))
+    // Candidate generation IS the rare-intersection count: the same
+    // Σ df² co-occurrence rows that used to feed a distinct() now feed a
+    // groupBy count (one shuffle either way), so the expensive wide join
+    // below only has to count the COMMON shared shingles — about half the
+    // token rows at the default cap on the documents corpus, and exactly
+    // the half the candidate join has NOT already enumerated.
+    val rareCo = rare.select(col("id").as("doc_a"), col("word"))
       .join(rare.select(col("id").as("doc_b"), col("word"))
         .hint("shuffle_hash"), Seq("word"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("rare_inter"))
+      .staged
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    // shuffle_hash: the probe stream is |cand| × shingles-per-doc rows —
-    // hash-joining avoids sort-merge's O(n log n) sort of that stream
-    // (5-6x on this stage at sf0.1) while staying shuffle-partitioned
-    // (no broadcast of corpus-sized state, unlike a broadcast hint)
-    val inter = cand
-      .join(sh.select(col("id").as("doc_a"), col("word")).hint("shuffle_hash"),
-        Seq("doc_a"))
-      .join(sh.select(col("id").as("doc_b"), col("word")).hint("shuffle_hash"),
-        Seq("doc_b", "word"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
+    // shuffle_hash: the probe stream is |cand| × common-shingles-per-doc
+    // rows — hash-joining avoids sort-merge's O(n log n) sort of that
+    // stream (5-6x on this stage at sf0.1) while staying
+    // shuffle-partitioned (no broadcast of corpus-sized state, unlike a
+    // broadcast hint)
+    val commonInter = rareCo.select("doc_a", "doc_b")
+      .join(common.select(col("id").as("doc_a"), col("word"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(common.select(col("id").as("doc_b"), col("word"))
+        .hint("shuffle_hash"), Seq("doc_b", "word"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common_inter"))
+    rareCo
+      .join(commonInter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter",
+        col("rare_inter") + coalesce(col("common_inter"), lit(0L)))
       .join(sizes.select(col("id").as("doc_a"), col("n").as("na")),
         Seq("doc_a"))
       .join(sizes.select(col("id").as("doc_b"), col("n").as("nb")),
