@@ -125,4 +125,104 @@ object CepSpec extends Properties("cep.Matcher") {
       flushed.size + live.size == r.active.size &&
         live.forall(run => wm - run.startTs < W)
     }
+
+  // ---------- quantifiers: times(n) / times(min,max) / oneOrMore ----------
+
+  private type E2 = (Long, String)
+  private def fold(pat: Pattern[E2], evs: Seq[E2]) =
+    Matcher.foldAll(pat, evs.map(e => (e._1, e)))
+  private def names(ms: Seq[Vector[E2]]): Seq[Seq[String]] =
+    ms.map(_.map(_._2))
+
+  property("times(n) needs exactly n loop elements before the next stage") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a"))
+      .times(2).followedBy("b", _._2.startsWith("b")).within(100L)
+    // a1 a2 b1: only the 2-element loop [a1 a2 b1] completes; the NO_SKIP
+    // run starting at a2 holds one 'a' and times out (partial)
+    val (m, t) = fold(pat, Seq((1L, "a1"), (2L, "a2"), (3L, "b1")))
+    Prop(names(m) == Seq(Seq("a1", "a2", "b1")) &&
+      names(t) == Seq(Seq("a2"))).label(s"m=${names(m)} t=${names(t)}")
+  }
+
+  property("times(min,max) branches: every loop length in range completes") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a"))
+      .times(1, 2).followedBy("b", _._2.startsWith("b")).within(100L)
+    // a1 a2 b1 → [a1 b1] (min loop), [a1 a2 b1] (max loop), [a2 b1]
+    val (m, _) = fold(pat, Seq((1L, "a1"), (2L, "a2"), (3L, "b1")))
+    Prop(names(m).toSet == Set(Seq("a1", "b1"), Seq("a1", "a2", "b1"),
+      Seq("a2", "b1"))).label(s"m=${names(m)}")
+  }
+
+  property("oneOrMore as final stage emits every accumulation (Flink NO_SKIP)") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a")).oneOrMore
+      .within(100L)
+    // a1 a2: [a1], [a1 a2], [a2] — the documented combinatorial set
+    val (m, t) = fold(pat, Seq((1L, "a1"), (2L, "a2")))
+    Prop(names(m).toSet == Set(Seq("a1"), Seq("a1", "a2"), Seq("a2")) &&
+      t.isEmpty).label(s"m=${names(m)} t=${names(t)}")
+  }
+
+  property("oneOrMore internal contiguity is relaxed (gaps allowed)") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a")).oneOrMore
+      .followedBy("b", _._2.startsWith("b")).within(100L)
+    // a1 x a2 b1: the x gap does not kill the loop
+    val (m, _) = fold(pat,
+      Seq((1L, "a1"), (2L, "x"), (3L, "a2"), (4L, "b1")))
+    Prop(names(m).toSet == Set(Seq("a1", "b1"), Seq("a1", "a2", "b1"),
+      Seq("a2", "b1"))).label(s"m=${names(m)}")
+  }
+
+  property("strict next after a quantified stage requires adjacency") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a")).times(2)
+      .next("b", _._2.startsWith("b")).within(100L)
+    // adjacency holds: a a b completes; broken by x: a a x b does not
+    val (m1, _) = fold(pat, Seq((1L, "a1"), (2L, "a2"), (3L, "b1")))
+    val (m2, _) = fold(pat, Seq((1L, "a1"), (2L, "a2"), (3L, "x"), (4L, "b1")))
+    Prop(names(m1) == Seq(Seq("a1", "a2", "b1")) && m2.isEmpty)
+      .label(s"m1=${names(m1)} m2=${names(m2)}")
+  }
+
+  property("satisfied final-stage looper expires silently, not as timeout") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a")).oneOrMore
+      .within(10L)
+    // a1 emits [a1]; the still-open looper crosses +window at ts=20 and
+    // must NOT be re-reported as a timeout — it already matched
+    val (m, t) = fold(pat, Seq((1L, "a1"), (20L, "x")))
+    Prop(names(m) == Seq(Seq("a1")) && t.isEmpty)
+      .label(s"m=${names(m)} t=${names(t)}")
+  }
+
+  property("skipPastLast discards runs overlapping a completed match") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a"))
+      .followedBy("b", _._2.startsWith("b")).within(100L)
+    val evs = Seq((1L, "a1"), (2L, "a2"), (3L, "b1"), (4L, "b2"))
+    // NO_SKIP: a1 and a2 both match to b1 (first matching b), = 2 matches
+    val noSkip = Matcher.advance(pat, Nil, evs.map(e => (e._1, e)))
+    // SKIP_PAST_LAST_EVENT: the a1→b1 completion discards the a2 run, so
+    // b2 finds nothing open
+    val skip = Matcher.advance(pat, Nil, evs.map(e => (e._1, e)),
+      skipPastLast = true)
+    Prop(names(noSkip.matches).toSet ==
+        Set(Seq("a1", "b1"), Seq("a2", "b1")) &&
+      names(skip.matches) == Seq(Seq("a1", "b1")) && skip.active.isEmpty)
+      .label(s"noSkip=${names(noSkip.matches)} skip=${names(skip.matches)}")
+  }
+
+  property("skipPastLast on a+ b matches the Flink docs example") = {
+    // Flink AFTER_MATCH docs: pattern a+ b over a1 a2 a3 b — NO_SKIP
+    // emits the a1-, a2- and a3-rooted matches (plus shorter-loop
+    // branches); SKIP_PAST_LAST_EVENT emits ONLY the first (longest,
+    // oldest-rooted) one
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a")).oneOrMore
+      .followedBy("b", _._2.startsWith("b")).within(100L)
+    val evs = Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (4L, "b1"))
+    val noSkip = Matcher.advance(pat, Nil, evs.map(e => (e._1, e)))
+    val skip = Matcher.advance(pat, Nil, evs.map(e => (e._1, e)),
+      skipPastLast = true)
+    Prop(names(noSkip.matches).toSet.contains(Seq("a1", "a2", "a3", "b1")) &&
+      names(noSkip.matches).toSet.contains(Seq("a2", "a3", "b1")) &&
+      names(noSkip.matches).toSet.contains(Seq("a3", "b1")) &&
+      names(skip.matches) == Seq(Seq("a1", "a2", "a3", "b1")))
+      .label(s"noSkip=${names(noSkip.matches)} skip=${names(skip.matches)}")
+  }
 }

@@ -45,4 +45,56 @@ class SessionStreamSpec extends SparkTestBase {
         (1L, "10:00:00", "11:10:00", 3L)))
     } finally q.stop()
   }
+
+  test("append mode emits each closed session exactly once across batches") {
+    // The production path claimed in StreamingOps.stSessionWindow's
+    // scaladoc: append output + watermark ⇒ a session row is emitted ONCE,
+    // in the first batch whose watermark has passed the session's end, and
+    // never again (state evicted). Driven across 4 micro-batches; the
+    // sink rows are compared as a LIST so a duplicate emission fails even
+    // when it collapses in a Set.
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val agg = input.toDF().toDF("user_id", "t")
+      .withColumn("ts", to_timestamp(col("t"), "yyyy-MM-dd HH:mm:ss"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("ct"))
+    val q = agg.writeStream.format("memory").queryName("sess_append_out")
+      .outputMode("append").start()
+    def emitted(): Seq[(Long, String, String, Long)] =
+      spark.table("sess_append_out")
+        .select(col("user_id"), date_format(col("w.start"), "HH:mm:ss"),
+          date_format(col("w.end"), "HH:mm:ss"), col("ct"))
+        .as[(Long, String, String, Long)].collect().toSeq.sorted
+    try {
+      // b1: one open session [10:00, 10:35); watermark still at epoch
+      input.addData((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      assert(emitted() == Seq.empty, "open session must not emit in append")
+      // b2: a far-future event advances the watermark to 11:50
+      // (12:00 − 10 min); processAllAvailable also runs the follow-up
+      // no-data batch under the new watermark, so the first session
+      // closes and emits exactly once inside this drain. The 12:00
+      // session stays open.
+      input.addData((1L, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      assert(emitted() == Seq((1L, "10:00:00", "10:35:00", 2L)))
+      // b3: watermark 12:50 closes [12:00, 12:30); the already-emitted
+      // session must NOT re-emit (list compare catches a duplicate)
+      input.addData((1L, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      assert(emitted() == Seq(
+        (1L, "10:00:00", "10:35:00", 2L),
+        (1L, "12:00:00", "12:30:00", 1L)))
+      // b4: one more batch with no closable state — nothing new, nothing
+      // re-emitted
+      input.addData((1L, "2024-01-01 14:00:00"))
+      q.processAllAvailable()
+      assert(emitted() == Seq(
+        (1L, "10:00:00", "10:35:00", 2L),
+        (1L, "12:00:00", "12:30:00", 1L),
+        (1L, "13:00:00", "13:30:00", 1L)))
+    } finally q.stop()
+  }
 }
