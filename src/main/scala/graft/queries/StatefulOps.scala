@@ -151,6 +151,54 @@ object StatefulOps {
               AND (next_us IS NULL OR next_us - us >= 10000000)
             ORDER BY event_id"""))
 
+  case class ViewEv(event_id: Long, user_id: Long, us: Long, t: String)
+
+  /** C3 — the QUANTIFIED pattern surface (`times(n)`), hash-gated on real
+    * data: per user, three 'view' events inside a 48 h window — the
+    * re-engagement-burst shape a flink-cep user writes as
+    * `begin(view).times(3).within(48h)`. With NO_SKIP every view starts a
+    * run and the times-loop (relaxed internal contiguity, Flink default)
+    * takes each subsequent view, so matches are exactly the sliding
+    * triples of the per-user view subsequence whose span is strictly
+    * inside the window (at exactly +window the timeout fires first) —
+    * which the oracle states with two lead() hops. Same one-shuffle
+    * flatMapSortedGroups shape as c2. */
+  val c3CepTimes = OpQuery(
+    "c3_cep_times",
+    "3 views within 48h per user via the quantified CEP pattern (times(3))",
+    (s, dir) => {
+      import s.implicits._
+      import graft.cep.{Matcher, Pattern}
+      val win = 48L * 3600L * 1000000L // µs
+      val pat = Pattern.begin[ViewEv]("view", _ => true).times(3).within(win)
+      val evs = t(s, dir, "events")
+        .filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"))
+        .as[ViewEv]
+      evs.groupByKey(_.user_id)
+        .flatMapSortedGroups($"us", $"event_id") { (_: Long, it: Iterator[ViewEv]) =>
+          val (matches, _) = Matcher.foldAll(pat, it.map(e => (e.us, e)))
+          matches.map(m => (m.head.user_id, m.head.event_id,
+            m.last.event_id, m.head.t, m.last.t))
+        }
+        .toDF("user_id", "first_id", "last_id", "t_first", "t_last")
+        .orderBy("user_id", "first_id")
+    },
+    Some("""WITH v AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+              lead(event_id, 2) OVER w AS id3,
+              lead(epoch_us(ts), 2) OVER w AS us3,
+              lead(ts, 2) OVER w AS ts3
+              FROM events WHERE event_type = 'view'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, event_id AS first_id, id3 AS last_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS t_first,
+                   strftime(ts3, '%Y-%m-%d %H:%M:%S') AS t_last
+            FROM v
+            WHERE us3 IS NOT NULL AND us3 - us < 172800000000
+            ORDER BY user_id, first_id"""))
+
   val all: Seq[OpQuery] =
-    Seq(a5UvDedup, a6IsNewRepair, c1BounceDetect, c2CepGeneric)
+    Seq(a5UvDedup, a6IsNewRepair, c1BounceDetect, c2CepGeneric, c3CepTimes)
 }
