@@ -348,7 +348,54 @@ object StreamingOps {
             WHERE length(word) > 0
             GROUP BY word ORDER BY word"""))
 
+  case class CepVEv(event_id: Long, user_id: Long, us: Long, t: String)
+  /** Encoder-able wrapper: the open CEP runs carried across micro-batches
+    * (Run is a product of longs/ints/bools + a Vector of the event bean,
+    * so the state round-trips through the product encoder — the same
+    * state a RocksDB-backed store holds in production). */
+  case class CepState(runs: Seq[graft.cep.Run[CepVEv]])
+
+  /** C3, streaming-executed — the QUANTIFIED pattern (times(3), 48 h
+    * window) running inside flatMapGroupsWithState keyed state: each
+    * micro-batch folds its (sorted) events over the runs carried in
+    * state via the same [[graft.cep.Matcher]] the batch query uses, so
+    * partial matches survive batch boundaries (CepSpec proves the fold
+    * is split-associative — micro-batch boundaries move freely). Only
+    * matches emit (c3 reports no timeout branch), so no watermark flush
+    * is needed; expiry happens inside advance as later events arrive.
+    * Shares c3_cep_times' lead()-window oracle. */
+  val stCepTimes = OpQuery(
+    "st_cep_times_stream",
+    "streaming CEP times(3) burst detection via keyed state (c3's oracle)",
+    (s, dir) => withStatePartitions(s, 8) {
+      import s.implicits._
+      import graft.cep.{Matcher, Pattern}
+      val win = 48L * 3600L * 1000000L // µs
+      val pat = Pattern.begin[CepVEv]("view", _ => true).times(3).within(win)
+      val typed = eventStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"))
+        .as[CepVEv]
+      def step(user: Long, rows: Iterator[CepVEv],
+          state: GroupState[CepState]): Iterator[(Long, Long, Long, String, String)] = {
+        val active0 = state.getOption.map(_.runs.toList).getOrElse(Nil)
+        val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+        val res = Matcher.advance(pat, active0, sorted.iterator.map(e => (e.us, e)))
+        state.update(CepState(res.active))
+        res.matches.iterator.map(m => (m.head.user_id, m.head.event_id,
+          m.last.event_id, m.head.t, m.last.t))
+      }
+      val out = typed.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+        .toDF("user_id", "first_id", "last_id", "t_first", "t_last")
+      drain(out, "st_cep_out").orderBy("user_id", "first_id")
+    },
+    StatefulOps.c3CepTimes.oracle)
+
   val all: Seq[OpQuery] =
     Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
-      stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream)
+      stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream,
+      stCepTimes)
 }
