@@ -235,7 +235,9 @@ object Dedup {
         .hint("shuffle_hash"), Seq("doc_b", "word"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common_inter"))
     rareCo
-      .join(commonInter, Seq("doc_a", "doc_b"), "left")
+      // both count frames leave their groupBys partitioned by the pair
+      // key; hash-joining them skips sort-merge's per-partition sorts
+      .join(commonInter.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
       .withColumn("inter",
         col("rare_inter") + coalesce(col("common_inter"), lit(0L)))
       .join(sizes.select(col("id").as("doc_a"), col("n").as("na")),

@@ -287,4 +287,35 @@ class PlanSpec extends SparkTestBase {
     val windowDefs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(windowDefs.nonEmpty && windowDefs.forall(_.contains("user_id")), p)
   }
+
+  test("CEP times pushes the view filter into the scan; one keyed shuffle (C3)") {
+    val p = planOf("c3_cep_times")
+    // the pattern only reads views: the predicate must prune AT THE SCAN
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo(event_type,view)"), p)
+    // exactly the groupByKey(user) exchange + the deterministic output
+    // sort — a third exchange would mean the per-user fold re-shuffles
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("memorizing ANN twins keep the vec_id cap at the scan, no cartesian") {
+    for (q <- Seq("x_ann_kmeans_exact", "x_ann_pq_exact", "x_ann_ivfpq_exact")) {
+      val p = planOf(q)
+      // the corpus restriction is the whole point of the fixture — it
+      // must prune at the parquet scan, not post-filter scored rows
+      assert(p.contains("PushedFilters"), s"$q:\n$p")
+      assert(p.contains("LessThan(vec_id,"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q goes cartesian:\n$p")
+    }
+  }
+
+  test("containment counts rare intersections in the candidate aggregate") {
+    // the rare/common split: the wide verify join must NOT rejoin the
+    // full shingle frame — both co-occurrence joins are shuffle-hash
+    // (bounded build sides), and no sort-merge sneaks back in
+    val p = planOf("x_containment_neardup")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
