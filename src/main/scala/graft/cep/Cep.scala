@@ -16,8 +16,8 @@ package graft.cep
   *     events are skipped; the FIRST matching event advances the match);
   *   - quantifiers on the last appended stage — `.times(n)`,
   *     `.times(min, max)`, `.oneOrMore` — with Flink's DEFAULT internal
-  *     contiguity (relaxed between loop elements; `consecutive()` is not
-  *     implemented). Entry contiguity stays whatever next/followedBy set.
+  *     contiguity (relaxed between loop elements), or strict via
+  *     `.consecutive`. Entry contiguity stays whatever next/followedBy set.
   *     Like Flink's NFA, a looping stage BRANCHES: on each event a run
   *     may extend the loop AND/OR hand the event to the following stage,
   *     so `a.oneOrMore` over a₁a₂ emits [a₁], [a₁a₂], [a₂] (NO_SKIP);
@@ -50,7 +50,8 @@ package graft.cep
   * can hold `Run`s in a flatMapGroupsWithState the same way Bounce does.
   */
 final case class Stage[E](name: String, pred: E => Boolean,
-    strict: Boolean, minTimes: Int = 1, maxTimes: Int = 1)
+    strict: Boolean, minTimes: Int = 1, maxTimes: Int = 1,
+    loopStrict: Boolean = false)
     extends Serializable {
   require(minTimes >= 1, "minTimes must be ≥ 1 (optional stages not supported)")
   require(maxTimes >= minTimes, "maxTimes must be ≥ minTimes")
@@ -95,6 +96,13 @@ final case class Pattern[E](stages: Vector[Stage[E]], window: Long)
   /** Quantify the LAST appended stage to one-or-more occurrences
     * (Flink `oneOrMore`; unbounded, internal contiguity relaxed). */
   def oneOrMore: Pattern[E] = times(1, Int.MaxValue)
+
+  /** Make the LAST stage's loop STRICT internally (Flink `consecutive()`):
+    * loop elements must be adjacent — any intervening event breaks the
+    * loop (the run may still advance to a relaxed next stage if its
+    * count already satisfies the quantifier, but never grows again). */
+  def consecutive: Pattern[E] =
+    copy(stages = stages.init :+ stages.last.copy(loopStrict = true))
 
   /** Set the within-window (same unit as the event timestamps fed to the
     * matcher — ms or µs, the algebra only subtracts). */
@@ -163,8 +171,11 @@ object Matcher {
         // branch A: extend the current stage's loop; if the loop was
         // already satisfied, ALSO spawn the "stop" branch that declines
         // this event and waits for a (relaxed) next stage — the NFA
-        // split that makes every loop length in [min, max] reachable
-        if (!r.closed && st.canLoop(r.count) && st.pred(e)) {
+        // split that makes every loop length in [min, max] reachable.
+        // A `consecutive()` loop additionally requires adjacency: only a
+        // run that consumed the PREVIOUS event may extend.
+        if (!r.closed && st.canLoop(r.count) && st.pred(e) &&
+            (!st.loopStrict || r.count == 0 || r.contiguous)) {
           consumed = true
           val m = r.matched :+ e
           val c2 = r.count + 1
@@ -201,7 +212,10 @@ object Matcher {
           // (runs always hold ≥ 1 element of their stage — entry into
           // stage L+1 is branch B's job, gated by `contiguous` when
           // strict, so only loop/advance survivability matters here)
-          val canLoopLater = !r.closed && st.canLoop(r.count)
+          // a consecutive() loop is broken for good by this gap — the run
+          // survives only if it can still reach a relaxed next stage
+          val canLoopLater = !r.closed && st.canLoop(r.count) &&
+            !(st.loopStrict && r.count > 0)
           val canAdvanceLater = r.awaiting < last &&
             r.count >= st.minTimes && !pat.stages(r.awaiting + 1).strict
           if (canLoopLater || canAdvanceLater)

@@ -208,6 +208,34 @@ object CepSpec extends Properties("cep.Matcher") {
       .label(s"noSkip=${names(noSkip.matches)} skip=${names(skip.matches)}")
   }
 
+  property("consecutive() breaks the loop at a gap; relaxed default does not") = {
+    val mk = (consec: Boolean) => {
+      val base = Pattern.begin[E2]("a", _._2.startsWith("a")).oneOrMore
+      (if (consec) base.consecutive else base)
+        .followedBy("b", _._2.startsWith("b")).within(100L)
+    }
+    // a1 a2 x a3 b1: default relaxed bridges the x gap (a1 a2 a3 spans);
+    // consecutive() stops every loop at x — a1a2 and a3 stay separate,
+    // but min-satisfied runs still advance to the relaxed b
+    val evs = Seq((1L, "a1"), (2L, "a2"), (3L, "x"), (4L, "a3"), (5L, "b1"))
+    val (mRel, _) = fold(mk(false), evs)
+    val (mCon, _) = fold(mk(true), evs)
+    Prop(names(mRel).toSet.contains(Seq("a1", "a2", "a3", "b1")) &&
+      names(mCon).toSet == Set(Seq("a1", "b1"), Seq("a1", "a2", "b1"),
+        Seq("a2", "b1"), Seq("a3", "b1")))
+      .label(s"rel=${names(mRel)} con=${names(mCon)}")
+  }
+
+  property("consecutive times(2) needs adjacent loop elements") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a"))
+      .times(2).consecutive.followedBy("b", _._2.startsWith("b")).within(100L)
+    // a1 x a2 a3 b1: a1's loop is broken by x (and never reaches min=2);
+    // only the adjacent a2 a3 pair completes
+    val evs = Seq((1L, "a1"), (2L, "x"), (3L, "a2"), (4L, "a3"), (5L, "b1"))
+    val (m, _) = fold(pat, evs)
+    Prop(names(m) == Seq(Seq("a2", "a3", "b1"))).label(s"m=${names(m)}")
+  }
+
   property("skipPastLast on a+ b matches the Flink docs example") = {
     // Flink AFTER_MATCH docs: pattern a+ b over a1 a2 a3 b — NO_SKIP
     // emits the a1-, a2- and a3-rooted matches (plus shorter-loop
