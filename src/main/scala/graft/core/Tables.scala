@@ -43,6 +43,13 @@ object Tables {
     // Keep nanosAsLong on so legacy TIMESTAMP(NANOS) data loads as long
     // instead of erroring; µs-era data is unaffected by the flag.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ branch of normalizeTs (cast NTZ → TIMESTAMP) interprets the
+    // naive value in the SESSION time zone — value-preserving only under
+    // UTC. Bench/Verify/tests pin UTC at session build, but entry() runs
+    // on a driver-supplied session that may not; pin it here so a
+    // non-UTC caller cannot silently shift every events.ts by its zone
+    // offset (this loader is the one place all events reads go through).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", normalizeTs(df.schema("ts").dataType))

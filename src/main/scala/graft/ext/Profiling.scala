@@ -92,7 +92,7 @@ object Profiling {
     * state per (task, column). Distinct is exact (count-distinct's
     * expand adds one shuffle keyed by (col_name, v)); at 100 TB swap in
     * approx_count_distinct — same plan minus the expand — as
-    * `x_approx_distinct` demonstrates. */
+    * `x_approx_distinct_bounds` demonstrates. */
   /** Join-key skew diagnostic: the top-k heavy-hitter keys with their row
     * counts and ratio over the mean key load — the number that decides
     * whether a join needs salting ([[graft.ops.SkewJoin]]) or AQE's skew

@@ -76,7 +76,7 @@ class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
   * RT/app/dws/ProductStatsApp.java:203-242): within a 10s window a key's
   * distinct cardinality is business-bounded, and if that assumption ever
   * breaks we want an error, not an OOM'd executor. For genuinely unbounded
-  * cardinality use approx_count_distinct (HLL++) — see x_approx_distinct.
+  * cardinality use approx_count_distinct (HLL++) — see x_approx_distinct_bounds.
   */
 class BoundedDistinctAgg(cap: Int) extends Aggregator[String, Set[String], Int] {
   require(cap > 0, s"cap must be positive, got $cap")

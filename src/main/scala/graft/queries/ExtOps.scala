@@ -1184,21 +1184,35 @@ object ExtOps {
             GROUP BY 1, 2 HAVING count(*) >= 5
             ORDER BY doc_a, doc_b"""))
 
-  /** The 100 TB scale path for distinct counts: HLL++ sketches. No oracle —
-    * approximation algorithms differ across engines by design, so the
-    * driver records the weaker rows-only check; the EXACT twin (a2/a3)
-    * carries the correctness gate. rsd=5% default. */
+  /** The 100 TB scale path for distinct counts: HLL++ sketches. Sketch
+    * values can never hash-match an oracle (approximation internals
+    * differ across engines by construction), so the gate is the published
+    * ERROR BOUND instead: per group, emit the exact count plus a boolean
+    * asserting |approx − exact| ≤ 3·rsd·exact (three standard deviations
+    * at rsd = 5%, floored at 1 for tiny groups where HLL++ is exact by
+    * its dense-mode switch). The oracle emits literal TRUE — so the hash
+    * comparison FAILS unless every Spark-side sketch honors its bound,
+    * which is a real gate on the approximation, not a vacuous row count. */
   val xApproxDistinct = OpQuery(
-    "x_approx_distinct",
-    "approx_count_distinct (HLL++) per event_type - the at-scale distinct path",
+    "x_approx_distinct_bounds",
+    "approx_count_distinct (HLL++) per event_type, gated on its 3-sigma error bound",
     (s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(
+          col("event_type"),
+          col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(lit(1L), ceil(col("exact_users") * 3 * 0.05)))
+            .as("within_bounds"))
         .orderBy("event_type"),
-    None)
+    Some("""SELECT event_type,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        TRUE AS within_bounds
+        FROM events GROUP BY 1 ORDER BY 1"""))
 
   private val triProfile = TextAnalysis.EnTrigrams.map(t => s"'$t'").mkString(", ")
 

@@ -199,6 +199,117 @@ object StatefulOps {
             WHERE us3 IS NOT NULL AND us3 - us < 172800000000
             ORDER BY user_id, first_id"""))
 
+  case class TypedEv(event_id: Long, user_id: Long, us: Long,
+      event_type: String, t: String)
+
+  /** C4 — the NEGATION pattern surface (`notFollowedBy` trailing a
+    * positive stage), hash-gated on real data: per user, a click with NO
+    * purchase in the 15 minutes after it — the abandonment shape a
+    * flink-cep user writes as
+    * `begin(click).notFollowedBy(purchase).within(15m)`. The run arms at
+    * the click and emits as a MATCH when the window closes (or at batch
+    * flush — "the purchase never arrives" IS the negation holding); a
+    * purchase strictly inside the window kills it. Boundary pins the
+    * within() convention: at exactly +15m the window resolves FIRST, so
+    * a purchase landing right on the boundary is too late and the click
+    * still matches — which the oracle states as `p.us - c.us < 15m`
+    * (strict). Within-timestamp ties follow the fold's (us, event_id)
+    * sort: a same-microsecond purchase with a larger event_id is
+    * "after" the click. Same one-shuffle flatMapSortedGroups shape as
+    * c2 — state bounded by the clicks open inside one window. */
+  val c4CepNegation = OpQuery(
+    "c4_cep_negation",
+    "clicks NOT followed by a purchase within 15min (CEP trailing negation)",
+    (s, dir) => {
+      import s.implicits._
+      import graft.cep.{Matcher, Pattern}
+      val win = 15L * 60L * 1000000L // µs
+      val pat = Pattern.begin[TypedEv]("click", _.event_type == "click")
+        .notFollowedBy("purchase", _.event_type == "purchase").within(win)
+      val evs = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"))
+        .as[TypedEv]
+      evs.groupByKey(_.user_id)
+        .flatMapSortedGroups($"us", $"event_id") { (_: Long, it: Iterator[TypedEv]) =>
+          val (matches, _) = Matcher.foldAll(pat, it.map(e => (e.us, e)))
+          matches.map(m => (m.head.event_id, m.head.user_id, m.head.t))
+        }
+        .toDF("event_id", "user_id", "click_time")
+        .orderBy("event_id")
+    },
+    Some("""SELECT c.event_id, c.user_id,
+            strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time
+            FROM events c
+            WHERE c.event_type = 'click'
+              AND NOT EXISTS (
+                SELECT 1 FROM events p
+                WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                  AND (epoch_us(p.ts) > epoch_us(c.ts)
+                       OR (epoch_us(p.ts) = epoch_us(c.ts)
+                           AND p.event_id > c.event_id))
+                  AND epoch_us(p.ts) - epoch_us(c.ts) < 900000000)
+            ORDER BY event_id"""))
+
+  /** C5 — the OPTIONAL stage surface (`optional()` on a trailing
+    * followedBy), hash-gated on real data: per user, a signup optionally
+    * followed by its first purchase within 30 minutes —
+    * `begin(signup).followedBy(purchase).optional.within(30m)`. Every
+    * signup is already a complete match (the remaining stage is
+    * optional: n = 1 rows, emitted at the signup), and the run stays
+    * open to grow: the FIRST purchase within the window (relaxed
+    * contiguity = first matching event advances) extends it to the
+    * n = 2 row. The oracle restates both branches: all signups UNION
+    * the per-signup first purchase (row_number = 1 over (us, event_id))
+    * with the same strict `< 30m` boundary. */
+  val c5CepOptional = OpQuery(
+    "c5_cep_optional",
+    "signup optionally followed by first purchase within 30min (CEP optional)",
+    (s, dir) => {
+      import s.implicits._
+      import graft.cep.{Matcher, Pattern}
+      val win = 30L * 60L * 1000000L // µs
+      val pat = Pattern.begin[TypedEv]("signup", _.event_type == "signup")
+        .followedBy("purchase", _.event_type == "purchase").optional
+        .within(win)
+      val evs = t(s, dir, "events")
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"))
+        .as[TypedEv]
+      evs.groupByKey(_.user_id)
+        .flatMapSortedGroups($"us", $"event_id") { (_: Long, it: Iterator[TypedEv]) =>
+          val (matches, _) = Matcher.foldAll(pat, it.map(e => (e.us, e)))
+          matches.map(m => (m.head.user_id, m.head.event_id,
+            m.last.event_id, m.size.toLong))
+        }
+        .toDF("user_id", "first_id", "last_id", "n")
+        .orderBy("user_id", "first_id", "n")
+    },
+    Some("""WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS us
+              FROM events WHERE event_type = 'signup'),
+            p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+              FROM events WHERE event_type = 'purchase'),
+            sp AS (SELECT s.user_id, s.event_id AS first_id,
+                     p.event_id AS pay_id,
+                     row_number() OVER (PARTITION BY s.event_id
+                       ORDER BY p.us, p.event_id) AS rn
+                   FROM s JOIN p ON p.user_id = s.user_id
+                     AND (p.us > s.us
+                          OR (p.us = s.us AND p.event_id > s.event_id))
+                     AND p.us - s.us < 1800000000)
+            SELECT user_id, event_id AS first_id,
+                   CAST(event_id AS BIGINT) AS last_id, CAST(1 AS BIGINT) AS n
+            FROM s
+            UNION ALL
+            SELECT user_id, first_id, pay_id AS last_id, CAST(2 AS BIGINT) AS n
+            FROM sp WHERE rn = 1
+            ORDER BY user_id, first_id, n"""))
+
   val all: Seq[OpQuery] =
-    Seq(a5UvDedup, a6IsNewRepair, c1BounceDetect, c2CepGeneric, c3CepTimes)
+    Seq(a5UvDedup, a6IsNewRepair, c1BounceDetect, c2CepGeneric, c3CepTimes,
+      c4CepNegation, c5CepOptional)
 }

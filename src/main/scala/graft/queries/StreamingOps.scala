@@ -394,8 +394,73 @@ object StreamingOps {
     },
     StatefulOps.c3CepTimes.oracle)
 
+  case class AttrEv(event_id: Long, user_id: Long, us: Long,
+      event_type: String, value: Double, dt: String)
+
+  /** A17, streaming-executed — INCREMENTAL last-touch attribution. The
+    * batch query resolves each purchase's most recent view/click via an
+    * as-of join; the streaming twin co-streams touches and purchases
+    * through ONE flatMapGroupsWithState keyed by user, whose state is
+    * just the user's latest touch `(us, src_type)` — O(1) per user, the
+    * true incremental shape (no corpus-sized touch index anywhere: the
+    * as-of "join" becomes a keyed-state carry-forward, which is also how
+    * the batch AsOfJoin plan works). Within a micro-batch events sort by
+    * (us, touches-before-purchases, event_id), so a same-microsecond
+    * touch credits its purchase — the oracle's `p.ts >= m.vts` boundary —
+    * and same-timestamp touches collapse to max(src_type), the a17 dedup
+    * rule. Purchases emit (channel, day, value) in APPEND mode, feeding
+    * a downstream streaming rollup (Spark allows aggregation after
+    * flatMapGroupsWithState in append mode) drained in COMPLETE mode.
+    * Shares a17_attribution's composed-ASOF oracle. */
+  val stAttribution = OpQuery(
+    "st_attribution_stream",
+    "streaming incremental last-touch attribution via keyed state (a17's oracle)",
+    (s, dir) => withStatePartitions(s, 8) {
+      import s.implicits._
+      val typed = eventStream(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"),
+          coalesce(col("value"), lit(0.0)).as("value"),
+          date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+        .as[AttrEv]
+      def step(user: Long, rows: Iterator[AttrEv],
+          state: GroupState[(Long, String)]): Iterator[(String, String, Double)] = {
+        var (lastUs, lastSrc) = state.getOption.getOrElse((Long.MinValue, ""))
+        val sorted = rows.toSeq.sortBy(e =>
+          (e.us, if (e.event_type == "purchase") 1 else 0, e.event_id))
+        val out = sorted.flatMap { e =>
+          if (e.event_type != "purchase") {
+            // same-instant touches collapse to max(src_type) — the a17
+            // (user, ts) dedup rule; later instants simply replace
+            if (e.us == lastUs) lastSrc = Ordering[String].max(lastSrc, e.event_type)
+            else { lastUs = e.us; lastSrc = e.event_type }
+            None
+          } else {
+            val channel =
+              if (lastUs == Long.MinValue || e.us - lastUs > 86400000000L)
+                "direct"
+              else lastSrc
+            Some((channel, e.dt, e.value))
+          }
+        }
+        state.update((lastUs, lastSrc))
+        out.iterator
+      }
+      val credited = typed.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(step)
+        .toDF("channel", "dt", "value")
+      val rolled = credited.groupBy(col("channel"), col("dt"))
+        .agg(count(lit(1)).as("ct"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+      drain(rolled, "st_attr_out", mode = "complete")
+        .orderBy("channel", "dt")
+    },
+    AggOps.a17Attribution.oracle)
+
   val all: Seq[OpQuery] =
     Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
       stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream,
-      stCepTimes)
+      stCepTimes, stAttribution)
 }

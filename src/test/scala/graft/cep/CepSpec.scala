@@ -236,6 +236,162 @@ object CepSpec extends Properties("cep.Matcher") {
     Prop(names(m) == Seq(Seq("a2", "a3", "b1"))).label(s"m=${names(m)}")
   }
 
+  // ---------- negation: notFollowedBy / notNext ----------
+
+  property("trailing notFollowedBy: absence matches, presence kills (random)") =
+    Prop.forAll(genEvents) { evs =>
+      // "entry NOT followed by another entry within W" — complement of
+      // the bounce MATCH branch, checked against a brute-force scan
+      val pat = Pattern.begin[(Long, Boolean, String)]("entry", _._2)
+        .notFollowedBy("reentry", _._2).within(W)
+      val (m, t) = Matcher.foldAll(pat, evs.map(e => (e._1, e)))
+      val expected = evs.filter(_._2).filter { a =>
+        !evs.exists(b => b._2 && b._1 > a._1 && b._1 - a._1 < W)
+      }.map(_._3)
+      t.isEmpty && m.map(_.head._3).sorted == expected.sorted
+    }
+
+  property("trailing negation boundary: the negative event at exactly +window is too late") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a"))
+      .notFollowedBy("x", _._2 == "x").within(10L)
+    // x at +9 kills; x at exactly +10 arrives after the window resolved
+    val (mKill, _) = fold(pat, Seq((1L, "a1"), (10L, "x")))
+    val (mLate, _) = fold(pat, Seq((1L, "a1"), (11L, "x")))
+    Prop(mKill.isEmpty && names(mLate) == Seq(Seq("a1")))
+      .label(s"kill=${names(mKill)} late=${names(mLate)}")
+  }
+
+  property("trailing notNext is discharged by one intervening event") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a"))
+      .notNext("x", _._2 == "x").within(100L)
+    // a1 x: the adjacent x kills; a1 y x: y discharges, later x harmless
+    val (mAdj, _) = fold(pat, Seq((1L, "a1"), (2L, "x")))
+    val (mGap, _) = fold(pat, Seq((1L, "a1"), (2L, "y"), (3L, "x")))
+    Prop(mAdj.isEmpty && names(mGap) == Seq(Seq("a1")))
+      .label(s"adj=${names(mAdj)} gap=${names(mGap)}")
+  }
+
+  property("inner notFollowedBy kills the gap; loop extension moves past it") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a")).oneOrMore
+      .notFollowedBy("x", _._2 == "x")
+      .followedBy("c", _._2.startsWith("c")).within(100L)
+    // a1 x a2 c1: [a1 c1] is killed (x sits in its gap); [a1 a2 c1] and
+    // [a2 c1] survive — their gaps start after x
+    val (m, _) = fold(pat,
+      Seq((1L, "a1"), (2L, "x"), (3L, "a2"), (4L, "c1")))
+    Prop(names(m).toSet == Set(Seq("a1", "a2", "c1"), Seq("a2", "c1")))
+      .label(s"m=${names(m)}")
+  }
+
+  property("notFollowedBy loses ties: an event matching both negative and next stage advances") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a"))
+      .notFollowedBy("both", _._2 == "bc")
+      .followedBy("c", _._2 == "bc").within(100L)
+    val (m, _) = fold(pat, Seq((1L, "a1"), (2L, "bc")))
+    Prop(names(m) == Seq(Seq("a1", "bc"))).label(s"m=${names(m)}")
+  }
+
+  property("notNext wins ties: an event matching both negative and next stage kills") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a"))
+      .notNext("both", _._2 == "bc")
+      .followedBy("c", _._2 == "bc").within(100L)
+    val (m, t) = fold(pat, Seq((1L, "a1"), (2L, "bc")))
+    Prop(m.isEmpty && t.isEmpty).label(s"m=${names(m)} t=${names(t)}")
+  }
+
+  property("inner notNext allows the next stage via a discharging gap event") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a"))
+      .notNext("x", _._2 == "x")
+      .followedBy("c", _._2.startsWith("c")).within(100L)
+    // a1 y c1: y discharges the notNext, c matches relaxed → [a1 c1];
+    // a1 x c1: the adjacent x kills
+    val (mOk, _) = fold(pat, Seq((1L, "a1"), (2L, "y"), (3L, "c1")))
+    val (mKill, _) = fold(pat, Seq((1L, "a1"), (2L, "x"), (3L, "c1")))
+    Prop(names(mOk) == Seq(Seq("a1", "c1")) && mKill.isEmpty)
+      .label(s"ok=${names(mOk)} kill=${names(mKill)}")
+  }
+
+  property("trailing negation + within interaction: kill, then a fresh run matches") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a"))
+      .notFollowedBy("x", _._2 == "x").within(10L)
+    // a1's window contains x (kill); a2 starts after x and flushes clean
+    val (m, t) = fold(pat, Seq((1L, "a1"), (5L, "x"), (6L, "a2")))
+    Prop(names(m) == Seq(Seq("a2")) && t.isEmpty)
+      .label(s"m=${names(m)} t=${names(t)}")
+  }
+
+  // ---------- optional stages ----------
+
+  property("optional middle stage branches like Flink PROCEED: both [a b c] and [a c]") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a"))
+      .followedBy("b", _._2.startsWith("b")).optional
+      .followedBy("c", _._2.startsWith("c")).within(100L)
+    val (m, _) = fold(pat, Seq((1L, "a1"), (2L, "b1"), (3L, "c1")))
+    Prop(names(m).toSet == Set(Seq("a1", "b1", "c1"), Seq("a1", "c1")))
+      .label(s"m=${names(m)}")
+  }
+
+  property("optional trailing stage: the short match emits immediately and may grow") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a"))
+      .followedBy("b", _._2.startsWith("b")).optional.within(100L)
+    // a1 emits [a1] at once; the first b inside the window grows it
+    val (m, t) = fold(pat, Seq((1L, "a1"), (2L, "b1"), (3L, "b2")))
+    Prop(names(m) == Seq(Seq("a1"), Seq("a1", "b1")) && t.isEmpty)
+      .label(s"m=${names(m)} t=${names(t)}")
+  }
+
+  property("optional stage skipped entirely when its event never comes") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a"))
+      .followedBy("b", _._2.startsWith("b")).optional
+      .followedBy("c", _._2.startsWith("c")).within(100L)
+    val (m, _) = fold(pat, Seq((1L, "a1"), (2L, "c1")))
+    Prop(names(m) == Seq(Seq("a1", "c1"))).label(s"m=${names(m)}")
+  }
+
+  property("quantified optional: times(2,3).optional admits zero or 2..3 loop elements") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a"))
+      .followedBy("b", _._2.startsWith("b")).times(2, 3).optional
+      .followedBy("c", _._2.startsWith("c")).within(100L)
+    // zero b's: [a c]; one b: the loop never satisfies 2..3, so still
+    // only the skip branch [a c]; two b's: [a b b c] joins it
+    val (m0, _) = fold(pat, Seq((1L, "a1"), (4L, "c1")))
+    val (m1, _) = fold(pat, Seq((1L, "a1"), (2L, "b1"), (4L, "c1")))
+    val (m2, _) = fold(pat, Seq((1L, "a1"), (2L, "b1"), (3L, "b2"), (4L, "c1")))
+    Prop(names(m0) == Seq(Seq("a1", "c1")) &&
+      names(m1) == Seq(Seq("a1", "c1")) &&
+      names(m2).toSet == Set(Seq("a1", "c1"), Seq("a1", "b1", "b2", "c1")))
+      .label(s"m0=${names(m0)} m1=${names(m1)} m2=${names(m2)}")
+  }
+
+  property("an expiring partial match is reported once across sibling interpretations") = {
+    val pat = Pattern.begin[E2]("a", _._2.startsWith("a")).times(1, 2)
+      .followedBy("b", _._2.startsWith("b")).within(10L)
+    // a1 opens a looper AND its hand-off fork (same matched [a1]); at
+    // expiry that is ONE partial match, not two timeouts
+    val (m, t) = fold(pat, Seq((1L, "a1"), (20L, "z")))
+    Prop(m.isEmpty && names(t) == Seq(Seq("a1")))
+      .label(s"m=${names(m)} t=${names(t)}")
+  }
+
+  property("compile rejects the documented illegal combinations") = Prop {
+    def throws(f: => Any): Boolean =
+      try { f; false } catch { case _: IllegalArgumentException => true }
+    val a = (e: E2) => e._2.startsWith("a")
+    throws(Matcher.foldAll( // negation cannot be quantified
+      Pattern.begin[E2]("a", a).notFollowedBy("x", _._2 == "x").times(2)
+        .within(10L), Seq.empty[(Long, E2)])) &&
+    throws(Matcher.foldAll( // first stage cannot be optional
+      Pattern.begin[E2]("a", a).optional.followedBy("b", _._2 == "b")
+        .within(10L), Seq.empty[(Long, E2)])) &&
+    throws(Matcher.foldAll( // trailing negation needs a finite window
+      Pattern.begin[E2]("a", a).notFollowedBy("x", _._2 == "x"),
+      Seq.empty[(Long, E2)])) &&
+    throws(Matcher.foldAll( // negation cannot neighbor an optional stage
+      Pattern.begin[E2]("a", a).followedBy("b", _._2 == "b").optional
+        .notFollowedBy("x", _._2 == "x").followedBy("c", _._2 == "c")
+        .within(10L), Seq.empty[(Long, E2)]))
+  }
+
   property("skipPastLast on a+ b matches the Flink docs example") = {
     // Flink AFTER_MATCH docs: pattern a+ b over a1 a2 a3 b — NO_SKIP
     // emits the a1-, a2- and a3-rooted matches (plus shorter-loop

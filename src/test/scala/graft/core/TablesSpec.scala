@@ -64,6 +64,60 @@ class TablesSpec extends SparkTestBase {
     assert(ntz == usec && ns == usec)
   }
 
+  test("a REAL parquet TIMESTAMP(NANOS) footer loads to micros via nanosAsLong") {
+    // The ns-era test above writes a plain INT64 column; this one writes
+    // an actual TIMESTAMP(NANOS) logical type with the low-level parquet
+    // API, so the nanosAsLong read path is exercised against the same
+    // footer metadata the round-1..6 generator produced — a regression
+    // in that legacy branch fails HERE, not in some future round.
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    val dir = tmpDir()
+    val schema = MessageTypeParser.parseMessageType(
+      """message events {
+        |  required int64 event_id;
+        |  required int64 ts (TIMESTAMP(NANOS,true));
+        |  required int64 user_id;
+        |  required binary event_type (STRING);
+        |  required double value;
+        |  required binary props (STRING);
+        |}""".stripMargin)
+    val file = new org.apache.hadoop.fs.Path(s"$dir/events.parquet/part-0.parquet")
+    val writer = ExampleParquetWriter.builder(file).withType(schema).build()
+    val g = new SimpleGroupFactory(schema).newGroup()
+      .append("event_id", 1L)
+      .append("ts", usec * 1000L + 999L) // ns payload, sub-µs dropped
+      .append("user_id", 7L)
+      .append("event_type", "view")
+      .append("value", 1.0)
+      .append("props", "{}")
+    writer.write(g)
+    writer.close()
+    val got = Tables.load(spark, dir, "events")
+    assert(got.schema("ts").dataType == TimestampType)
+    assert(got.select(unix_micros(col("ts"))).as[Long].head() == usec)
+  }
+
+  test("Tables.load pins the session time zone to UTC for the NTZ cast") {
+    // a non-UTC driver-supplied session must not shift events.ts — load
+    // pins UTC itself (the NTZ→TIMESTAMP cast reads the session zone)
+    val dir = tmpDir()
+    Seq((1L, usec, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType))
+      .drop("us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+      val got = Tables.load(spark, dir, "events")
+        .select(unix_micros(col("ts"))).as[Long].head()
+      assert(got == usec)
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("contractCheck passes on the real sf0.001 testdata") {
     Tables.contractCheck(spark, "/root/testdata/sf0.001")
   }

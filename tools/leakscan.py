@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Self-serve leak scan with audit evidence.
+
+The per-round driver artifact `LEAKCHECK.json` records hit counts but no
+scan metadata (which files, when), so a clean result is not
+self-evidencing. This script runs an equivalent scan over every tracked
+text file in the repo and writes `LEAKSCAN_SELF.json` carrying the
+evidence the artifact lacks: ISO timestamp, git HEAD, file count, byte
+count, and per-class hits with file:line locations.
+
+Run from the repo root:  python3 tools/leakscan.py
+"""
+import hashlib
+import json
+import re
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+# Hit classes mirroring LEAKCHECK.json's categories, built from public
+# knowledge only: anything that looks like a private package import, a
+# non-public URL/bucket, a chat permalink, a credential, or an
+# environment variable pointing at private infrastructure.
+PATTERNS = {
+    # imports outside the JDK / Scala / Spark / test-lib universe
+    "internal-import": re.compile(
+        r"^\s*import\s+(?!java\.|javax\.|scala\.|org\.apache\.|org\.scalatest"
+        r"|org\.scalacheck|com\.fasterxml\.|graft\.)[a-z][\w.]+\.[A-Z]",
+        re.M),
+    # URLs that are not public OSS/doc hosts
+    "internal-url": re.compile(
+        r"https?://(?!(?:www\.)?(?:github\.com|apache\.org|spark\.apache\.org"
+        r"|nightlies\.apache\.org|duckdb\.org|scala-lang\.org|scalatest\.org"
+        r"|arxiv\.org|doi\.org|en\.wikipedia\.org|localhost|127\.0\.0\.1))"
+        r"[\w.-]+"),
+    # object-store buckets
+    "internal-bucket": re.compile(r"\b(?:s3a?|gs|wasbs?|abfss?)://[\w.-]+"),
+    # chat permalinks
+    "slack-link": re.compile(r"slack\.com/archives|app\.slack\.com"),
+    # credential-shaped strings
+    "api-key": re.compile(
+        r"\b(?:sk-[A-Za-z0-9]{20,}|AKIA[0-9A-Z]{16}|ghp_[A-Za-z0-9]{36}"
+        r"|xox[baprs]-[A-Za-z0-9-]{10,})\b"),
+    # env vars pointing at non-public endpoints/infrastructure
+    "private-env": re.compile(
+        r"(?:sys\.env|getenv)\([\"'](?!SPARK_GRAFT_|SPARK_|JAVA_|HOME|PATH"
+        r"|USER|TMPDIR)[A-Z][A-Z0-9_]*[\"']\)"),
+}
+
+TEXT_EXT = {".scala", ".sbt", ".py", ".md", ".json", ".sql", ".properties",
+            ".conf", ".txt", ".yml", ".yaml", ".sh"}
+
+
+def main():
+    files = subprocess.run(["git", "ls-files"], capture_output=True,
+                           text=True, check=True).stdout.split()
+    head = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                          text=True, check=True).stdout.strip()
+    hits = {k: [] for k in PATTERNS}
+    n_files = 0
+    n_bytes = 0
+    digest = hashlib.sha256()
+    for path in sorted(files):
+        if not any(path.endswith(e) for e in TEXT_EXT):
+            continue
+        try:
+            with open(path, encoding="utf-8", errors="replace") as f:
+                text = f.read()
+        except OSError:
+            continue
+        n_files += 1
+        n_bytes += len(text)
+        digest.update(path.encode())
+        digest.update(text.encode())
+        for lineno, line in enumerate(text.splitlines(), 1):
+            for cls, pat in PATTERNS.items():
+                if pat.search(line):
+                    hits[cls].append(f"{path}:{lineno}")
+    out = {
+        "scanned_at": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "git_head": head,
+        "files_scanned": n_files,
+        "bytes_scanned": n_bytes,
+        "corpus_sha256": digest.hexdigest(),
+        "n_hits": sum(len(v) for v in hits.values()),
+        "hits": hits,
+    }
+    with open("LEAKSCAN_SELF.json", "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(f"scanned {n_files} files / {n_bytes} bytes -> "
+          f"{out['n_hits']} hits (LEAKSCAN_SELF.json)")
+    return 1 if out["n_hits"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
