@@ -33,22 +33,25 @@ import org.apache.spark.sql.functions._
   */
 object BloomProbe {
 
+  /** Expression builders shared by [[register]] and
+    * [[graft.GraftExtensions]]. */
+  val aggBuilder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => new BloomFilterAggregate(
+      new XxHash64(Seq(exprs.head)), exprs(1), exprs(2))
+  val probeBuilder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => BloomFilterMightContain(exprs.head, new XxHash64(Seq(exprs(1))))
+
   /** Registers `graft_bloom_agg(value, nItems, nBits)` (aggregate →
     * filter bytes) and `graft_bloom_probe(bytes, value)` (might-contain
     * predicate). Idempotent like the other native registrations. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("graft_bloom_agg")))
-      reg.createOrReplaceTempFunction(
-        "graft_bloom_agg",
-        exprs => new BloomFilterAggregate(
-          new XxHash64(Seq(exprs.head)), exprs(1), exprs(2)),
-        "built-in")
+      reg.createOrReplaceTempFunction("graft_bloom_agg", aggBuilder, "built-in")
     if (!reg.functionExists(FunctionIdentifier("graft_bloom_probe")))
-      reg.createOrReplaceTempFunction(
-        "graft_bloom_probe",
-        exprs => BloomFilterMightContain(
-          exprs.head, new XxHash64(Seq(exprs(1)))),
+      reg.createOrReplaceTempFunction("graft_bloom_probe", probeBuilder,
         "built-in")
   }
 

@@ -71,6 +71,11 @@ case class VectorCosine(left: Expression, right: Expression)
 }
 
 object VectorCosine {
+  /** Expression builder shared by [[register]] and
+    * [[graft.GraftExtensions]]. */
+  val builder: Seq[Expression] => Expression =
+    exprs => VectorCosine(exprs.head, exprs(1))
+
   /** SQL registration: usable as vec_cosine(a, b) in SQL text and in
     * functions.expr("vec_cosine(a, b)") Column expressions. */
   def register(spark: SparkSession): Unit = {
@@ -80,8 +85,7 @@ object VectorCosine {
     // session (the definition never changes)
     if (!reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cosine")))
-      reg.createOrReplaceTempFunction(
-        "vec_cosine", exprs => VectorCosine(exprs.head, exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("vec_cosine", builder, "built-in")
   }
 
   /** Column helper (registers on the session backing the calling plan). */

@@ -136,17 +136,19 @@ case class StridedMinHash(child: Expression, k: Int, stride: Int)
 }
 
 object StridedMinHash {
+  /** Expression builder shared by [[register]] and
+    * [[graft.GraftExtensions]]. */
+  val builder: Seq[Expression] => Expression =
+    exprs => StridedMinHash(exprs.head,
+      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])
+
   /** SQL registration: strided_minhash(text, k, stride), literal ints.
     * Idempotent like the other native registrations. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("strided_minhash")))
-      reg.createOrReplaceTempFunction(
-        "strided_minhash",
-        exprs => StridedMinHash(exprs.head,
-          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
-        "built-in")
+      reg.createOrReplaceTempFunction("strided_minhash", builder, "built-in")
   }
 }
 
@@ -154,14 +156,16 @@ object WinnowFps {
   /** SQL registration: winnow_fps(text, k, w) with literal int k/w.
     * Idempotent — skips the re-register (and its WARN) when already
     * present; the definition never changes within a session. */
+  /** Expression builder shared by [[register]] and
+    * [[graft.GraftExtensions]]. */
+  val builder: Seq[Expression] => Expression =
+    exprs => WinnowFps(exprs.head,
+      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fps")))
-      reg.createOrReplaceTempFunction(
-        "winnow_fps",
-        exprs => WinnowFps(exprs.head,
-          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
-        "built-in")
+      reg.createOrReplaceTempFunction("winnow_fps", builder, "built-in")
   }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions injection path: a session built with
+  * `withExtensions(new GraftExtensions)` (equivalently
+  * `--conf spark.sql.extensions=graft.GraftExtensions`) must expose every
+  * native function to PURE SQL — no graft call preceding the query — and
+  * the injected definitions must agree with the lazy `register()` path
+  * (they share builders, so this is a wiring check, not a semantics
+  * re-proof; the per-expression suites own semantics). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-extensions-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  test("all five natives are visible to pure SQL after injection") {
+    val names = GraftExtensions.functions.map(_._1.funcName)
+    assert(names.sorted === Seq("graft_bloom_agg", "graft_bloom_probe",
+      "strided_minhash", "vec_cosine", "winnow_fps"))
+    names.foreach { n =>
+      assert(spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
+        s"$n not injected")
+    }
+  }
+
+  test("vec_cosine works from SQL with no prior graft call") {
+    val row = spark.sql(
+      """SELECT vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c
+        |""".stripMargin).head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("winnow_fps from SQL matches the register() path") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT explode(winnow_fps(text, 5, 4)) AS fp FROM ext_docs")
+      .collect().map(_.getString(0)).sorted
+    graft.functions.WinnowFps.register(spark)
+    val viaRegister = spark.sql(
+      "SELECT explode(winnow_fps(text, 5, 4)) AS fp FROM ext_docs")
+      .collect().map(_.getString(0)).sorted
+    assert(viaSql.nonEmpty && viaSql.sameElements(viaRegister))
+  }
+
+  test("bloom agg + probe round-trip from SQL") {
+    import spark.implicits._
+    Seq("a", "b", "c").toDF("v").createOrReplaceTempView("ext_bloom_in")
+    // nItems/nBits must be BIGINT — Spark's BloomFilterAggregate does not
+    // coerce INT literals
+    spark.sql(
+      """SELECT graft_bloom_agg(v, CAST(3 AS BIGINT), CAST(1024 AS BIGINT))
+        |  AS f FROM ext_bloom_in""".stripMargin)
+      .createOrReplaceTempView("ext_bloom_f")
+    // might_contain requires the filter side to be a constant or scalar
+    // subquery (it ships to tasks as a literal), hence the subquery form
+    val hits = spark.sql(
+      """SELECT s.v, graft_bloom_probe((SELECT f FROM ext_bloom_f), s.v) AS hit
+        |FROM (SELECT explode(array('a', 'zz')) AS v) s""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(hits("a"), "member must probe true (no false negatives)")
+  }
+}
