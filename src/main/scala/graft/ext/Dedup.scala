@@ -198,6 +198,70 @@ object Dedup {
     * boilerplate shingles are dropped by the cap. One staged shingle scan
     * feeds the index, the sizes, and both sides of the intersection join.
     * Output: (doc_a, doc_b, containment), floor-truncated to 4 dp. */
+  /** Exact similarity self-join via prefix filtering (Chaudhuri et al.,
+    * "A Primitive Operator for Similarity Joins", ICDE'06; Bayardo et
+    * al.'s All-Pairs, WWW'07) — the guaranteed-recall alternative to LSH
+    * banding for Jaccard ≥ t. Order every document's shingle set by one
+    * canonical corpus-wide rarity order (document frequency asc, shingle
+    * asc). If J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so A must share a token
+    * with B inside its first |A| − ⌈t·|A|⌉ + 1 rarest tokens — the
+    * prefix. Indexing ONLY prefixes makes candidate volume
+    * Σ (prefix-df)² over the rarest tokens — self-tuning (a ubiquitous
+    * token never enters any prefix once sets are big enough) — with ZERO
+    * recall loss, unlike a df-capped index or LSH, where a cap/band
+    * choice can drop true pairs. Verification is the shared exact
+    * [[jaccardOnTokens]] stage.
+    *
+    * No global rank is materialized: sorting each doc's own tokens by the
+    * (df, shingle) PAIR realizes the same canonical order, so prefixes
+    * fall out of a per-row sort_array + slice after one df join — the
+    * vocabulary is never sorted through a single task (the
+    * "partition-less window" this repo bans). */
+  def prefixFilterPairs(docs: DataFrame, textCol: String, idCol: String,
+      ngram: Int = 3, threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tok = shingleTokens(docs, textCol, idCol, ngram).staged
+    val dfreq = tok.groupBy("word").agg(count(lit(1)).as("df"))
+    val perDoc = tok.join(dfreq, "word")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("ord"),
+        count(lit(1)).as("n"))
+    val prefixes = perDoc
+      .withColumn("p",
+        (col("n") - ceil(col("n") * threshold) + lit(1)).cast("int"))
+      .select(col("id"),
+        explode(slice(col("ord"), lit(1), col("p"))).as("pt"))
+      .select(col("id"), col("pt.word").as("word"))
+    val cand = prefixes.as("pa").join(prefixes.as("pb"),
+        col("pa.word") === col("pb.word") && col("pa.id") < col("pb.id"))
+      .select(col("pa.id").as("doc_a"), col("pb.id").as("doc_b"))
+      .distinct()
+    jaccardOnTokens(tok, cand, threshold)
+  }
+
+  /** Edit-distance near-dup verification over blocked candidate pairs.
+    * Blocking is delegated to PairBuckets (prefix key, simhash band, a
+    * length bucket — whatever the caller's recall/cost point is); the
+    * verify is Spark's BOUNDED levenshtein(l, r, maxDist), which
+    * early-exits in O(len·maxDist) instead of O(len²) — the difference
+    * between feasible and not when documents are kilobytes. The bounded
+    * form returns -1 past the threshold; those pairs are dropped.
+    * Output: (doc_a, doc_b, dist) with dist ≤ maxDist, exact. */
+  def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
+      bucketKey: org.apache.spark.sql.Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    val cand = graft.ops.PairBuckets.selfPairs(docs, idCol, bucketKey)
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(base.select(col("id").as("doc_a"), col("t").as("ta")), Seq("doc_a"))
+      .join(base.select(col("id").as("doc_b"), col("t").as("tb")), Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+  }
+
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
       ngram: Int = 3, maxDf: Long = 10L,
       threshold: Double = 0.5): DataFrame = {

@@ -327,4 +327,38 @@ object Sampling {
       .withColumn("selected", (col("log_weight") >= col("_thr")).cast("long"))
       .select("id", "n_feat", "log_weight", "selected")
   }
+
+  /** Weighted reservoir sampling without replacement (Efraimidis–Spirakis
+    * A-Res), exact and engine-portable. A-Res draws u ~ U(0,1) per row and
+    * keeps the k largest priorities u^(1/w). Computing u^(1/w) in floating
+    * point would tie the sample to each engine's `pow`/`ln` rounding — a
+    * one-ulp difference at the k-th boundary changes the selected SET, so
+    * the oracle could never verify membership bit-for-bit. Instead we use
+    * the distributional identity  max(u_1..u_w) ~ U^(1/w)  for integer w:
+    * each row gets w deterministic md5 "tickets" (hex strings — uniform
+    * under lexicographic order) and its priority is the LARGEST ticket.
+    * Selection = global top-k by (priority desc, id asc) — pure string
+    * comparison, identical in every engine, no transcendental math.
+    *
+    * Scale shape: tickets are built per-row inside one projection
+    * (sequence → transform → array_max — no explode, no shuffle), and the
+    * top-k is orderBy+limit, which Spark plans as TakeOrderedAndProject:
+    * each partition reduces to its local k rows and only k·partitions
+    * rows reach the driver — no global sort. `weightCol` must be an
+    * integer column; callers clamp it to a small range (the ticket count
+    * per row is the weight, so w ≤ ~100 keeps the projection linear).
+    *
+    * Output: (id-named, weight, priority), the k selected rows. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val withW = df.select(col(idCol), weightCol.cast("long").as("weight"))
+    val priority = array_max(transform(
+      sequence(lit(1L), col("weight")),
+      i => md5(concat(i.cast("string"), lit("|"), col(idCol).cast("string")))))
+    withW
+      .withColumn("priority", priority)
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
 }

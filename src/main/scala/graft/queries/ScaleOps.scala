@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Dedup, Sampling}
+import graft.ops.Storage
+
+/** Storage-layout and guaranteed-recall scale operators (round 9):
+  *
+  *  - j10/s8: the two storage disciplines that define warehouse cost at
+  *    100 TB — bucketed fact tables (join with NO shuffle on either side)
+  *    and date-partitioned stores (time-bounded scans prune to one
+  *    directory). Correctness is oracle-checked against the plain
+  *    unpartitioned join/filter; the PLAN is pinned in PlanSpec (no
+  *    Exchange on the join keys / PartitionFilters on the scan).
+  *  - x_sample_weighted: A-Res weighted reservoir sampling, made
+  *    engine-exact via the max-of-w-tickets identity (no pow/ln).
+  *  - x_prefix_join: All-Pairs prefix filtering — exact Jaccard self-join
+  *    with guaranteed recall (the property LSH and df-capped blocking
+  *    trade away).
+  *  - x_editdist_neardup: bounded-Levenshtein verification over blocked
+  *    candidates, O(len·maxDist) per pair.
+  *  - x_approx_quantile_bounds: approx_percentile gated on its own
+  *    rank-error guarantee (sketch hash-parity across engines is
+  *    impossible by construction — the bound is the contract, the same
+  *    treatment x_approx_distinct_bounds gives HLL).
+  */
+object ScaleOps {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  /** Bucketed co-located fact⋈fact join: orders and lineitem are written
+    * ONCE as parquet tables bucketed+sorted by the join key with equal
+    * bucket counts; Catalyst recognizes the matching output partitioning
+    * and plans a SortMergeJoin with no Exchange on either side (pinned in
+    * PlanSpec). The oracle doesn't care about layout — results must equal
+    * the plain join — which is exactly the point: bucketing is a pure
+    * plan-level win. Reference analog: the order⋈detail wide-table joins
+    * (gmall-realtime OrderWideApp) that at warehouse scale shuffle both
+    * facts on every run. */
+  val j10BucketedJoin = OpQuery(
+    "j10_bucketed_join",
+    "bucketed co-located orders⋈lineitem join (shuffle-free) + aggregate",
+    (s, dir) => {
+      val tag = Storage.tagFor(dir)
+      val root = Storage.root
+      val bo = Storage.ensureBucketedTable(s, s"graft_b_orders_$tag",
+        s"$root/$tag/b_orders", "o_orderkey", 8)(t(s, dir, "orders"))
+      val bl = Storage.ensureBucketedTable(s, s"graft_b_lineitem_$tag",
+        s"$root/$tag/b_lineitem", "l_orderkey", 8)(t(s, dir, "lineitem"))
+      val o = s.table(bo)
+      val l = s.table(bl)
+      o.join(l.hint("merge"), o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_orderstatus", "l_returnflag")
+    },
+    Some("""SELECT o_orderstatus, l_returnflag,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderstatus, l_returnflag
+            ORDER BY o_orderstatus, l_returnflag"""))
+
+  /** Date-partitioned store: events written once partitioned by day, read
+    * back with an equality filter on the partition column. At scale the
+    * filter never touches data — it prunes to one directory at planning
+    * time (PartitionFilters pinned in PlanSpec). The repartition before
+    * the write keeps file counts sane: one task per day writes one file,
+    * instead of every task writing a sliver into every day. */
+  val s8PartitionPrune = OpQuery(
+    "s8_partition_prune",
+    "date-partitioned parquet store, one-day read via partition pruning",
+    (s, dir) => {
+      val path = Storage.ensureWritten(
+        s"${Storage.root}/${Storage.tagFor(dir)}/events_by_date") { p =>
+        t(s, dir, "events")
+          .withColumn("event_date", to_date(col("ts")))
+          .repartition(col("event_date"))
+          .write.partitionBy("event_date").mode("overwrite").parquet(p)
+      }
+      s.read.parquet(path)
+        .filter(col("event_date") === to_date(lit("2024-01-10")))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+            GROUP BY event_type ORDER BY event_type"""))
+
+  /** A-Res weighted sampling (k=100, weight = clamped n_chars/100). The
+    * oracle restates the max-of-w-md5-tickets priority exactly, so the
+    * selected SET is hash-verified — see Sampling.weightedSample for why
+    * the integer-ticket identity replaces u^(1/w). */
+  val xSampleWeighted = OpQuery(
+    "x_sample_weighted",
+    "weighted reservoir sample (A-Res, engine-exact integer tickets), k=100",
+    (s, dir) =>
+      Sampling.weightedSample(
+        t(s, dir, "documents"), "doc_id",
+        least(lit(10L), greatest(lit(1L), floor(col("n_chars") / 100))),
+        k = 100)
+        .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id,
+              CAST(least(10, greatest(1, n_chars // 100)) AS BIGINT) AS weight
+              FROM documents),
+            t AS (SELECT doc_id, weight,
+              unnest(generate_series(1, weight)) AS i FROM w),
+            pr AS (SELECT doc_id, any_value(weight) AS weight,
+              max(md5(CAST(i AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)))
+                AS priority
+              FROM t GROUP BY doc_id),
+            sel AS (SELECT * FROM pr ORDER BY priority DESC, doc_id LIMIT 100)
+            SELECT doc_id, weight, priority FROM sel ORDER BY doc_id"""))
+
+  /** Exact Jaccard ≥ 0.6 self-join via All-Pairs prefix filtering. The
+    * oracle is the BRUTE-FORCE all-pairs join — so a green hash proves
+    * the guaranteed-recall claim on this corpus, not just internal
+    * consistency of the blocking. */
+  val xPrefixJoin = OpQuery(
+    "x_prefix_join",
+    "exact Jaccard≥0.6 similarity self-join via prefix filtering (All-Pairs)",
+    (s, dir) =>
+      Dedup.prefixFilterPairs(t(s, dir, "documents"), "text", "doc_id",
+        ngram = 3, threshold = 0.6)
+        .withColumn("jaccard", col("jaccard").cast("double"))
+        .orderBy("doc_a", "doc_b"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+            pos AS (SELECT doc_id, w,
+              unnest(generate_series(1, greatest(len(w)-2, 1))) AS i FROM w),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') AS s
+                   FROM pos),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+              CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0)
+                / 10000.0 AS DOUBLE) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0)
+              / 10000.0 >= 0.6
+            ORDER BY doc_a, doc_b"""))
+
+  /** Edit-distance near-dup over 40-char-prefix blocks, bounded verify
+    * (maxDist 50). */
+  val xEditdistNeardup = OpQuery(
+    "x_editdist_neardup",
+    "edit-distance ≤50 near-dup pairs, bounded Levenshtein over prefix blocks",
+    (s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"), "text", "doc_id",
+        substring(col("text"), 1, 40), maxDist = 50)
+        .orderBy("doc_a", "doc_b"),
+    Some("""WITH b AS (SELECT doc_id, text, substr(text, 1, 40) AS bk
+                       FROM documents),
+            cand AS (SELECT x.doc_id AS doc_a, x.text AS ta,
+                            y.doc_id AS doc_b, y.text AS tb
+                     FROM b x JOIN b y
+                       ON x.bk = y.bk AND x.doc_id < y.doc_id)
+            SELECT doc_a, doc_b,
+              CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+            FROM cand WHERE levenshtein(ta, tb) <= 50
+            ORDER BY doc_a, doc_b"""))
+
+  /** approx_percentile(value, 0.5, accuracy=100) checked against its own
+    * GK rank-error guarantee: the returned value's rank in its group must
+    * sit within 2·n/accuracy (+1 for ties) of the true median rank. The
+    * oracle computes the group sizes exactly and asserts TRUE — identical
+    * output iff the sketch honors its published bound. */
+  val xApproxQuantileBounds = OpQuery(
+    "x_approx_quantile_bounds",
+    "approx median with its rank-error guarantee checked in-query",
+    (s, dir) => {
+      val acc = 100
+      val ev = t(s, dir, "events").select("event_type", "value")
+      val appr = ev.groupBy("event_type").agg(
+        expr(s"approx_percentile(value, 0.5d, $acc)").as("approx_p50"),
+        count(col("value")).as("n"))
+      ev.join(broadcast(appr), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("value") <= col("approx_p50"), 1L).otherwise(0L))
+            .as("rank_le"),
+          first(col("n")).as("n"))
+        .select(col("event_type"), col("n"),
+          (abs(col("rank_le") - col("n") * 0.5) <=
+            col("n") * (2.0 / acc) + lit(1.0)).as("within_bound"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+            TRUE AS within_bound
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[OpQuery] = Seq(
+    j10BucketedJoin, s8PartitionPrune, xSampleWeighted, xPrefixJoin,
+    xEditdistNeardup, xApproxQuantileBounds)
+}

@@ -1,0 +1,100 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-9 scale operators: A-Res weighted sampling exactness against a
+  * driver-side reimplementation, prefix-filtering's guaranteed recall
+  * against brute force on randomized corpora, and bounded edit-distance
+  * verification. */
+class ScaleOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("weightedSample selects exactly the top-k by max-of-w-tickets") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map(i => (i, 1 + rnd.nextInt(10)))
+    val df = rows.toDF("id", "w")
+
+    val got = Sampling.weightedSample(df, "id", col("w"), k = 20)
+      .select("id", "weight", "priority")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    // reference: same tickets, plain Scala
+    val want = rows.map { case (id, w) =>
+      val pr = (1 to w).map(i => md5hex(s"$i|$id")).max
+      (id, w.toLong, pr)
+    }.sortBy { case (id, _, pr) => (pr, id) }(
+      Ordering.Tuple2(Ordering.String.reverse, Ordering.Long))
+      .take(20).toSet
+    assert(got == want)
+  }
+
+  test("weightedSample: heavier rows win ties in expectation (smoke)") {
+    // one heavy row among uniform light rows: with w=50 vs w=1 the heavy
+    // row's priority is the max of 50 uniforms — it beats any FIXED light
+    // row with prob 50/51; deterministic here, we just assert it made the
+    // top half on this seed-free (content-addressed) draw
+    val df = ((1L to 99L).map((_, 1)) :+ (100L, 50)).toDF("id", "w")
+    val sel = Sampling.weightedSample(df, "id", col("w"), k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(sel.contains(100L))
+  }
+
+  test("prefixFilterPairs matches brute force on randomized corpora") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector.tabulate(30)(i => s"w$i")
+      // near-dup-rich corpus: base docs + mutated copies
+      val base = Vector.tabulate(40) { i =>
+        (i.toLong, Vector.fill(5 + rnd.nextInt(15))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val mutated = base.take(20).map { case (id, t) =>
+        val w = t.split(" ").toVector
+        val drop = rnd.nextInt(w.size)
+        (id + 1000L, w.patch(drop, Nil, 1).mkString(" "))
+      }
+      val docs = (base ++ mutated).toDF("doc_id", "text")
+
+      val got = Dedup.prefixFilterPairs(docs, "text", "doc_id",
+          ngram = 2, threshold = 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      // brute force: every pair, exact 2-shingle Jaccard, same truncation
+      def shingles(t: String): Set[String] = {
+        val w = t.split(" ", -1)
+        if (w.length < 2) Set(w.mkString(" "))
+        else w.sliding(2).map(_.mkString(" ")).toSet
+      }
+      val all = (base ++ mutated).map { case (id, t) => (id, shingles(t)) }
+      val want = (for {
+        (ia, sa) <- all; (ib, sb) <- all if ia < ib
+        inter = (sa & sb).size
+        j = math.floor(inter.toDouble / (sa.size + sb.size - inter) * 1e4) / 1e4
+        if j >= 0.5
+      } yield (ia, ib, j)).toSet
+      assert(got == want, s"seed $seed: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("editDistancePairs: bounded verify is exact and drops far pairs") {
+    val block = "The quick brown fox jumps over the lazy dog padpadpad"
+    val docs = Seq(
+      (1L, block + " alpha beta gamma"),
+      (2L, block + " alpha beta gamm"),   // dist 1 from doc 1
+      (3L, block + " totally different tail that runs much longer than ten"),
+      (4L, "unrelated prefix so it lands in its own block entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "text", "doc_id",
+        substring(col("text"), 1, 40), maxDist = 10)
+      .select("doc_a", "doc_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 1-2 within 10; 1-3 and 2-3 share the block but exceed maxDist; 4 alone
+    assert(got == Set((1L, 2L, 1L)))
+  }
+}

@@ -318,4 +318,45 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("bucketed join is co-located: no exchange on either join key (J10)") {
+    val p = planOf("j10_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // the only hash exchange allowed is the groupBy's (status, returnflag);
+    // a shuffle on a join key means bucketing was not recognized
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    // bucketed scans: selected bucket count appears in the scan detail
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
+  test("partitioned store prunes to the filtered day at planning time (S8)") {
+    val p = planOf("s8_partition_prune")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("event_date"), p)
+    // equality against the literal day must sit in PartitionFilters (file
+    // skipping), not ride along as a post-scan data filter
+    assert(pf.contains("= 2024-01-10") || pf.contains("= 19732"), p)
+  }
+
+  test("weighted sample is map + bounded top-k, no global sort of the corpus") {
+    val p = planOf("x_sample_weighted")
+    // TakeOrderedAndProject: each partition reduces to its local k before
+    // anything moves — the A-Res selection never range-shuffles the corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("prefix-filter join: no cartesian, no partition-less window") {
+    val p = planOf("x_prefix_join")
+    assert(!p.contains("CartesianProduct"), p)
+    // the canonical rarity order is realized per-doc (sort_array over the
+    // doc's own tokens), never as a corpus-wide rank window
+    assert(!p.contains("windowspecdefinition()"), p)
+  }
+
+  test("edit-distance near-dup verifies only blocked candidates") {
+    val p = planOf("x_editdist_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
