@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.{Dedup, Sampling}
-import graft.ops.Storage
+import graft.ops.{Sketches, Storage, ZOrder}
 
 /** Storage-layout and guaranteed-recall scale operators (round 9):
   *
@@ -206,7 +206,144 @@ object ScaleOps {
             TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Count-Min heavy hitters: the sketch (d=5 rows × w=8192 buckets —
+    * bounded state, never a key-cardinality shuffle) proposes candidates
+    * with estimate ≥ 80; an exact pass over ONLY the proposed keys'
+    * rows verifies. Because CMS estimates can only over-count, the
+    * proposal has perfect recall — so the verified output is EXACTLY the
+    * true heavy-hitter set, and the oracle's plain GROUP BY/HAVING must
+    * hash-match it. `within_bound` additionally gates the published
+    * ε = e/w over-count bound per key (deterministic here: the hash
+    * functions are fixed xxhash64 seeds, not sampled). */
+  val xCmsHeavyHitters = OpQuery(
+    "x_cms_heavy_hitters",
+    "Count-Min sketch heavy hitters (propose-by-sketch, verify-exact), threshold 80",
+    (s, dir) =>
+      Sketches.cmsHeavyHitters(t(s, dir, "events"), col("user_id"),
+          threshold = 80L, depth = 5, width = 8192)
+        .select(col("k").as("user_id"), col("exact").as("n_events"),
+          col("within_bound"))
+        .orderBy("user_id"),
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            TRUE AS within_bound
+            FROM events GROUP BY user_id HAVING count(*) >= 80
+            ORDER BY user_id"""))
+
+  /** Mergeable-sketch rollup — the pre-aggregation pattern that makes
+    * distinct counts affordable at 100 TB: build Datasketches HLL partials
+    * once per (day, event_type) cell (the cube a warehouse materializes
+    * nightly), then answer the coarser event_type question by UNIONING
+    * sketches — never rescanning raw events. COUNT(DISTINCT) does not
+    * compose across cells (a user active on two days must not count
+    * twice); sketches do. Gate: the re-merged estimate must honor the
+    * HLL error bound against the exact distinct count (sketch bytes can
+    * never hash-match across engines; the bound is the contract, same
+    * treatment as x_approx_distinct_bounds). */
+  val xSketchRollup = OpQuery(
+    "x_sketch_rollup",
+    "HLL sketch partials per (day, event_type) re-merged to event_type, bounds-gated",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val partials = ev
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val rolled = partials
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      rolled.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(lit(1L), ceil(col("exact_users") * 0.05).cast("long")))
+            .as("within_bounds"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+            TRUE AS within_bounds
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Theta-sketch set algebra — audience overlap without a join: |A∩B|,
+    * |A∪B|, |A∖B| of the click/purchase user sets from two bounded
+    * sketches and closed-form set operations. The exact equivalent needs
+    * a user-cardinality groupBy to co-locate each user's flags; the
+    * sketch path shuffles only two ≤k-entry summaries, and the sketches
+    * persist for every FUTURE pairing (this week's clickers vs last
+    * month's buyers) without touching raw data again. Bounds-gated vs
+    * the exact in-query computation. */
+  val xThetaSetops = OpQuery(
+    "x_theta_setops",
+    "theta-sketch audience set algebra (intersect/union/difference), bounds-gated",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .agg(theta_sketch_agg(col("user_id")).as("a"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .agg(theta_sketch_agg(col("user_id")).as("b"))
+      val approx = clicks.crossJoin(buys).select(
+        theta_sketch_estimate(theta_intersection(col("a"), col("b")))
+          .as("approx_both"),
+        theta_sketch_estimate(theta_union(col("a"), col("b")))
+          .as("approx_any"),
+        theta_sketch_estimate(theta_difference(col("a"), col("b")))
+          .as("approx_click_only"))
+      val exact = ev
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+        .agg(sum(col("c") * col("p")).as("exact_both"),
+          count(lit(1)).as("exact_any"),
+          sum(col("c") * (lit(1) - col("p"))).as("exact_click_only"))
+      def ok(a: String, e: String) =
+        (abs(col(a) - col(e)) <=
+          greatest(lit(1L), ceil(col(e) * 0.05).cast("long"))).as(s"${e}_ok")
+      approx.crossJoin(exact).select(
+        col("exact_both"), col("exact_any"), col("exact_click_only"),
+        ok("approx_both", "exact_both"), ok("approx_any", "exact_any"),
+        ok("approx_click_only", "exact_click_only"))
+    },
+    Some("""WITH f AS (SELECT user_id,
+              max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+            FROM events WHERE event_type IN ('click', 'purchase')
+            GROUP BY user_id)
+            SELECT CAST(sum(c * p) AS BIGINT) AS exact_both,
+              CAST(count(*) AS BIGINT) AS exact_any,
+              CAST(sum(c * (1 - p)) AS BIGINT) AS exact_click_only,
+              TRUE AS exact_both_ok, TRUE AS exact_any_ok,
+              TRUE AS exact_click_only_ok
+            FROM f"""))
+
+  private val zBits = 11
+
+  /** Z-order (Morton) curve values over (user_id, day-of-month index) —
+    * the interleave expression behind ZOrder.writeZOrdered, gated bit-for-
+    * bit against the same Σ-of-shifts expansion in the oracle. The layout
+    * effect (tight per-file bounding boxes → file skipping on EITHER
+    * dimension) is measured in ZOrderSpec; this query pins the curve
+    * arithmetic itself, which is the part that must agree everywhere. */
+  val xZorderCurve = OpQuery(
+    "x_zorder_curve",
+    "Morton z-values interleaving (user_id, day index), bit-parity vs oracle",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day_idx"))
+        .withColumn("zval", ZOrder.zValue(col("user_id"), col("day_idx"), zBits))
+        .orderBy("event_id"),
+    Some(s"""SELECT event_id, user_id,
+            CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+              AS day_idx,
+            CAST(${ZOrder.zValueSql("user_id",
+              "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))", zBits)}
+              AS BIGINT) AS zval
+            FROM events ORDER BY event_id"""))
+
   val all: Seq[OpQuery] = Seq(
     j10BucketedJoin, s8PartitionPrune, xSampleWeighted, xPrefixJoin,
-    xEditdistNeardup, xApproxQuantileBounds)
+    xEditdistNeardup, xApproxQuantileBounds, xCmsHeavyHitters,
+    xSketchRollup, xThetaSetops, xZorderCurve)
 }

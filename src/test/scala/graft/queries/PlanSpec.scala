@@ -359,4 +359,32 @@ class PlanSpec extends SparkTestBase {
     val p = planOf("x_editdist_neardup")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("CMS heavy hitters: sketch side broadcasts, exact pass is semi-pruned") {
+    val p = planOf("x_cms_heavy_hitters")
+    // the ≤ d·w sketch and candidate frames ride broadcast joins; the
+    // events scan must never shuffle against them
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sketch rollup re-merges partials: two aggregate levels, one scan each") {
+    val p = planOf("x_sketch_rollup")
+    // hll partials per (day,type) then union_agg per type — both hash
+    // aggregates with map-side partials, no window, no extra sort
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("z-order curve values are a map-only projection, zero exchanges") {
+    val p = planOf("x_zorder_curve")
+    // orderBy is the verify-ordering; everything before it is one scan +
+    // codegen'd bit arithmetic, no shuffle, no join
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("props"), s"scan reads pruned columns: $readSchema")
+  }
 }
