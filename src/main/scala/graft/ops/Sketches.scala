@@ -78,9 +78,19 @@ object Sketches {
     * exactly the true heavy-hitter set with exact counts, plus the CMS
     * error bound checked per key (`within_bound`). */
   def cmsHeavyHitters(df: DataFrame, key: Column, threshold: Long,
-      depth: Int, width: Int): DataFrame = {
+      depth: Int, width: Int): DataFrame =
+    cmsHeavyHittersFrom(
+      cmsSketch(df.select(key.as("k")), col("k"), depth, width).cache(),
+      df, key, threshold, depth, width)
+
+  /** Same propose-then-verify, but over a PREBUILT sketch — the seam the
+    * streaming path uses: the counter table accumulates incrementally
+    * over micro-batches (counter sums are the merge), and the heavy-hitter
+    * question is answered later from the sketch + an archived-log verify
+    * pass, without the stream ever keeping per-key state. */
+  def cmsHeavyHittersFrom(sketch: DataFrame, df: DataFrame, key: Column,
+      threshold: Long, depth: Int, width: Int): DataFrame = {
     val keyed = df.select(key.as("k"))
-    val sketch = cmsSketch(keyed, col("k"), depth, width).cache()
     val candidates = cmsEstimates(sketch, keyed, col("k"), depth, width)
       .filter(col("est") >= threshold)
     // exact verify touches only candidate keys' rows (left-semi prune

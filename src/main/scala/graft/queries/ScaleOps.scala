@@ -316,6 +316,44 @@ object ScaleOps {
               TRUE AS exact_click_only_ok
             FROM f"""))
 
+  /** Mergeable QUANTILE partials — the KLL companion to x_sketch_rollup's
+    * HLL: one KLL sketch of `value` per (day, event_type) cell, re-merged
+    * per event_type with `kll_merge_agg`. Percentiles, like distinct
+    * counts, do not compose across cells (a median of medians is not the
+    * median); mergeable sketches are the pattern that makes a
+    * percentile-bearing cube re-aggregable at 100 TB. Gate: the rank of
+    * the re-merged sketch's p50 answer must sit within the published
+    * normalized-rank error of the true median rank (same bound treatment
+    * as x_approx_quantile_bounds gives GK). */
+  val xKllRollup = OpQuery(
+    "x_kll_rollup",
+    "KLL quantile partials per (day, event_type) re-merged, rank-bound-gated",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select("event_type", "ts", "value")
+      val partials = ev
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(kll_sketch_agg_double(col("value")).as("sk"))
+      val rolled = partials
+        .groupBy("event_type")
+        .agg(kll_sketch_get_quantile_double(
+          kll_merge_agg_double(col("sk")), lit(0.5)).as("approx_p50"))
+      // rank check: count of values ≤ the sketch's answer must be within
+      // 3% of n/2 (KLL k=200 publishes ~1.65% single-sided rank error)
+      ev.join(broadcast(rolled), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("value") <= col("approx_p50"), 1L).otherwise(0L))
+            .as("rank_le"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          (abs(col("rank_le") - col("n") * 0.5) <= col("n") * 0.03 + lit(1.0))
+            .as("within_bound"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            TRUE AS within_bound
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   private val zBits = 11
 
   /** Z-order (Morton) curve values over (user_id, day-of-month index) —
@@ -345,5 +383,5 @@ object ScaleOps {
   val all: Seq[OpQuery] = Seq(
     j10BucketedJoin, s8PartitionPrune, xSampleWeighted, xPrefixJoin,
     xEditdistNeardup, xApproxQuantileBounds, xCmsHeavyHitters,
-    xSketchRollup, xThetaSetops, xZorderCurve)
+    xSketchRollup, xThetaSetops, xKllRollup, xZorderCurve)
 }

@@ -459,8 +459,37 @@ object StreamingOps {
     },
     AggOps.a17Attribution.oracle)
 
+  /** Count-Min heavy hitters, streaming-executed. The counter table IS
+    * the streaming state: the micro-batch stream feeds the same
+    * codegen'd insert expression (`Sketches.cmsSketch` is a plain
+    * groupBy-count, so Structured Streaming maintains it incrementally in
+    * complete mode — merge = counter sum, the sketch's own merge law),
+    * bounded at d·w rows no matter how many keys flow past. The
+    * heavy-hitter QUESTION is then answered from the finished sketch via
+    * the shared propose-then-verify tail against the archived log — the
+    * lambda shape: bounded sketch state on the stream, exact verify on
+    * the batch side, only for sketch-proposed candidates. Shares
+    * x_cms_heavy_hitters' oracle verbatim. */
+  val stCmsHeavyHitters = OpQuery(
+    "st_cms_heavy_hitters_stream",
+    "streaming Count-Min counter state + batch verify (x_cms_heavy_hitters' oracle)",
+    (s, dir) => withStatePartitions(s, 8) {
+      val (d, w) = (5, 8192)
+      val sketch = drain(
+        graft.ops.Sketches.cmsSketch(
+          eventStream(s, dir).select(col("user_id").as("k")), col("k"), d, w),
+        "st_cms_sketch", mode = "complete")
+      graft.ops.Sketches.cmsHeavyHittersFrom(sketch,
+          graft.core.Tables.load(s, dir, "events"), col("user_id"),
+          threshold = 80L, depth = d, width = w)
+        .select(col("k").as("user_id"), col("exact").as("n_events"),
+          col("within_bound"))
+        .orderBy("user_id")
+    },
+    ScaleOps.xCmsHeavyHitters.oracle)
+
   val all: Seq[OpQuery] =
     Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
       stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream,
-      stCepTimes, stAttribution)
+      stCepTimes, stAttribution, stCmsHeavyHitters)
 }

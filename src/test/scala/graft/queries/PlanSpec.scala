@@ -378,6 +378,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("KLL rollup broadcasts the 5-row quantile answer; no window, no cartesian") {
+    val p = planOf("x_kll_rollup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("z-order curve values are a map-only projection, zero exchanges") {
     val p = planOf("x_zorder_curve")
     // orderBy is the verify-ordering; everything before it is one scan +
