@@ -24,7 +24,7 @@ import graft.functions.{BloomProbe, StridedMinHash, VectorCosine, WinnowFps}
   * functions the first time a graft operator needs one. Both paths share
   * one builder per function, so the definitions cannot drift.
   *
-  * The five natives are the engine's codegen'd hot loops:
+  * The natives are the engine's codegen'd hot loops:
   *   - `vec_cosine(array<float>, array<float>)` — fused cosine similarity
   *     (ANN scoring), [[graft.functions.VectorCosine]];
   *   - `winnow_fps(text, k, w)` — winnowing fingerprints (Schleimer et
@@ -34,7 +34,9 @@ import graft.functions.{BloomProbe, StridedMinHash, VectorCosine, WinnowFps}
   *   - `graft_bloom_agg(value, nItems, nBits)` /
   *     `graft_bloom_probe(bytes, value)` — distributed Bloom build +
   *     map-side probe over Spark's runtime-filter machinery,
-  *     [[graft.functions.BloomProbe]].
+  *     [[graft.functions.BloomProbe]];
+  *   - `z_value(x, y, bits)` — Morton z-order interleave (storage
+  *     clustering), [[graft.ops.ZOrder]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -68,7 +70,10 @@ object GraftExtensions {
       BloomProbe.aggBuilder),
     fn("graft_bloom_probe",
       "graft_bloom_probe(bytes, value) - Bloom filter might-contain",
-      BloomProbe.probeBuilder))
+      BloomProbe.probeBuilder),
+    fn("z_value",
+      "z_value(x, y, bits) - Morton z-order interleave of the low bits",
+      graft.ops.ZOrder.builder))
 
   /** Eagerly add every native to an EXISTING session's registry — the
     * escape hatch when the session was built without the extensions conf

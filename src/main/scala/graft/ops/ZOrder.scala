@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Expression, Literal, ShiftLeft, ShiftRight}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Z-order (Morton) curve layout — multi-dimensional clustering for
   * min/max data skipping. Sorting a table by the bit-interleaving of two
@@ -35,6 +37,30 @@ object ZOrder {
       acc
         .bitwiseOR(shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
         .bitwiseOR(shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Catalyst builder for the SQL surface (`z_value(x, y, bits)` via
+    * GraftExtensions): expands the same fold as [[zValue]] at resolution
+    * time, so the SQL and Column paths share one shape. `bits` must be a
+    * literal — the expansion is a compile-time decision. */
+  def builder(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "z_value(x, y, bits) takes exactly 3 arguments")
+    val bits = args(2) match {
+      case Literal(v: Int, IntegerType) => v
+      case e if e.foldable && e.dataType == IntegerType =>
+        e.eval().asInstanceOf[Int]
+      case _ => throw new IllegalArgumentException(
+        "z_value: bits must be an integer literal")
+    }
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val x = Cast(args(0), LongType)
+    val y = Cast(args(1), LongType)
+    def bit(src: Expression, i: Int, pos: Int): Expression =
+      ShiftLeft(BitwiseAnd(ShiftRight(src, Literal(i)), Literal(1L)),
+        Literal(pos))
+    (0 until bits).foldLeft(Literal(0L): Expression) { (acc, i) =>
+      BitwiseOr(BitwiseOr(acc, bit(x, i, 2 * i)), bit(y, i, 2 * i + 1))
     }
   }
 

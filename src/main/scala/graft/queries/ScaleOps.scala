@@ -380,8 +380,49 @@ object ScaleOps {
               AS BIGINT) AS zval
             FROM events ORDER BY event_id"""))
 
+  /** The z-order layout driven END TO END: events written ONCE z-clustered
+    * on (user_id, day index) via ZOrder.writeZOrdered, read back with a
+    * rectangle predicate on BOTH dimensions. Correctness is layout-
+    * independent (the oracle filters the raw table — exactly the point:
+    * clustering is a pure file-skipping win, it must never change
+    * answers); the skipping effect itself is measured in ZOrderSpec
+    * (y-only query touches ≤8/16 files z-clustered vs 16/16 x-sorted)
+    * because parquet row-group pruning is a scan-internal decision that
+    * doesn't surface in the plan. Completes the storage-discipline trio:
+    * bucketing (j10) serves joins, partitioning (s8) serves the time
+    * axis, z-order serves range predicates on the OTHER dimensions. */
+  val xZorderSkip = OpQuery(
+    "x_zorder_skip",
+    "rectangle query over the z-ordered events store (both-dimension predicate)",
+    (s, dir) => {
+      val path = Storage.ensureWritten(
+        s"${Storage.root}/${Storage.tagFor(dir)}/events_zorder") { p =>
+        ZOrder.writeZOrdered(
+          t(s, dir, "events").select(
+            col("event_id"), col("user_id"), col("event_type"), col("value"),
+            datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+              .cast("long").as("day_idx")),
+          col("user_id"), col("day_idx"), bits = zBits, numFiles = 16, path = p)
+      }
+      s.read.parquet(path)
+        .filter(col("user_id").between(100L, 299L) &&
+          col("day_idx").between(7L, 13L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events
+            WHERE user_id BETWEEN 100 AND 299
+              AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  BETWEEN 7 AND 13
+            GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[OpQuery] = Seq(
     j10BucketedJoin, s8PartitionPrune, xSampleWeighted, xPrefixJoin,
     xEditdistNeardup, xApproxQuantileBounds, xCmsHeavyHitters,
-    xSketchRollup, xThetaSetops, xKllRollup, xZorderCurve)
+    xSketchRollup, xThetaSetops, xKllRollup, xZorderCurve, xZorderSkip)
 }

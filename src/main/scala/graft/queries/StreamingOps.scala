@@ -488,8 +488,40 @@ object StreamingOps {
     },
     ScaleOps.xCmsHeavyHitters.oracle)
 
+  /** The mergeable-sketch cube, streaming-maintained: Datasketches HLL
+    * partials per (day, event_type) accumulate AS streaming aggregation
+    * state (hll_sketch_agg is a typed imperative aggregate — Structured
+    * Streaming updates its buffer per micro-batch like any agg), then the
+    * coarser event_type answer is produced post-stream by RE-MERGING the
+    * drained partials with hll_union_agg — never touching raw events
+    * again. This is the production nightly-cube shape with the cube kept
+    * hot by the stream instead of rebuilt in batch. Shares
+    * x_sketch_rollup's oracle (and its error-bound gate) verbatim. */
+  val stSketchRollup = OpQuery(
+    "st_sketch_rollup_stream",
+    "streaming HLL sketch partials re-merged post-stream (x_sketch_rollup's oracle)",
+    (s, dir) => withStatePartitions(s, 8) {
+      val partials = drain(
+        eventStream(s, dir)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk")),
+        "st_hll_partials", mode = "complete")
+      val rolled = partials.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      val exact = graft.core.Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      rolled.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(lit(1L), ceil(col("exact_users") * 0.05).cast("long")))
+            .as("within_bounds"))
+        .orderBy("event_type")
+    },
+    ScaleOps.xSketchRollup.oracle)
+
   val all: Seq[OpQuery] =
     Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
       stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream,
-      stCepTimes, stAttribution, stCmsHeavyHitters)
+      stCepTimes, stAttribution, stCmsHeavyHitters, stSketchRollup)
 }

@@ -12,19 +12,29 @@ import org.scalatest.funsuite.AnyFunSuite
   * re-proof; the per-expression suites own semantics). */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-extensions-spec")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  private lazy val spark: SparkSession = {
+    // the suite JVM is shared: another suite's session (no extensions)
+    // may already be active, and getOrCreate would return it — with the
+    // five lazily-register()ed natives coincidentally present but any
+    // injection-only function missing. Clear both handles so the builder
+    // actually CREATES a session and the extensions run (the underlying
+    // SparkContext is still reused).
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
 
-  test("all five natives are visible to pure SQL after injection") {
+  test("all six natives are visible to pure SQL after injection") {
     val names = GraftExtensions.functions.map(_._1.funcName)
     assert(names.sorted === Seq("graft_bloom_agg", "graft_bloom_probe",
-      "strided_minhash", "vec_cosine", "winnow_fps"))
+      "strided_minhash", "vec_cosine", "winnow_fps", "z_value"))
     names.foreach { n =>
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
@@ -71,5 +81,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |FROM (SELECT explode(array('a', 'zz')) AS v) s""".stripMargin)
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(hits("a"), "member must probe true (no false negatives)")
+  }
+
+  test("z_value from SQL matches the Column path and rejects non-literal bits") {
+    import spark.implicits._
+    val viaSql = spark.sql(
+      "SELECT z_value(13, 22, 6) AS z, z_value(63, 0, 6) AS z2").head()
+    val viaColumn = Seq((13L, 22L)).toDF("x", "y")
+      .select(graft.ops.ZOrder.zValue($"x", $"y", 6)).head().getLong(0)
+    assert(viaSql.getLong(0) == viaColumn)
+    assert(viaSql.getLong(1) == 0x555L) // x=111111 interleaves to even bits
+    val err = intercept[Exception] {
+      spark.sql("SELECT z_value(1, 2, id) FROM range(1)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("bits"))
   }
 }
