@@ -768,4 +768,44 @@ object Dedup {
       .filter(col("hamming") <= maxHam)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** C4-style LINE-level global dedup ("we removed all but one of any
+    * [span] occurring more than once in the dataset", Raffel et al. 2020
+    * §2.2): every line keeps only its globally FIRST occurrence — ordered
+    * by (doc id, position) — and all later occurrences are cut; documents
+    * are rebuilt from their surviving lines in order. Catches the
+    * boilerplate exact dedup misses (same footer/nav line pasted into
+    * thousands of otherwise-distinct pages) without the full span
+    * machinery of [[duplicatedSpans]].
+    *
+    * Scale shape: split is map-side; ONE line-keyed shuffle computes each
+    * line's canonical first occurrence (min struct — map-side combinable);
+    * the keep-filter is the same join; reassembly is one doc-keyed shuffle
+    * with per-doc state bounded by document size. A hot line (site-wide
+    * boilerplate on millions of pages) is one heavy aggregation key —
+    * map-side partial min reduces it per partition before anything moves,
+    * and the join back is AQE-skew-splittable. Never an all-pairs step.
+    *
+    * Returns (id, text_kept, n_kept, n_dropped); a fully-duplicated doc
+    * survives with text_kept = "" so corpus accounting stays total. */
+  def lineDedup(docs: DataFrame, textCol: String, idCol: String,
+      delim: String = "\n"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(delim))).as(Seq("pos", "line")))
+    val canon = lines
+      .groupBy("line")
+      .agg(min(struct(col(idCol), col("pos"))).as("first"))
+    lines.join(canon, Seq("line"))
+      .withColumn("is_first",
+        struct(col(idCol), col("pos")) === col("first"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("is_first"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), delim).as("text_kept"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_first"), 0L).otherwise(1L)).as("n_dropped"))
+  }
 }

@@ -2827,9 +2827,51 @@ object ExtOps {
               min(v) AS min_s, max(v) AS max_s
             FROM p GROUP BY col_name ORDER BY col_name"""))
 
+  /** C4's line-level dedup (Raffel et al. 2020 §2.2 — "removed all but
+    * one of any [span] occurring more than once"): a line keeps only its
+    * globally first (doc_id, pos) occurrence. The corpus has no newlines,
+    * so the query first segments each doc into 10-word pseudo-lines —
+    * a deterministic map both engines restate — then runs the general
+    * delimiter-based op. The synthetic corpus's exact/near-dup docs give
+    * the cut a real workout (their shared segments drop from the later
+    * copy). */
+  val xLineDedup = OpQuery(
+    "x_line_dedup",
+    "C4 line-level global dedup: keep first occurrence, rebuild docs",
+    (s, dir) => {
+      val words = split(col("text"), " ")
+      val segged = t(s, dir, "documents").select(col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0),
+              ceil(size(words) / lit(10.0)).cast("int") - 1),
+            i => array_join(slice(words, i * 10 + 1, lit(10)), " ")),
+          "\n").as("text"))
+      Dedup.lineDedup(segged, "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            segs AS (SELECT doc_id, i AS pos,
+                array_to_string(w[(i*10+1):(i*10+10)], ' ') AS line
+              FROM w, unnest(generate_series(0,
+                CAST(ceil(len(w) / 10.0) AS INT) - 1)) AS t(i)),
+            f AS (SELECT doc_id, pos, line,
+                (row_number() OVER (PARTITION BY line
+                   ORDER BY doc_id, pos) = 1) AS is_first
+              FROM segs)
+            SELECT doc_id,
+              coalesce(string_agg(CASE WHEN is_first THEN line END,
+                chr(10) ORDER BY pos), '') AS text_kept,
+              CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_dropped
+            FROM f GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xMinhashEst,
-    xNeardupJaccard,
+    xNeardupJaccard, xLineDedup,
     xSimhash, xSimhashNeardup, xNeardupJaccard3, xContainment,
     xDedupComponents,
     xDedupPipeline,

@@ -1227,4 +1227,24 @@ class ExtSpec extends SparkTestBase {
     // target-like docs outrank raw-only docs, so they are the survivors
     assert(byId(7L)._3 == 1L && byId(8L)._3 == 0L)
   }
+
+  test("lineDedup keeps only the globally first occurrence and rebuilds docs") {
+    val df = Seq(
+      (1L, "intro\nshared footer\nbody one"),
+      (2L, "body two\nshared footer"),
+      (3L, "shared footer\nshared footer"), // within-doc repeat also cut
+      (4L, "unique only"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(got(0) == ((1L, "intro\nshared footer\nbody one", 3L, 0L)))
+    assert(got(1) == ((2L, "body two", 1L, 1L)))
+    // doc 3 loses BOTH copies (first occurrence lives in doc 1) and
+    // survives as an empty doc — corpus accounting stays total
+    assert(got(2) == ((3L, "", 0L, 2L)))
+    assert(got(3) == ((4L, "unique only", 1L, 0L)))
+    // invariant: lines are conserved
+    assert(got.map(t => t._3 + t._4).sum == 8L)
+  }
 }
