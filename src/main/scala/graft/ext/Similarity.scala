@@ -689,6 +689,28 @@ object Similarity {
         col("bk.band_key").as("band_key"))
   }
 
+  /** Johnson–Lindenstrauss random projection with the ±1 (Achlioptas)
+    * matrix — dimensionality reduction before ANN/clustering: dim → k
+    * components, pairwise distances preserved within 1±ε for
+    * k = O(ln n / ε²). The matrix is the SAME [[srpSigns]] LCG matrix the
+    * SRP-LSH family uses (SRP's sign bits are exactly these components'
+    * signs — one shared source of truth), and components are emitted as
+    * the exact integer Σ sᵢ·⌊vᵢ·10⁶⌋ WITHOUT the 1/√k normalization: a
+    * constant scale factor changes no distance comparison downstream, and
+    * dropping it keeps every component BIGINT-exact across engines.
+    * Map-only: one zip_with traversal per component, no shuffle. */
+  def jlProject(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int): DataFrame = {
+    val signs = srpSigns(k, dim)
+    val comps = (0 until k).map { j =>
+      aggregate(
+        zip_with(col(vecCol), typedLit(signs(j).toSeq),
+          (v, sg) => sg.cast("long") * floor(v.cast("double") * lit(1000000.0))),
+        lit(0L), (acc, term) => acc + term)
+    }
+    embeddings.select(col(idCol), array(comps: _*).as("proj"))
+  }
+
   /** Candidate pairs from SRP band keys: vectors sharing ≥1 band key,
     * with the shared-band count kept as a collision-strength signal.
     * The self-join shuffles on (band, band_key) — candidate volume is

@@ -508,4 +508,99 @@ object TextAnalysis {
       .withColumn("fp_winnow", expr("strided_minhash(norm, 16, 8)"))
       .drop("norm")
   }
+
+  /** PMI collocation extraction (Church & Hanks 1990): bigrams whose
+    * observed frequency beats independence, ranked by pointwise mutual
+    * information. The PMI ln is MONOTONE in the rational
+    * N·c(xy) / (c(x)·c(y)), so ranking never computes a logarithm: the
+    * score is the exact integer ⌊N·c(xy)·10⁶ / (c(x)·c(y))⌋ —
+    * bit-identical across engines, the LmScore determinism discipline
+    * applied to collocations. The numerator is bounded by N²·10⁶, BIGINT-
+    * safe up to N ≈ 3×10⁶ tokens; beyond that (the 100 TB corpus) route
+    * the same rational through DECIMAL(38,0) — the ranking is unchanged.
+    *
+    * Scale shape: one tokenize scan feeds bigram AND unigram counts
+    * (vocabulary-keyed aggregations with map-side combine); the unigram
+    * frame joins back twice — both sides vocabulary-sized, broadcastable;
+    * final top-k is a TakeOrdered heap, never a global sort. `minCount`
+    * is the classic noise floor (PMI favors hapax pairs without it). */
+  def collocationsTopK(docs: DataFrame, textCol: String, k: Int = 20,
+      minCount: Long = 5L): DataFrame = {
+    import graft.core.Materialize._
+    val words = docs
+      .select(filter(split(col(textCol), " "), x => length(x) > 0).as("w"))
+    val tokens = words.select(explode(col("w")).as("tok")).staged
+    val n = tokens.agg(count(lit(1)).as("n_tokens"))
+    val uni = tokens.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bi = words
+      .select(explode(expr(
+        "CASE WHEN size(w) < 2 THEN array() ELSE " +
+          "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS x, element_at(w, i + 1) AS y)) " +
+          "END")).as("b"))
+      .groupBy(col("b.x").as("x"), col("b.y").as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    bi
+      .join(broadcast(uni.withColumnRenamed("tok", "x")
+        .withColumnRenamed("c1", "c_x")), Seq("x"))
+      .join(broadcast(uni.withColumnRenamed("tok", "y")
+        .withColumnRenamed("c1", "c_y")), Seq("y"))
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("c_xy"),
+        expr("n_tokens * c_xy * 1000000L DIV (c_x * c_y)").as("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
+  /** Gopher's 8 most-cited stop words (Rae et al. 2021, A1.1 rule 6). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The published Gopher document-quality rule set (Rae et al. 2021,
+    * Appendix A1.1) as per-rule boolean flags — the gate every LLM data
+    * pipeline since has copied or tuned. Zero shuffle: every rule is
+    * doc-local array/string arithmetic inside whole-stage codegen, and
+    * every RATIO threshold is realized as an integer cross-multiplication
+    * (3 ≤ mean_len ≤ 10 becomes 3·n ≤ Σlen ≤ 10·n) so the flags are
+    * bit-identical across engines — no float division anywhere.
+    *
+    * Rules: word count in [50, 100k]; mean word length in [3, 10];
+    * '#' or '...' symbol-to-word ratio ≤ 0.1; ≥ 80% of words contain an
+    * alphabetic character; ≥ 2 distinct [[GopherStops]] present. (The
+    * bullet/ellipsis LINE rules need line structure this corpus lacks —
+    * they collapse to the symbol-ratio rule here.) */
+  def gopherRules(docs: DataFrame, textCol: String, idCol: String,
+      stops: Seq[String] = GopherStops): DataFrame =
+    docs
+      .withColumn("_gw", filter(split(col(textCol), " "), x => length(x) > 0))
+      .withColumn("n_words", size(col("_gw")).cast("long"))
+      .withColumn("_chars",
+        aggregate(col("_gw"), lit(0L), (a, x) => a + length(x)))
+      .withColumn("_hash_ct",
+        ((length(col(textCol)) -
+          length(regexp_replace(col(textCol), "#", "")))).cast("long"))
+      .withColumn("_ell_ct",
+        ((length(col(textCol)) -
+          length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3)
+          .cast("long"))
+      .withColumn("_alpha_ct",
+        size(filter(col("_gw"), x => x.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("_stop_ct",
+        size(array_intersect(array_distinct(col("_gw")),
+          array(stops.map(lit): _*))).cast("long"))
+      .select(
+        col(idCol), col("n_words"),
+        (col("n_words") >= 50L && col("n_words") <= 100000L)
+          .as("ok_word_count"),
+        (col("_chars") >= col("n_words") * 3L &&
+          col("_chars") <= col("n_words") * 10L).as("ok_mean_word_len"),
+        ((col("_hash_ct") + col("_ell_ct")) * 10L <= col("n_words"))
+          .as("ok_symbol_ratio"),
+        (col("_alpha_ct") * 5L >= col("n_words") * 4L).as("ok_alpha_words"),
+        (col("_stop_ct") >= 2L).as("ok_stopwords"))
+      .withColumn("pass_gopher",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_alpha_words") &&
+          col("ok_stopwords"))
 }

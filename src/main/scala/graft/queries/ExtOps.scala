@@ -941,6 +941,22 @@ object ExtOps {
       |         sum(bit << (3 - (j % 4))) AS band_key
       |         FROM bits GROUP BY 1, 2)""".stripMargin
 
+  /** JL projection flattened to (vec_id, j, comp) — the projection IS the
+    * SRP family's pre-sign dot table, so the oracle reuses the shared CTE
+    * (sdots) verbatim; unreferenced downstream CTEs cost nothing. */
+  val xJlProject = OpQuery(
+    "x_jl_project",
+    "Johnson-Lindenstrauss ±1 projection 64d→16d (integer-exact components)",
+    (s, dir) =>
+      Similarity.jlProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, k = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "comp")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("comp"))
+        .orderBy("vec_id", "j"),
+    Some(s"""WITH $srpCte
+            SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(dot AS BIGINT) AS comp
+            FROM sdots ORDER BY vec_id, j"""))
+
   val xSrpSignature = OpQuery(
     "x_srp_signature",
     "SRP-LSH hyperplane band keys (16 sign bits → 4×4-bit bands) per vector",
@@ -2869,9 +2885,84 @@ object ExtOps {
                 AS n_dropped
             FROM f GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** The Gopher rule set (Rae et al. 2021 A1.1) with every ratio
+    * threshold realized as integer cross-multiplication — flags are
+    * bit-identical across engines, so the full rule table hash-gates. */
+  val xGopherRules = OpQuery(
+    "x_gopher_rules",
+    "Gopher document-quality rules as per-rule flags (integer-exact ratios)",
+    (s, dir) =>
+      // the synthetic vocabulary's only function words are "the" and "a",
+      // so the stop-word rule runs with the corpus's own inventory (the
+      // published Gopher list stays the op's default); all five rules
+      // then partition the corpus non-trivially and the hash gate bites
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "text", "doc_id",
+          stops = Seq("the", "a"))
+        .orderBy("doc_id"),
+    Some("""WITH wl AS (SELECT doc_id, text,
+              list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+              FROM documents),
+            m AS (SELECT doc_id,
+              CAST(len(w) AS BIGINT) AS n_words,
+              CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)
+                AS chars,
+              CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+                AS hash_ct,
+              CAST((len(text) - len(replace(text, '...', ''))) // 3
+                AS BIGINT) AS ell_ct,
+              CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                AS BIGINT) AS alpha_ct,
+              CAST(len(list_filter(list_distinct(w), x -> x IN
+                ('the','a'))) AS BIGINT) AS stop_ct
+              FROM wl)
+            SELECT doc_id, n_words,
+              n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+              chars >= n_words * 3 AND chars <= n_words * 10
+                AS ok_mean_word_len,
+              (hash_ct + ell_ct) * 10 <= n_words AS ok_symbol_ratio,
+              alpha_ct * 5 >= n_words * 4 AS ok_alpha_words,
+              stop_ct >= 2 AS ok_stopwords,
+              (n_words >= 50 AND n_words <= 100000)
+                AND (chars >= n_words * 3 AND chars <= n_words * 10)
+                AND ((hash_ct + ell_ct) * 10 <= n_words)
+                AND (alpha_ct * 5 >= n_words * 4)
+                AND (stop_ct >= 2) AS pass_gopher
+            FROM m ORDER BY doc_id"""))
+
+  /** PMI ranking through the exact integer ⌊N·c_xy·10⁶/(c_x·c_y)⌋ — the
+    * ln is monotone in that rational, so no float ever enters the sort
+    * key and the top-k hash-gates. Ties broken by (x, y) in both engines. */
+  val xCollocations = OpQuery(
+    "x_collocations",
+    "PMI collocations: top-20 bigrams beating independence (integer-exact)",
+    (s, dir) =>
+      TextAnalysis.collocationsTopK(t(s, dir, "documents"), "text",
+          k = 20, minCount = 5L)
+        .orderBy(col("pmi_scaled").desc, col("x"), col("y")),
+    Some("""WITH wl AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+              FROM documents),
+            tok AS (SELECT unnest(w) AS tok FROM wl),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok),
+            uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+                    FROM tok GROUP BY tok),
+            bi0 AS (SELECT w[i] AS x, w[i+1] AS y
+                    FROM wl, unnest(generate_series(1, len(w) - 1)) AS t(i)
+                    WHERE len(w) >= 2),
+            bi AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+                   FROM bi0 GROUP BY x, y HAVING count(*) >= 5)
+            SELECT y, x, c_xy,
+              CAST(n.n_tokens * c_xy * 1000000 //
+                (ux.c1 * uy.c1) AS BIGINT) AS pmi_scaled
+            FROM bi
+            JOIN uni ux ON ux.tok = x
+            JOIN uni uy ON uy.tok = y
+            CROSS JOIN n
+            ORDER BY pmi_scaled DESC, x, y LIMIT 20"""))
+
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xMinhashEst,
-    xNeardupJaccard, xLineDedup,
+    xNeardupJaccard, xLineDedup, xGopherRules, xCollocations,
     xSimhash, xSimhashNeardup, xNeardupJaccard3, xContainment,
     xDedupComponents,
     xDedupPipeline,
@@ -2881,8 +2972,8 @@ object ExtOps {
     xEmbedCentroids,
     xAnnIvf, xAnnIvfKmeans, xAnnIvfPq,
     xAnnKmeansExact, xAnnPqExact, xAnnIvfPqExact, xSemDedupKmeans1r,
-    xCosineNeardup, xSemDedup, xSemDedupKmeans, xSrpSignature, xSrpNeardup,
-    xSrpSemDedup, stSrpDedup,
+    xCosineNeardup, xSemDedup, xSemDedupKmeans, xJlProject, xSrpSignature,
+    xSrpNeardup, xSrpSemDedup, stSrpDedup,
     xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xClonePairs, xTfidfTopk, xBm25Topk, xVocabProfile,
     xDomainKl, xDqProfile, xKeySkew,

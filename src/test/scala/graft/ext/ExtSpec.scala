@@ -1228,6 +1228,85 @@ class ExtSpec extends SparkTestBase {
     assert(byId(7L)._3 == 1L && byId(8L)._3 == 0L)
   }
 
+  test("gopherRules: each rule trips on its own boundary, integer-exact") {
+    val fifty = ("word " * 50).trim                   // 50 words, len 4 each
+    val docs = Seq(
+      (1L, fifty + " the a"),                         // 52 words, all rules pass
+      (2L, "the a short doc"),                        // fails word count only
+      (3L, fifty + " the a " + ("## " * 12).trim),    // 12 '#' on 64 words: symbol fail
+      (4L, (("ab " * 49).trim + " the a")),           // 51 words but mean len < 3
+      (5L, fifty + " the"),                           // only 1 stop word
+      (6L, fifty + " the a " + ("42 " * 14).trim))    // 14/66 numeric: alpha fail
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "text", "doc_id",
+        stops = Seq("the", "a"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+      .toMap
+    assert(got(1L) == ((true, true, true, true, true, true)))
+    assert(got(2L)._1 == false && got(2L)._6 == false)
+    assert(got(3L)._3 == false, "symbol-ratio rule must trip")
+    assert(got(4L)._2 == false, "mean-word-length rule must trip")
+    assert(got(5L)._5 == false, "stop-word rule needs 2 distinct")
+    assert(got(6L)._4 == false, "alpha-word rule must trip")
+  }
+
+  test("collocationsTopK ranks by the exact PMI rational, noise floor applied") {
+    // "strong pair": always adjacent; "weak pair": words frequent but
+    // rarely adjacent; "rare pair": adjacent but below minCount
+    val doc = (("strong pair " * 10) + ("weak x weak y weak z " * 10) +
+      "rare once").trim
+    val got = TextAnalysis.collocationsTopK(Seq((1L, doc)).toDF("doc_id", "text"),
+        "text", k = 5, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains(("strong", "pair")))
+    assert(!pairs.exists(p => p._1 == "rare" || p._2 == "once"),
+      "below-minCount bigram must be filtered")
+    // strong-pair PMI beats any weak-word bigram: c(strong,pair)=10 with
+    // c(strong)=c(pair)=10; weak bigrams share c(weak)=30
+    val best = got.maxBy(_._4)
+    assert((best._1, best._2) == (("strong", "pair")))
+    // exact integer check: N * c_xy * 1e6 DIV (c_x * c_y)
+    val n = doc.split(" ").length.toLong
+    assert(best._4 == n * 10L * 1000000L / (10L * 10L))
+  }
+
+  test("jlProject components are exactly the SRP pre-sign dots") {
+    val vecs = Seq(
+      (1L, Array.tabulate(64)(i => (i % 7 - 3) * 0.25f).toSeq),
+      (2L, Array.tabulate(64)(i => math.sin(i).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val proj = Similarity.jlProject(vecs, "vec_id", "embedding", dim = 64, k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // reference: same fixed-point rule in plain Scala
+    val signs = Similarity.srpSigns(16, 64)
+    val raw = Seq(
+      1L -> Array.tabulate(64)(i => (i % 7 - 3) * 0.25f),
+      2L -> Array.tabulate(64)(i => math.sin(i).toFloat))
+    raw.foreach { case (id, v) =>
+      val want = (0 until 16).map { j =>
+        (0 until 64).map(i =>
+          signs(j)(i) * math.floor(v(i).toDouble * 1000000.0).toLong).sum
+      }
+      assert(proj(id) == want, s"vec $id")
+    }
+    // and the SRP signature bits are these components' signs
+    val bits = Similarity.srpBandKeys(vecs, "vec_id", "embedding",
+        dim = 64, nBits = 16, bandBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    raw.foreach { case (id, _) =>
+      (0 until 4).foreach { band =>
+        val key = (0 until 4).map { r =>
+          (if (proj(id)(band * 4 + r) >= 0) 1L else 0L) << (3 - r)
+        }.sum
+        assert(bits((id, band.toLong)) == key)
+      }
+    }
+  }
+
   test("lineDedup keeps only the globally first occurrence and rebuilds docs") {
     val df = Seq(
       (1L, "intro\nshared footer\nbody one"),
