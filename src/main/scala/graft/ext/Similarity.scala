@@ -711,6 +711,52 @@ object Similarity {
     embeddings.select(col(idCol), array(comps: _*).as("proj"))
   }
 
+  /** Two-stage retrieval through the JL projection — the standard
+    * coarse-to-fine serving shape: stage 1 ranks the corpus against each
+    * query by L2² in the 16-component projected space (integer
+    * arithmetic; components arithmetic-shifted ≫10 so the squared sums
+    * stay double-exact inside the top-C heap) and keeps `coarseC`
+    * candidates; stage 2 re-ranks ONLY those candidates by exact cosine
+    * on the raw vectors. The corpus pays one projected scan + one
+    * candidate-pruned exact pass — never a full-width exact scan per
+    * query — and the projection is reusable across every future query
+    * batch (persist `jlProject`'s output next to the embeddings).
+    * Approximation lives entirely in stage 1's candidate set; every
+    * emitted score is exact. */
+  def jlRerankTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, dim: Int, kProj: Int, coarseC: Int,
+      k: Int): DataFrame = {
+    def shifted(df: DataFrame, as: String, proj: String) =
+      df.select(col(idCol).as(as),
+        transform(col("proj"), c => shiftright(c, 10)).as(proj))
+    val cp = shifted(jlProject(embeddings, idCol, vecCol, dim, kProj),
+      "cid", "cp")
+    val qp = shifted(jlProject(queries, idCol, vecCol, dim, kProj),
+      "qid", "qp")
+    val topC = graft.functions.TopK.topK(coarseC)
+    val cand = cp.crossJoin(broadcast(qp))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("d", aggregate(
+        zip_with(col("cp"), col("qp"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy("qid")
+      // smallest distance first = largest -d; d is double-exact (≤ ~2^41)
+      .agg(topC((-col("d")).cast("double"), col("cid")).as("tk"))
+      .select(col("qid"), explode(col("tk.items")).as("s"))
+      .select(col("qid"), col("s.id").as("cid"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
+      .withColumn("qn", norm("qe"))
+    val candQ = cand.join(broadcast(q), Seq("qid"))
+    val scored = embeddings
+      .select(col(idCol).as("cid"), col(vecCol).as("ce"))
+      .withColumn("cn", norm("ce"))
+      .join(broadcast(candQ), Seq("cid"))
+      .withColumn("cosine",
+        floor(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("cn"))) * 1000000.0)
+          / 1000000.0)
+    rankTopK(scored, k)
+  }
+
   /** Candidate pairs from SRP band keys: vectors sharing ≥1 band key,
     * with the shared-band count kept as a collision-strength signal.
     * The self-join shuffles on (band, band_key) — candidate volume is

@@ -957,6 +957,63 @@ object ExtOps {
             SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(dot AS BIGINT) AS comp
             FROM sdots ORDER BY vec_id, j"""))
 
+  /** Two-stage JL retrieval: the oracle restates BOTH stages — integer
+    * coarse distances in projected space (row_number ≤ 32 per query) and
+    * the exact cosine re-rank over only those candidates — so the hash
+    * gates the full algorithm, candidate set included, not just the final
+    * arithmetic. */
+  val xAnnJlRerank = OpQuery(
+    "x_ann_jl_rerank",
+    "two-stage ANN: JL-space coarse top-32, exact cosine re-rank top-5",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.jlRerankTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), dim = 64, kProj = 16,
+          coarseC = 32, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH ve2 AS (SELECT vec_id, unnest(embedding) AS x,
+              unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings),
+            qfix AS (SELECT vec_id, i,
+              CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS qx
+              FROM ve2),
+            sgn2 AS (SELECT j, unnest(sl) AS sv,
+              unnest(generate_series(1, 64)) AS i
+              FROM (VALUES $srpSignRows) t(j, sl)),
+            pr AS (SELECT q.vec_id, sgn2.j,
+              CAST(sum(sgn2.sv * q.qx) AS BIGINT) >> 10 AS c
+              FROM qfix q JOIN sgn2 ON q.i = sgn2.i GROUP BY 1, 2),
+            coarse AS (SELECT pq.vec_id AS qid, pc.vec_id AS cid,
+              sum((pq.c - pc.c) * (pq.c - pc.c)) AS d
+              FROM pr pq JOIN pr pc ON pq.j = pc.j
+              WHERE pq.vec_id < 8 AND pc.vec_id <> pq.vec_id
+              GROUP BY 1, 2),
+            cand AS (SELECT qid, cid FROM
+              (SELECT qid, cid, row_number() OVER
+                 (PARTITION BY qid ORDER BY d, cid) AS rn FROM coarse)
+              WHERE rn <= 32),
+            norms2 AS (SELECT vec_id AS id,
+              sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nrm
+              FROM ve2 GROUP BY 1),
+            dots2 AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+              sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+              FROM ve2 a JOIN ve2 b ON a.i = b.i
+              JOIN cand ON cand.qid = a.vec_id AND cand.cid = b.vec_id
+              GROUP BY 1, 2),
+            scored AS (SELECT qid, cid,
+              floor(dot / (sqrt(qn.nrm) * sqrt(cn.nrm)) * 1000000.0)
+                / 1000000.0 AS cosine
+              FROM dots2 JOIN norms2 qn ON qn.id = qid
+              JOIN norms2 cn ON cn.id = cid),
+            ranked AS (SELECT *, row_number() OVER
+              (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+              FROM scored)
+            SELECT qid, cid, CAST(cosine AS DOUBLE) AS cosine,
+              CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val xSrpSignature = OpQuery(
     "x_srp_signature",
     "SRP-LSH hyperplane band keys (16 sign bits → 4×4-bit bands) per vector",
@@ -2972,8 +3029,8 @@ object ExtOps {
     xEmbedCentroids,
     xAnnIvf, xAnnIvfKmeans, xAnnIvfPq,
     xAnnKmeansExact, xAnnPqExact, xAnnIvfPqExact, xSemDedupKmeans1r,
-    xCosineNeardup, xSemDedup, xSemDedupKmeans, xJlProject, xSrpSignature,
-    xSrpNeardup, xSrpSemDedup, stSrpDedup,
+    xCosineNeardup, xSemDedup, xSemDedupKmeans, xJlProject, xAnnJlRerank,
+    xSrpSignature, xSrpNeardup, xSrpSemDedup, stSrpDedup,
     xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xClonePairs, xTfidfTopk, xBm25Topk, xVocabProfile,
     xDomainKl, xDqProfile, xKeySkew,

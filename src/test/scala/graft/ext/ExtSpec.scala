@@ -1307,6 +1307,38 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("jlRerankTopK: separable clusters give brute-force-identical top-k") {
+    // two tight clusters around orthogonal axes: the JL coarse stage
+    // cannot confuse them, so the two-stage result must equal brute force
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Int, n: Int) = (0 until n).map { _ =>
+      Array.tabulate(64)(i =>
+        (if (i == base) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.01f).toSeq
+    }
+    val vecs = (jitter(0, 20) ++ jitter(32, 20)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id".isin(0L, 20L))
+    // coarseC covers the whole 20-vector home cluster: the coarse stage
+    // separates CLUSTERS (its guarantee), while ordering within a cluster
+    // of noise-close vectors belongs to the exact stage
+    val twoStage = Similarity.jlRerankTopK(vecs, "vec_id", "embedding",
+        queries, dim = 64, kProj = 16, coarseC = 20, k = 5)
+      .select("qid", "cid", "cosine", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding",
+        queries, k = 5)
+      .select("qid", "cid", "cosine", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(twoStage == brute)
+    // and every neighbor comes from the query's own cluster
+    assert(twoStage.forall { case (q, c, _, _) =>
+      (q < 20) == (c < 20)
+    })
+  }
+
   test("lineDedup keeps only the globally first occurrence and rebuilds docs") {
     val df = Seq(
       (1L, "intro\nshared footer\nbody one"),

@@ -360,6 +360,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("JL rerank: coarse heap (no Window), exact pass candidate-pruned via broadcast") {
+    val p = planOf("x_ann_jl_rerank")
+    // stage-1 top-C and stage-2 top-k both run as bounded-heap aggregates
+    assert(!p.contains("Window"), p)
+    // the exact re-rank joins the corpus against the tiny candidate frame
+    // by broadcast — the raw-vector scan is never shuffled
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("CMS heavy hitters: sketch side broadcasts, exact pass is semi-pruned") {
     val p = planOf("x_cms_heavy_hitters")
     // the ≤ d·w sketch and candidate frames ride broadcast joins; the
