@@ -72,4 +72,26 @@ object Sharding {
       .select(col(idCol), col(orderCol),
         col("global_rank").cast("long").as("global_rank"), col("shard"))
   }
+
+  /** Shard integrity manifest: per shard, the row count plus an
+    * ORDER-INDEPENDENT content checksum — md5 over the shard's per-row
+    * content hashes concatenated in sorted order, so the manifest value
+    * is a pure function of the shard's row SET (task count, read order
+    * and file layout never change it). The 100 TB integrity primitive: a
+    * loader (or tomorrow's recompute) re-derives the manifest and any
+    * corrupted/duplicated/dropped row flips its shard's checksum;
+    * comparing manifests localizes damage to a shard without comparing
+    * any rows. Per-shard state is the shard's hash list — shard size is a
+    * layout parameter (bounded by construction), and at the extreme the
+    * same fold nests one level (hash-of-sorted-hashes per sub-bucket).
+    * One shuffle, keyed by shard. */
+  def shardManifest(df: DataFrame, shardCol: String,
+      contentCols: Seq[String]): DataFrame =
+    df.withColumn("_rh", md5(concat_ws("|",
+        contentCols.map(c => col(c).cast("string")): _*)))
+      .groupBy(col(shardCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        md5(array_join(sort_array(collect_list(col("_rh"))), ""))
+          .as("checksum"))
 }

@@ -2595,6 +2595,32 @@ object ExtOps {
                 AS BIGINT) AS pos
             FROM s ORDER BY doc_id"""))
 
+  /** Integrity manifest over the 16-way shard layout: each shard's
+    * checksum is md5 over its rows' content hashes in SORTED order — a
+    * pure function of the shard's row set, independent of task count,
+    * read order, or file layout. Any corrupted, duplicated or dropped
+    * row flips exactly its shard's checksum. */
+  val xShardManifest = OpQuery(
+    "x_shard_manifest",
+    "per-shard integrity manifest: row count + order-independent content checksum",
+    (s, dir) =>
+      graft.ext.Sharding.shardManifest(
+        graft.ext.Sharding.shardAssign(t(s, dir, "documents"), "doc_id", 16),
+        "shard", Seq("doc_id", "text"))
+        .orderBy("shard"),
+    Some("""WITH h AS (SELECT doc_id, text,
+              md5(CAST(doc_id AS VARCHAR)) AS sort_key FROM documents),
+            s AS (SELECT doc_id, text,
+              CAST(((instr('0123456789abcdef', substr(sort_key, 1, 1)) - 1) * 16 +
+                    (instr('0123456789abcdef', substr(sort_key, 2, 1)) - 1)) % 16
+                AS BIGINT) AS shard
+              FROM h),
+            rh AS (SELECT shard,
+              md5(CAST(doc_id AS VARCHAR) || '|' || text) AS rhash FROM s)
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+              md5(string_agg(rhash, '' ORDER BY rhash)) AS checksum
+            FROM rh GROUP BY shard ORDER BY shard"""))
+
   /** Curriculum layout: global rank by document length (short→long, the
     * classic length curriculum) cut into 8 contiguous shards. The Spark
     * side computes the rank as a distributed prefix sum of ones (no
@@ -3040,7 +3066,7 @@ object ExtOps {
     xDomainTemperature,
     xProfilePercentiles, xCorpusDiff,
     xPackChunks, xPackStats, xChunkSliding, xLengthBuckets,
-    xShardAssign, xCurriculumOrder, xBudgetSelect,
+    xShardAssign, xShardManifest, xCurriculumOrder, xBudgetSelect,
     xPiiScrub, xRepetition, xDecontaminate, xDecontaminateBloom,
     stDecontaminate, xLmQuality, xLmBigram,
     xDsirWeights, xDsirSelect, xNbClassify, xCcnetBuckets,

@@ -1339,6 +1339,28 @@ class ExtSpec extends SparkTestBase {
     })
   }
 
+  test("shardManifest is layout-independent and flips on any row mutation") {
+    val rows = (1L to 100L).map(i => (i, s"doc $i", i % 4))
+    val base = rows.toDF("id", "text", "shard")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Sharding.shardManifest(df, "shard", Seq("id", "text"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap
+    val m1 = manifest(base)
+    // repartitioned/reordered layout → identical manifest
+    val m2 = manifest(base.repartition(7).sortWithinPartitions(desc("text")))
+    assert(m1 == m2)
+    // one corrupted row flips EXACTLY its shard's checksum
+    val corrupted = rows.map { case (i, t, s) =>
+      (i, if (i == 42L) t + "!" else t, s) }.toDF("id", "text", "shard")
+    val m3 = manifest(corrupted)
+    assert(m3(2L) != m1(2L), "shard 2 (42 % 4) must flip")
+    assert(Seq(0L, 1L, 3L).forall(s => m3(s) == m1(s)))
+    // a dropped row changes both count and checksum
+    val dropped = manifest(base.filter($"id" =!= 8L))
+    assert(dropped(0L)._1 == m1(0L)._1 - 1 && dropped(0L)._2 != m1(0L)._2)
+  }
+
   test("lineDedup keeps only the globally first occurrence and rebuilds docs") {
     val df = Seq(
       (1L, "intro\nshared footer\nbody one"),
