@@ -138,4 +138,46 @@ object Profiling {
         min(col("v")).as("min_s"),
         max(col("v")).as("max_s"))
   }
+
+  /** Robust per-group outlier statistics: median ± k·MAD (median absolute
+    * deviation) — the robust-z-score data-QA classic: unlike mean/stddev,
+    * one corrupted batch of extreme values cannot drag the fence and mask
+    * itself. Both medians are DISCRETE selections (min v with cum ≥
+    * ⌈n/2⌉) computed by the shared two-phase prefix sum — real data
+    * values, no interpolation, bit-identical across engines; the
+    * deviation |x − med| and fence k·MAD are single IEEE operations on
+    * identical operands, so the outlier flags are engine-exact too.
+    *
+    * Scale shape: two prefix-sum passes over DISTINCT-VALUE-sized count
+    * frames (never the raw corpus through a window), med/MAD frames are
+    * group-cardinality-sized → broadcast back over one corpus scan for
+    * the flag count. */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+      k: Double = 3.0): DataFrame = {
+    def discMedian(in: DataFrame, outAlias: String): DataFrame = {
+      val counts = in.groupBy(col(keyCol), col("_v"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = PrefixSum.runningTotal(counts, Seq(keyCol), Seq("_v"),
+        "cnt", "cum").staged
+      val totals = cum.groupBy(keyCol).agg(max("cum").as("_n"))
+      cum.join(broadcast(totals), Seq(keyCol))
+        .filter(col("cum") >= ceil(col("_n") * 0.5))
+        .groupBy(col(keyCol)).agg(min("_v").as(outAlias))
+    }
+    val vals = df.select(col(keyCol), col(valCol).cast("double").as("_v"))
+    val med = discMedian(vals, "med")
+    val dev = vals.join(broadcast(med), Seq(keyCol))
+      .select(col(keyCol), abs(col("_v") - col("med")).as("_v"))
+    val mad = discMedian(dev, "mad")
+    vals
+      .join(broadcast(med), Seq(keyCol))
+      .join(broadcast(mad), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(abs(col("_v") - col("med")) > col("mad") * k, 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
 }

@@ -1891,6 +1891,43 @@ object ExtOps {
                   < printf('%02x', cut.cutoff)
             ORDER BY d.doc_id"""))
 
+  /** Robust outlier fences per event_type: both medians are selections of
+    * real data values (the prefix-sum cumulative-count convention,
+    * restated as a window sum in the oracle), and every derived double is
+    * one IEEE op on identical operands — hash-exact end to end. */
+  val xMadOutliers = OpQuery(
+    "x_mad_outliers",
+    "robust outlier stats per event_type: median ± 3·MAD fences (exact selections)",
+    (s, dir) =>
+      graft.ext.Profiling.madOutliers(t(s, dir, "events"), "event_type",
+          "value", k = 3.0)
+        .orderBy("event_type"),
+    Some("""WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+              FROM events),
+            c1 AS (SELECT event_type, v, count(*) AS cnt FROM v GROUP BY 1, 2),
+            cu1 AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type
+              ORDER BY v) AS cum FROM c1),
+            t1 AS (SELECT event_type, max(cum) AS n FROM cu1 GROUP BY 1),
+            med AS (SELECT c.event_type, min(v) AS med
+              FROM cu1 c JOIN t1 USING (event_type)
+              WHERE cum >= ceil(n * 0.5) GROUP BY 1),
+            d AS (SELECT v.event_type, abs(v.v - m.med) AS v
+              FROM v JOIN med m USING (event_type)),
+            c2 AS (SELECT event_type, v, count(*) AS cnt FROM d GROUP BY 1, 2),
+            cu2 AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type
+              ORDER BY v) AS cum FROM c2),
+            t2 AS (SELECT event_type, max(cum) AS n FROM cu2 GROUP BY 1),
+            mad AS (SELECT c.event_type, min(v) AS mad
+              FROM cu2 c JOIN t2 USING (event_type)
+              WHERE cum >= ceil(n * 0.5) GROUP BY 1)
+            SELECT v.event_type, m.med, md.mad,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN abs(v.v - m.med) > md.mad * 3.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM v JOIN med m USING (event_type)
+            JOIN mad md USING (event_type)
+            GROUP BY 1, 2, 3 ORDER BY 1"""))
+
   val xProfilePercentiles = OpQuery(
     "x_profile_percentiles",
     "exact disc percentiles (p50/p90/p99) of doc length and token count",
@@ -3064,7 +3101,7 @@ object ExtOps {
     xSplitLeakageSafe,
     xDomainMix,
     xDomainTemperature,
-    xProfilePercentiles, xCorpusDiff,
+    xProfilePercentiles, xMadOutliers, xCorpusDiff,
     xPackChunks, xPackStats, xChunkSliding, xLengthBuckets,
     xShardAssign, xShardManifest, xCurriculumOrder, xBudgetSelect,
     xPiiScrub, xRepetition, xDecontaminate, xDecontaminateBloom,

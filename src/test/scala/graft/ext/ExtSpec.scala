@@ -1339,6 +1339,23 @@ class ExtSpec extends SparkTestBase {
     })
   }
 
+  test("madOutliers: hand-computed fences, robust to the planted outlier") {
+    // group a: 1..9 plus one wild value. med = 5 (disc: min v with cum>=5),
+    // deviations {0,1,1,2,2,3,3,4,4,9995} → MAD = 2 (disc median of devs,
+    // cum>=5 hits the second 2); fence 3·2=6 → only 10000 is out
+    val a = (1 to 9).map(v => ("a", v.toDouble)) :+ ("a", 10000.0)
+    // group b: all equal → MAD 0, nothing can exceed a zero fence times k
+    // except any deviation > 0; all are 0 → no outliers
+    val b = Seq.fill(6)(("b", 7.0))
+    val got = Profiling.madOutliers((a ++ b).toDF("k", "v"), "k", "v", k = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == ((5.0, 2.0, 10L, 1L)))
+    assert(got("b") == ((7.0, 0.0, 6L, 0L)))
+    // robustness: mean±3σ would NOT flag with this discipline —
+    // the outlier drags the mean to ~1004; median stays at 5
+  }
+
   test("shardManifest is layout-independent and flips on any row mutation") {
     val rows = (1L to 100L).map(i => (i, s"doc $i", i % 4))
     val base = rows.toDF("id", "text", "shard")

@@ -360,6 +360,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("MAD outliers: every window keyed by the prefix-sum partition, broadcast fences") {
+    val p = planOf("x_mad_outliers")
+    // both discrete medians ride the two-phase prefix sum — no window may
+    // ever see a partition key narrower than (_pid, group)
+    assert(!p.contains("windowspecdefinition()"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("JL rerank: coarse heap (no Window), exact pass candidate-pruned via broadcast") {
     val p = planOf("x_ann_jl_rerank")
     // stage-1 top-C and stage-2 top-k both run as bounded-heap aggregates
