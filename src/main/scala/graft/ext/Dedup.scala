@@ -790,16 +790,27 @@ object Dedup {
     * survives with text_kept = "" so corpus accounting stays total. */
   def lineDedup(docs: DataFrame, textCol: String, idCol: String,
       delim: String = "\n"): DataFrame = {
-    val lines = docs
-      .select(col(idCol), posexplode(split(col(textCol),
-        java.util.regex.Pattern.quote(delim))).as(Seq("pos", "line")))
+    val lines = docLines(docs, textCol, idCol, delim)
     val canon = lines
       .groupBy("line")
       .agg(min(struct(col(idCol), col("pos"))).as("first"))
-    lines.join(canon, Seq("line"))
-      .withColumn("is_first",
-        struct(col(idCol), col("pos")) === col("first"))
-      .groupBy(col(idCol))
+    rebuildKept(
+      lines.join(canon, Seq("line"))
+        .withColumn("is_first",
+          struct(col(idCol), col("pos")) === col("first")),
+      idCol, delim)
+  }
+
+  private def docLines(docs: DataFrame, textCol: String, idCol: String,
+      delim: String): DataFrame =
+    docs.select(col(idCol), posexplode(split(col(textCol),
+      java.util.regex.Pattern.quote(delim))).as(Seq("pos", "line")))
+
+  /** Rebuild documents from their flagged lines: survivors in order,
+    * kept/dropped accounting. Per-doc state bounded by document size. */
+  private def rebuildKept(flagged: DataFrame, idCol: String,
+      delim: String): DataFrame =
+    flagged.groupBy(col(idCol))
       .agg(
         array_join(transform(
           array_sort(collect_list(when(col("is_first"),
@@ -807,5 +818,33 @@ object Dedup {
           s => s.getField("line")), delim).as("text_kept"),
         sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("is_first"), 0L).otherwise(1L)).as("n_dropped"))
+
+  /** Frozen line index for incremental line dedup: the corpus's distinct
+    * lines, staged ONCE before a stream starts (the same frozen-index
+    * cadence as [[buildCorpusIndex]] — refresh on the batch side's
+    * schedule, not per micro-batch). */
+  def buildLineIndex(corpus: DataFrame, textCol: String, idCol: String,
+      delim: String = "\n"): DataFrame =
+    docLines(corpus, textCol, idCol, delim).select("line").distinct().staged
+
+  /** Incremental line dedup for one incoming shard/micro-batch: a line is
+    * cut if it exists in the frozen corpus index OR occurred earlier
+    * within this batch (first-wins by (doc id, pos), [[lineDedup]]'s
+    * rule). Per-batch cost is the batch's own lines plus one keyed join
+    * against the index — independent of corpus document count. Cross-
+    * batch first-wins follows the index refresh cadence, exactly like
+    * [[incrementalDedupAgainst]]. */
+  def lineDedupAgainst(index: DataFrame, batch: DataFrame, textCol: String,
+      idCol: String, delim: String = "\n"): DataFrame = {
+    val lines = docLines(batch, textCol, idCol, delim)
+    val canon = lines
+      .groupBy("line")
+      .agg(min(struct(col(idCol), col("pos"))).as("first"))
+    val flagged = lines.join(canon, Seq("line"))
+      .join(index.withColumn("_in_corpus", lit(true)), Seq("line"), "left")
+      .withColumn("is_first",
+        struct(col(idCol), col("pos")) === col("first") &&
+          col("_in_corpus").isNull)
+    rebuildKept(flagged, idCol, delim)
   }
 }

@@ -2478,6 +2478,60 @@ object ExtOps {
     },
     Some(incrementalOracle))
 
+  /** Incremental line dedup, streaming-executed: the corpus line index is
+    * staged ONCE (frozen, the [[Dedup.buildCorpusIndex]] cadence), each
+    * micro-batch pays only its own lines + one keyed index join. A line
+    * is cut if it exists in the corpus or occurred earlier in the batch —
+    * boilerplate suppression for a live ingest feed. */
+  val stLineDedup = OpQuery(
+    "st_line_dedup_stream",
+    "streaming incremental line dedup against a frozen corpus line index",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val srcNum = expr("CAST(substring(source, 4) AS INT)")
+      val index = graft.ext.Dedup.buildLineIndex(
+        pseudoLines(t(s, dir, "documents").filter(srcNum < 10)),
+        "text", "doc_id")
+      val scratch = graft.core.Scratch.tempDir("graft_linededup_stream_")
+      val out = s"$scratch/out"; val ck = s"$scratch/ckpt"
+      val stream = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(srcNum >= 10)
+      val q = graft.streaming.Runner.toBatchSink(stream, ck) { (batch, _) =>
+        graft.ext.Dedup.lineDedupAgainst(index,
+            pseudoLines(batch.select("doc_id", "text")), "text", "doc_id")
+          .write.mode("append").parquet(out)
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out).orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text,
+              CAST(substring(source, 4) AS INT) AS srcnum FROM documents),
+            w AS (SELECT doc_id, srcnum, string_split(text, ' ') AS w FROM d),
+            segs AS (SELECT doc_id, srcnum, i AS pos,
+                array_to_string(w[(i*10+1):(i*10+10)], ' ') AS line
+              FROM w, unnest(generate_series(0,
+                CAST(ceil(len(w) / 10.0) AS INT) - 1)) AS t(i)),
+            cl AS (SELECT DISTINCT line FROM segs WHERE srcnum < 10),
+            inc AS (SELECT doc_id, pos, line FROM segs WHERE srcnum >= 10),
+            f AS (SELECT doc_id, pos, line,
+                (row_number() OVER (PARTITION BY line
+                   ORDER BY doc_id, pos) = 1
+                 AND line NOT IN (SELECT line FROM cl)) AS is_first
+              FROM inc)
+            SELECT doc_id,
+              coalesce(string_agg(CASE WHEN is_first THEN line END,
+                chr(10) ORDER BY pos), '') AS text_kept,
+              CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_dropped
+            FROM f GROUP BY doc_id ORDER BY doc_id"""))
+
   val xDedupKeepbest = OpQuery(
     "x_dedup_keepbest",
     "quality-aware dedup: near-dup clusters keep the HIGHEST-quality member " +
@@ -2963,6 +3017,20 @@ object ExtOps {
               min(v) AS min_s, max(v) AS max_s
             FROM p GROUP BY col_name ORDER BY col_name"""))
 
+  /** 10-word pseudo-line segmentation (the corpus has no newlines) —
+    * shared by the batch and streaming line-dedup queries so both engines
+    * and both execution modes restate ONE segmentation. */
+  private def pseudoLines(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val words = split(col("text"), " ")
+    docs.select(col("doc_id"),
+      array_join(
+        transform(
+          sequence(lit(0), ceil(size(words) / lit(10.0)).cast("int") - 1),
+          i => array_join(slice(words, i * 10 + 1, lit(10)), " ")),
+        "\n").as("text"))
+  }
+
   /** C4's line-level dedup (Raffel et al. 2020 §2.2 — "removed all but
     * one of any [span] occurring more than once"): a line keeps only its
     * globally first (doc_id, pos) occurrence. The corpus has no newlines,
@@ -2974,18 +3042,9 @@ object ExtOps {
   val xLineDedup = OpQuery(
     "x_line_dedup",
     "C4 line-level global dedup: keep first occurrence, rebuild docs",
-    (s, dir) => {
-      val words = split(col("text"), " ")
-      val segged = t(s, dir, "documents").select(col("doc_id"),
-        array_join(
-          transform(
-            sequence(lit(0),
-              ceil(size(words) / lit(10.0)).cast("int") - 1),
-            i => array_join(slice(words, i * 10 + 1, lit(10)), " ")),
-          "\n").as("text"))
-      Dedup.lineDedup(segged, "text", "doc_id")
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      Dedup.lineDedup(pseudoLines(t(s, dir, "documents")), "text", "doc_id")
+        .orderBy("doc_id"),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
                        FROM documents),
             segs AS (SELECT doc_id, i AS pos,
@@ -3086,7 +3145,8 @@ object ExtOps {
     xSimhash, xSimhashNeardup, xNeardupJaccard3, xContainment,
     xDedupComponents,
     xDedupPipeline,
-    xDedupIncremental, stDedupIncremental, xDedupKeepbest, xSubstringDedup,
+    xDedupIncremental, stDedupIncremental, stLineDedup, xDedupKeepbest,
+    xSubstringDedup,
     xSubstringCut,
     xAnnBruteforce, xAnnNative, xAnnSq8, xAnnFiltered, xAnnPq,
     xEmbedCentroids,

@@ -1356,6 +1356,27 @@ class ExtSpec extends SparkTestBase {
     // the outlier drags the mean to ~1004; median stays at 5
   }
 
+  test("lineDedupAgainst cuts corpus-known lines and within-batch repeats") {
+    val corpus = Seq((100L, "known footer\ncorpus body")).toDF("doc_id", "text")
+    val index = Dedup.buildLineIndex(corpus, "text", "doc_id")
+    val batch = Seq(
+      (1L, "fresh intro\nknown footer"),  // footer cut by the index
+      (2L, "fresh intro\nfresh tail"))    // intro cut: doc 1 was first
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedupAgainst(index, batch, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(got(0) == ((1L, "fresh intro", 1L, 1L)))
+    assert(got(1) == ((2L, "fresh tail", 1L, 1L)))
+    // an empty index degrades to plain within-batch first-wins
+    val noIdx = Dedup.buildLineIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id")
+    val plain = Dedup.lineDedupAgainst(noIdx, batch, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(plain(0) == ((1L, "fresh intro\nknown footer", 2L, 0L)))
+    assert(plain(1) == ((2L, "fresh tail", 1L, 1L)))
+  }
+
   test("shardManifest is layout-independent and flips on any row mutation") {
     val rows = (1L to 100L).map(i => (i, s"doc $i", i % 4))
     val base = rows.toDF("id", "text", "shard")
