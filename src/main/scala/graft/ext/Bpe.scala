@@ -128,6 +128,56 @@ object Bpe {
     rules.toSeq.toDF("step", "sym_a", "sym_b", "merged", "weight")
   }
 
+  /** Bounds-gate replay for [[train]] (the x_approx_distinct_bounds
+    * promotion recipe applied to a training loop): re-derives each
+    * recorded merge through an INDEPENDENT encoding and emits one row per
+    * step with two booleans the driver hash bites on. For step i the
+    * vocabulary is re-symbolized via the wrapped-string `replace`
+    * arrangement (the x_bpe_encode ORACLE's mechanism: words wrapped as
+    * `|s1||s2|…|sn|`, each prior rule applied as the literal substring
+    * rewrite `|a||b|` → `|ab|` — replace's continue-after-match scan IS
+    * greedy left-to-right non-rescanning merging, and the wrapping makes
+    * every symbol boundary explicit). This is a genuinely different code
+    * path from train's `aggregate` fold, so a fold bug (overlap
+    * mishandling, dropped pending symbol, rescan) desynchronizes the two
+    * encodings within `merges` rounds and flips a boolean:
+    *   - `argmax_ok`: the recorded (sym_a, sym_b) is the
+    *     (weight DESC, a, b) argmax of [[pairStats]] over the
+    *     independently rewritten vocabulary at that step;
+    *   - `weight_ok`: the recorded weight equals that pair's weight
+    *     there.
+    * Driver-state contract unchanged: ≤ `merges` rule rows ever reach the
+    * driver; every replay round is vocabulary-sized distributed work.
+    * Assumes symbols never contain '|' (whitespace tokenization of this
+    * corpus guarantees it — same documented assumption as the
+    * x_bpe_encode oracle). */
+  def trainValidated(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val table = train(docs, textCol, merges).collect() // bounded: ≤ merges rows
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    var wrapped = wordFreq(docs, textCol)
+      .select(col("freq"),
+        concat(lit("|"), concat_ws("||", col("syms")), lit("|")).as("w"))
+      .staged
+    val checks = table.map { case (step, a, b, merged, weight) =>
+      val syms = split(trim(col("w"), "|"), "[|][|]")
+      val top = pairStats(wrapped.select(col("freq"), syms.as("syms")))
+        .orderBy(col("weight").desc, col("sym_a"), col("sym_b"))
+        .limit(1).collect()(0)
+      val argmaxOk = top.getString(0) == a && top.getString(1) == b
+      val weightOk = top.getLong(2) == weight
+      wrapped = wrapped
+        .withColumn("w",
+          replace(col("w"), lit(s"|$a||$b|"), lit(s"|$merged|")))
+        .staged
+      (step, argmaxOk, weightOk)
+    }
+    checks.toSeq.toDF("step", "argmax_ok", "weight_ok")
+  }
+
   /** Token counts under a learned merge table: encode DISTINCT words
     * (vocabulary-sized fold, rules applied in step order), then join the
     * per-word subword count back onto the token stream and sum per doc.

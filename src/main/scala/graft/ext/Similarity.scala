@@ -641,6 +641,29 @@ object Similarity {
         (col("id") === col("component")).as("is_kept"))
   }
 
+  // ---------- recall gating (bounds-style oracle promotion) ----------
+
+  /** Recall gate for the trained-quantizer ANN queries: joins an
+    * approximate top-k result against the exact brute-force top-k and
+    * emits the EXACT rows (which a SQL oracle can restate verbatim) plus
+    * per-query `hits_at_k` = |approx ∩ exact| and `recall_ok` =
+    * hits_at_k ≥ minHits. The oracle states the exact side and literal
+    * TRUE, so the driver hash bites whenever the approximate path's
+    * recall drops below the bound — the same promotion recipe as
+    * x_approx_distinct_bounds (sketch value replaced by its error-bound
+    * boolean). Both inputs carry (qid, cid); `exact` additionally carries
+    * (cosine, rank). A query the approximate side misses entirely still
+    * surfaces (left join, hits 0). */
+  def recallGate(exact: DataFrame, approx: DataFrame, minHits: Int): DataFrame = {
+    val hits = exact.select("qid", "cid")
+      .join(approx.select("qid", "cid"), Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("h"))
+    exact.join(hits, Seq("qid"), "left")
+      .withColumn("hits_at_k", coalesce(col("h"), lit(0L)))
+      .withColumn("recall_ok", col("hits_at_k") >= minHits)
+      .drop("h")
+  }
+
   // ---------- signed-random-projection (hyperplane) LSH ----------
 
   /** Deterministic ±1 hyperplane matrix for SRP-LSH, generated row-major
