@@ -828,12 +828,34 @@ object Dedup {
     docLines(corpus, textCol, idCol, delim).select("line").distinct().staged
 
   /** Incremental line dedup for one incoming shard/micro-batch: a line is
-    * cut if it exists in the frozen corpus index OR occurred earlier
-    * within this batch (first-wins by (doc id, pos), [[lineDedup]]'s
-    * rule). Per-batch cost is the batch's own lines plus one keyed join
-    * against the index — independent of corpus document count. Cross-
-    * batch first-wins follows the index refresh cadence, exactly like
-    * [[incrementalDedupAgainst]]. */
+    * cut if it exists in the corpus index OR occurred earlier within this
+    * batch (first-wins by (doc id, pos), [[lineDedup]]'s rule). Per-batch
+    * cost is the batch's own lines plus one keyed join against the index
+    * — independent of corpus document count.
+    *
+    * Cross-BATCH first-wins is the CALLER's contract, not this
+    * function's: a topology that may deliver more than one batch must
+    * fold each processed batch's lines back into the index via
+    * [[extendLineIndex]] before the next call (the refresh cadence
+    * st_line_dedup_stream wires up), otherwise a line kept in batch 1 is
+    * kept again in batch 2. With that fold, multi-batch semantics are
+    * processing-order first-wins — which coincides with the global
+    * (doc id, pos) rule whenever batches arrive in id order, and exactly
+    * equals it in the single-batch case. */
+  /** Fold one processed batch's lines into a line index: after this, every
+    * line the batch contained (kept OR cut — it has now "occurred") is
+    * known to subsequent [[lineDedupAgainst]] calls. One distinct over the
+    * batch's lines plus a staged union with the old index — the same
+    * between-batch refresh cost class as rebuilding
+    * [[buildCorpusIndex]] on the batch side's schedule, paid per batch
+    * here because line identity (unlike MinHash signatures) makes the
+    * increment exact. */
+  def extendLineIndex(index: DataFrame, batch: DataFrame, textCol: String,
+      idCol: String, delim: String = "\n"): DataFrame =
+    index
+      .union(docLines(batch, textCol, idCol, delim).select("line").distinct())
+      .distinct().staged
+
   def lineDedupAgainst(index: DataFrame, batch: DataFrame, textCol: String,
       idCol: String, delim: String = "\n"): DataFrame = {
     val lines = docLines(batch, textCol, idCol, delim)

@@ -87,11 +87,28 @@ object Sharding {
     * One shuffle, keyed by shard. */
   def shardManifest(df: DataFrame, shardCol: String,
       contentCols: Seq[String]): DataFrame =
-    df.withColumn("_rh", md5(concat_ws("|",
-        contentCols.map(c => col(c).cast("string")): _*)))
+    df.withColumn("_rh", md5(concat(contentCols.map(rowHashField): _*)))
       .groupBy(col(shardCol))
       .agg(
         count(lit(1)).as("n_rows"),
         md5(array_join(sort_array(collect_list(col("_rh"))), ""))
           .as("checksum"))
+
+  /** Unambiguous per-field encoding feeding the manifest row hash:
+    * NULL → the sentinel `N:`; a value → `V<charlen>:<value>`. The length
+    * prefix makes every field self-delimiting (no separator can shift a
+    * column boundary: ('a|b','c') ≠ ('a','b|c')), and the distinct N/V
+    * prefixes make NULL ≠ any string — including 'N:' itself. A naive
+    * concat_ws would silently SKIP nulls ((NULL,'a') ≡ ('a',NULL)) and
+    * let a separator char inside a value shift boundaries: silent
+    * detection blind spots for an op whose contract is "any corrupted
+    * row flips its shard's checksum". Values hash via CAST AS STRING —
+    * for oracle-compared columns the cast must be engine-parity
+    * (integers/strings are; see the x_shard_manifest oracle, which
+    * states the same encoding). */
+  private def rowHashField(c: String): org.apache.spark.sql.Column = {
+    val v = col(c).cast("string")
+    when(v.isNull, lit("N:"))
+      .otherwise(concat(lit("V"), length(v).cast("string"), lit(":"), v))
+  }
 }

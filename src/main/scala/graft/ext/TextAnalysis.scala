@@ -515,9 +515,13 @@ object TextAnalysis {
     * N·c(xy) / (c(x)·c(y)), so ranking never computes a logarithm: the
     * score is the exact integer ⌊N·c(xy)·10⁶ / (c(x)·c(y))⌋ —
     * bit-identical across engines, the LmScore determinism discipline
-    * applied to collocations. The numerator is bounded by N²·10⁶, BIGINT-
-    * safe up to N ≈ 3×10⁶ tokens; beyond that (the 100 TB corpus) route
-    * the same rational through DECIMAL(38,0) — the ranking is unchanged.
+    * applied to collocations. The numerator routes through DECIMAL(38,0)
+    * UNCONDITIONALLY: in BIGINT it would exceed 2⁶³ once N·c(xy) passes
+    * ~9.2×10¹², and non-ANSI arithmetic would wrap SILENTLY — a corrupted
+    * ranking with no error. Decimal keeps the product exact to 38 digits
+    * (N·c(xy)·10⁶ < 10³⁸ for any corpus under ~10¹⁶ tokens) and the
+    * integral quotient re-narrows to BIGINT, which is safe: it is bounded
+    * by N·10⁶ / minCount.
     *
     * Scale shape: one tokenize scan feeds bigram AND unigram counts
     * (vocabulary-keyed aggregations with map-side combine); the unigram
@@ -548,7 +552,8 @@ object TextAnalysis {
         .withColumnRenamed("c1", "c_y")), Seq("y"))
       .crossJoin(broadcast(n))
       .select(col("x"), col("y"), col("c_xy"),
-        expr("n_tokens * c_xy * 1000000L DIV (c_x * c_y)").as("pmi_scaled"))
+        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * c_xy * 1000000 DIV " +
+          "(CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)").as("pmi_scaled"))
       .orderBy(col("pmi_scaled").desc, col("x"), col("y"))
       .limit(k)
   }

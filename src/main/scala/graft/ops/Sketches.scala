@@ -79,8 +79,14 @@ object Sketches {
     * error bound checked per key (`within_bound`). */
   def cmsHeavyHitters(df: DataFrame, key: Column, threshold: Long,
       depth: Int, width: Int): DataFrame =
+    // staged, not cache(): the sketch is built once and read by both the
+    // propose and verify branches, but cacheManager entries live until an
+    // explicit unpersist — repeated invocations in a long session (bench
+    // reruns) would accumulate pinned partitions. localCheckpoint blocks
+    // are reclaimed by the ContextCleaner once the frame is unreferenced.
     cmsHeavyHittersFrom(
-      cmsSketch(df.select(key.as("k")), col("k"), depth, width).cache(),
+      graft.core.Materialize.stage(
+        cmsSketch(df.select(key.as("k")), col("k"), depth, width)),
       df, key, threshold, depth, width)
 
   /** Same propose-then-verify, but over a PREBUILT sketch — the seam the

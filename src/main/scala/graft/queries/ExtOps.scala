@@ -2570,10 +2570,13 @@ object ExtOps {
     Some(incrementalOracle))
 
   /** Incremental line dedup, streaming-executed: the corpus line index is
-    * staged ONCE (frozen, the [[Dedup.buildCorpusIndex]] cadence), each
-    * micro-batch pays only its own lines + one keyed index join. A line
-    * is cut if it exists in the corpus or occurred earlier in the batch —
-    * boilerplate suppression for a live ingest feed. */
+    * staged ONCE before the stream starts, each micro-batch pays only its
+    * own lines + one keyed index join, and each processed batch's lines
+    * are folded back into the index ([[Dedup.extendLineIndex]]) so
+    * first-wins holds ACROSS batches too — boilerplate suppression for a
+    * live ingest feed. The oracle's global (doc_id, pos) rule coincides
+    * with processing-order first-wins because the file source delivers
+    * documents in id order. */
   val stLineDedup = OpQuery(
     "st_line_dedup_stream",
     "streaming incremental line dedup against a frozen corpus line index",
@@ -2584,7 +2587,7 @@ object ExtOps {
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType)))
       val srcNum = expr("CAST(substring(source, 4) AS INT)")
-      val index = graft.ext.Dedup.buildLineIndex(
+      var index = graft.ext.Dedup.buildLineIndex(
         pseudoLines(t(s, dir, "documents").filter(srcNum < 10)),
         "text", "doc_id")
       val scratch = graft.core.Scratch.tempDir("graft_linededup_stream_")
@@ -2593,9 +2596,14 @@ object ExtOps {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(srcNum >= 10)
       val q = graft.streaming.Runner.toBatchSink(stream, ck) { (batch, _) =>
-        graft.ext.Dedup.lineDedupAgainst(index,
-            pseudoLines(batch.select("doc_id", "text")), "text", "doc_id")
+        val b = pseudoLines(batch.select("doc_id", "text"))
+        graft.ext.Dedup.lineDedupAgainst(index, b, "text", "doc_id")
           .write.mode("append").parquet(out)
+        // cross-batch first-wins: every line this batch contained is now
+        // "seen" for later batches (single-batch here — one source file —
+        // but the topology stays correct under maxFilesPerTrigger;
+        // LineDedupSpec drives the multi-batch path)
+        index = graft.ext.Dedup.extendLineIndex(index, b, "text", "doc_id")
       }
       try q.processAllAvailable() finally q.stop()
       s.read.parquet(out).orderBy("doc_id")
@@ -2798,7 +2806,9 @@ object ExtOps {
                 AS BIGINT) AS shard
               FROM h),
             rh AS (SELECT shard,
-              md5(CAST(doc_id AS VARCHAR) || '|' || text) AS rhash FROM s)
+              md5('V' || length(CAST(doc_id AS VARCHAR)) || ':'
+                  || CAST(doc_id AS VARCHAR)
+                  || 'V' || length(text) || ':' || text) AS rhash FROM s)
             SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
               md5(string_agg(rhash, '' ORDER BY rhash)) AS checksum
             FROM rh GROUP BY shard ORDER BY shard"""))
@@ -3222,8 +3232,8 @@ object ExtOps {
             bi AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
                    FROM bi0 GROUP BY x, y HAVING count(*) >= 5)
             SELECT y, x, c_xy,
-              CAST(n.n_tokens * c_xy * 1000000 //
-                (ux.c1 * uy.c1) AS BIGINT) AS pmi_scaled
+              CAST(CAST(n.n_tokens AS HUGEINT) * c_xy * 1000000 //
+                (CAST(ux.c1 AS HUGEINT) * uy.c1) AS BIGINT) AS pmi_scaled
             FROM bi
             JOIN uni ux ON ux.tok = x
             JOIN uni uy ON uy.tok = y

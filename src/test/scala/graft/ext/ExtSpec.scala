@@ -1272,6 +1272,14 @@ class ExtSpec extends SparkTestBase {
     // exact integer check: N * c_xy * 1e6 DIV (c_x * c_y)
     val n = doc.split(" ").length.toLong
     assert(best._4 == n * 10L * 1000000L / (10L * 10L))
+    // the DECIMAL(38,0) intermediate must NOT wrap where BIGINT would:
+    // N·c_xy·10⁶ = 4e12·3·10⁶ = 1.2e19 > 2⁶³ ≈ 9.2e18
+    val noWrap = spark.sql(
+      "SELECT CAST(CAST(4000000000000 AS DECIMAL(38,0)) * 3 * 1000000 " +
+        "DIV (CAST(2 AS DECIMAL(38,0)) * 3) AS BIGINT) AS v")
+      .collect()(0).getLong(0)
+    assert(noWrap == 2000000000000000000L,
+      s"decimal PMI intermediate wrapped: $noWrap")
   }
 
   test("jlProject components are exactly the SRP pre-sign dots") {
@@ -1397,6 +1405,20 @@ class ExtSpec extends SparkTestBase {
     // a dropped row changes both count and checksum
     val dropped = manifest(base.filter($"id" =!= 8L))
     assert(dropped(0L)._1 == m1(0L)._1 - 1 && dropped(0L)._2 != m1(0L)._2)
+
+    // encoding is unambiguous: NULL position matters, and no separator
+    // character inside a value can shift a column boundary
+    def strManifest(rows: Seq[(Option[String], Option[String])]) =
+      Sharding.shardManifest(
+          rows.toDF("a", "b").withColumn("shard", lit(0L)),
+          "shard", Seq("a", "b"))
+        .collect()(0).getString(2)
+    assert(strManifest(Seq((None, Some("a")))) !=
+      strManifest(Seq((Some("a"), None))), "NULL must not erase its column")
+    assert(strManifest(Seq((Some("a|b"), Some("c")))) !=
+      strManifest(Seq((Some("a"), Some("b|c")))), "boundaries must not shift")
+    assert(strManifest(Seq((None, None))) !=
+      strManifest(Seq((Some("N:"), None))), "NULL sentinel must not collide")
   }
 
   test("lineDedup keeps only the globally first occurrence and rebuilds docs") {

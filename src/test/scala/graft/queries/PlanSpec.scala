@@ -364,7 +364,11 @@ class PlanSpec extends SparkTestBase {
     val p = planOf("x_mad_outliers")
     // both discrete medians ride the two-phase prefix sum — no window may
     // ever see a partition key narrower than (_pid, group)
-    assert(!p.contains("windowspecdefinition()"), p)
+    val windowDefs =
+      p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowDefs.forall(_.contains("_pid")),
+      s"x_mad_outliers has a window not keyed by the prefix-sum partition:\n" +
+        windowDefs.mkString("\n"))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
