@@ -56,6 +56,31 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-cell counter PARTIALS — the persistable form of [[cmsSketch]]:
+    * one (cell, r, bucket, cnt) row per cell × counter actually hit,
+    * written next to the corpus at ingest. Merging cells back to one
+    * sketch is [[cmsMerge]]'s plain (r, bucket) SUM; counter sums
+    * commute, so the merged sketch is BIT-IDENTICAL to a one-shot
+    * [[cmsSketch]] over the union of the cells' rows — proposal recall
+    * stays perfect across the store round-trip (SketchesSpec pins the
+    * equality). Shares [[bucket]] with the query path so the hash
+    * functions can never drift apart. */
+  def cmsSketchPartials(df: DataFrame, cell: Column, key: Column,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape d=$depth w=$width")
+    df.select(cell.as("cell"), key.as("k"))
+      .select(col("cell"),
+        explode(array((0 until depth).map(i => lit(i)): _*)).as("r"),
+        col("k"))
+      .groupBy(col("cell"), col("r"), bucket(col("r"), col("k"), width).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Re-merge persisted counter partials to one sketch frame (drops the
+    * cell key; sums commute). */
+  def cmsMerge(partials: DataFrame): DataFrame =
+    partials.groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+
   /** Point-query the sketch for each row of `keys` (one column named `k`
     * or selected by `key`): estimate = min over the d rows' counters.
     * The sketch side is ≤ d·w rows → broadcast; the keys side streams. */

@@ -421,8 +421,42 @@ object ScaleOps {
                   BETWEEN 7 AND 13
             GROUP BY event_type ORDER BY event_type"""))
 
+  /** The sketch family's PERSIST-AND-REUSE shape — the operational
+    * pattern a 100-TB user actually runs: one ingest-time pass builds
+    * per-day Count-Min counter partials and writes them to parquet NEXT
+    * TO the corpus; the heavy-hitter question is then answered from the
+    * stored partials alone — counter tables merge by plain (row, bucket)
+    * SUM, and because counter sums commute the merged sketch is
+    * BIT-IDENTICAL to a one-shot sketch of the whole corpus, so proposal
+    * recall stays perfect. Raw data is touched only where the operator's
+    * contract requires it anyway: the exact-verify pass over the proposed
+    * keys' rows (at scale, a keyed probe of the archived log, not a
+    * rescan). Same verified output and oracle as x_cms_heavy_hitters —
+    * the store round-trip must change NOTHING. */
+  val xSketchPersisted = OpQuery(
+    "x_sketch_persisted",
+    "CMS partials persisted per day, re-merged from parquet, heavy hitters from the store",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val store = graft.core.Scratch.tempDir("graft_sketch_store_")
+      // ingest pass: per-day counter partials → parquet (ONE events scan)
+      Sketches.cmsSketchPartials(ev, to_date(col("ts")), col("user_id"),
+          depth = 5, width = 8192)
+        .write.mode("overwrite").parquet(store)
+      // answer path: counters re-merged from the STORE — no events scan
+      // until the operator's own exact-verify pass over proposed keys
+      val merged = Sketches.cmsMerge(s.read.parquet(store))
+      Sketches.cmsHeavyHittersFrom(merged, ev, col("user_id"),
+          threshold = 80L, depth = 5, width = 8192)
+        .select(col("k").as("user_id"), col("exact").as("n_events"),
+          col("within_bound"))
+        .orderBy("user_id")
+    },
+    xCmsHeavyHitters.oracle)
+
   val all: Seq[OpQuery] = Seq(
     j10BucketedJoin, s8PartitionPrune, xSampleWeighted, xPrefixJoin,
     xEditdistNeardup, xApproxQuantileBounds, xCmsHeavyHitters,
-    xSketchRollup, xThetaSetops, xKllRollup, xZorderCurve, xZorderSkip)
+    xSketchRollup, xThetaSetops, xKllRollup, xZorderCurve, xZorderSkip,
+    xSketchPersisted)
 }

@@ -53,6 +53,19 @@ class SketchesSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("persisted per-cell partials re-merge bit-identically to one-shot") {
+    val dir = tmpDir()
+    val cells = zipf.zipWithIndex.map { case (k, i) => (k, (i % 3).toLong) }
+    Sketches.cmsSketchPartials(cells.toDF("k", "day"), col("day"), col("k"), d, w)
+      .write.mode("overwrite").parquet(s"$dir/partials")
+    val merged = Sketches.cmsMerge(spark.read.parquet(s"$dir/partials"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketches.cmsSketch(zipf.toDF("k"), col("k"), d, w)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole,
+      "store round-trip + counter-sum must reproduce the one-shot sketch")
+  }
+
   test("heavy hitters = exact set, with bounds green") {
     val got = Sketches.cmsHeavyHitters(zipf.toDF("k"), col("k"),
         threshold = 100L, depth = d, width = w)
