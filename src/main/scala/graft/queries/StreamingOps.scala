@@ -520,8 +520,151 @@ object StreamingOps {
     },
     ScaleOps.xSketchRollup.oracle)
 
+  /** The c4 event bean plus the raw `ts` the WATERMARK rides on —
+    * event-time timeouts require the watermarked column to survive into
+    * the stateful operator's input, so it stays in the bean (advance
+    * itself keys on the µs long). */
+  case class CepNegEv(event_id: Long, user_id: Long, us: Long,
+      event_type: String, t: String, ts: java.sql.Timestamp)
+
+  /** Open trailing-negation runs carried across micro-batches (the same
+    * product-encoder round-trip as [[CepState]], over the c4 event bean). */
+  case class CepNegState(runs: Seq[graft.cep.Run[CepNegEv]])
+
+  /** C4, streaming-executed — the one CEP shape whose STREAMING form
+    * differs structurally from batch: trailing negation's "arm at the
+    * click, emit when the window closes" cannot wait for a later same-key
+    * event (none may ever come), so the window close is a real EVENT-TIME
+    * TIMER: flatMapGroupsWithState with EventTimeTimeout, timers set to
+    * the earliest open window's close, expiry resolved by
+    * [[graft.cep.Matcher.flushSplit]] against the query watermark (armed
+    * runs emit as matches — the purchase never arrived; killed runs died
+    * inside advance when their purchase landed). The input is staged to a
+    * scratch dir so a watermark-advancing SENTINEL (a purchase for
+    * user −1, +20 min past the corpus horizon — starts no run, kills
+    * nothing) can be appended after the real file: it plays the role an
+    * endless stream's later traffic plays in production, pushing the
+    * watermark past every open window so all timers fire. Boundary
+    * semantics identical to batch c4 (strict `< 15m`; at exactly +15 m
+    * the window resolves first) because advance/flushSplit are the SAME
+    * code — CepStreamSpec drives the kill-in-later-batch and
+    * boundary-purchase cases. Shares c4_cep_negation's NOT-EXISTS
+    * oracle verbatim. */
+  val stCepNegation = OpQuery(
+    "st_cep_negation_stream",
+    "streaming CEP trailing negation: keyed state + event-time timers (c4's oracle)",
+    (s, dir) => withStatePartitions(s, 8) {
+      import s.implicits._
+      import graft.cep.{Matcher, Pattern}
+      val win = 15L * 60L * 1000000L // µs
+      val pat = Pattern.begin[CepNegEv]("click", _.event_type == "click")
+        .notFollowedBy("purchase", _.event_type == "purchase").within(win)
+      val scratch = graft.core.Scratch.tempDir("graft_cepneg_stream_")
+      val in = s"$scratch/in"
+      val ev = graft.core.Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select("event_id", "ts", "user_id", "event_type")
+      ev.coalesce(1).write.parquet(in)
+      val horizon = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      def step(user: Long, rows: Iterator[CepNegEv],
+          state: GroupState[CepNegState]): Iterator[(Long, Long, String)] = {
+        val active0 = state.getOption.map(_.runs.toList).getOrElse(Nil)
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (matches, live) =
+          if (state.hasTimedOut) {
+            val (m, _, l) = Matcher.flushSplit(pat, active0, wmUs)
+            (m, l)
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+            val res = Matcher.advance(pat, active0,
+              sorted.iterator.map(e => (e.us, e)))
+            val (m, _, l) = Matcher.flushSplit(pat, res.active, wmUs)
+            (res.matches ++ m, l)
+          }
+        if (live.isEmpty) state.remove()
+        else {
+          state.update(CepNegState(live))
+          // earliest open close, clamped above the watermark (the engine
+          // rejects timers at/behind it); flushSplit re-checks precisely,
+          // so an early firing just re-arms
+          val nextMs = live.map(r => (r.startTs + win) / 1000L + 1L).min
+          state.setTimeoutTimestamp(
+            math.max(nextMs, state.getCurrentWatermarkMs() + 1L))
+        }
+        matches.iterator.map(m => (m.head.event_id, m.head.user_id, m.head.t))
+      }
+      val typed = s.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+        .parquet(in)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"), col("ts"))
+        .withWatermark("ts", "0 seconds")
+        .as[CepNegEv]
+      val out = typed.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(step)
+        .toDF("event_id", "user_id", "click_time")
+      val q = out.writeStream.format("memory").queryName("st_cepneg_out")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 1: all real events; wm → horizon
+        Seq((-1L, new java.sql.Timestamp(horizon.getTime + 20L * 60L * 1000L),
+            -1L, "purchase"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+          .coalesce(1).write.mode("append").parquet(in)
+        q.processAllAvailable() // sentinel batch + no-data timer batches
+      } finally q.stop()
+      s.table("st_cepneg_out").orderBy("event_id")
+    },
+    StatefulOps.c4CepNegation.oracle)
+
+  /** C5, streaming-executed — the OPTIONAL stage needs no timers: a
+    * signup emits its n = 1 row the moment it arrives (everything left is
+    * optional → the match is already complete), the first in-window
+    * purchase extends the still-open run to the n = 2 row in whatever
+    * later micro-batch it arrives, and window expiry happens inside
+    * advance as later events flow — the st_cep_times carry-state shape,
+    * demonstrating the asymmetry with negation (which is exactly why c4
+    * got the timer treatment above). Shares c5_cep_optional's
+    * two-branch oracle verbatim. */
+  val stCepOptional = OpQuery(
+    "st_cep_optional_stream",
+    "streaming CEP optional stage via keyed state, no timers (c5's oracle)",
+    (s, dir) => withStatePartitions(s, 8) {
+      import s.implicits._
+      import graft.cep.{Matcher, Pattern}
+      val win = 30L * 60L * 1000000L // µs
+      val pat = Pattern.begin[CepNegEv]("signup", _.event_type == "signup")
+        .followedBy("purchase", _.event_type == "purchase").optional
+        .within(win)
+      val typed = eventStream(s, dir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"), col("ts"))
+        .as[CepNegEv]
+      def step(user: Long, rows: Iterator[CepNegEv],
+          state: GroupState[CepNegState]): Iterator[(Long, Long, Long, Long)] = {
+        val active0 = state.getOption.map(_.runs.toList).getOrElse(Nil)
+        val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+        val res = Matcher.advance(pat, active0,
+          sorted.iterator.map(e => (e.us, e)))
+        state.update(CepNegState(res.active))
+        res.matches.iterator.map(m => (m.head.user_id, m.head.event_id,
+          m.last.event_id, m.size.toLong))
+      }
+      val out = typed.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(step)
+        .toDF("user_id", "first_id", "last_id", "n")
+      drain(out, "st_cepopt_out").orderBy("user_id", "first_id", "n")
+    },
+    StatefulOps.c5CepOptional.oracle)
+
   val all: Seq[OpQuery] =
     Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
       stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream,
-      stCepTimes, stAttribution, stCmsHeavyHitters, stSketchRollup)
+      stCepTimes, stAttribution, stCmsHeavyHitters, stSketchRollup,
+      stCepNegation, stCepOptional)
 }
