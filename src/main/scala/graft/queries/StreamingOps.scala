@@ -59,6 +59,28 @@ object StreamingOps {
 
   case class Ev(event_id: Long, user_id: Long, usec: Long, dt: String)
 
+  /** The st_uv_dedup_stream state machine, factored out so
+    * RestartResilienceSpec can drive the REAL transform through a
+    * checkpoint kill/restart (not a spec-local copy). */
+  private[graft] def uvDedupTransform(
+      typed: org.apache.spark.sql.Dataset[Ev]): DataFrame = {
+    val s = typed.sparkSession
+    import s.implicits._
+    def keep(user: Long, rows: Iterator[Ev],
+        state: GroupState[Set[String]]): Iterator[(Long, String, Long)] = {
+      var seen = state.getOption.getOrElse(Set.empty[String])
+      val out = rows.toSeq.sortBy(e => (e.usec, e.event_id)).flatMap { e =>
+        if (seen(e.dt)) None
+        else { seen += e.dt; Some((e.user_id, e.dt, e.event_id)) }
+      }
+      state.update(seen)
+      out.iterator
+    }
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(keep)
+      .toDF("user_id", "dt", "event_id")
+  }
+
   /** A5, streaming-executed — first event per (user, day) through
     * flatMapGroupsWithState keyed state (the UniqueVisitApp shape on the
     * events table). Oracle = the same row_number window as a5_uv_dedup. */
@@ -71,20 +93,7 @@ object StreamingOps {
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("usec"),
           date_format(col("ts"), "yyyy-MM-dd").as("dt"))
         .as[Ev]
-      def keep(user: Long, rows: Iterator[Ev],
-          state: GroupState[Set[String]]): Iterator[(Long, String, Long)] = {
-        var seen = state.getOption.getOrElse(Set.empty[String])
-        val out = rows.toSeq.sortBy(e => (e.usec, e.event_id)).flatMap { e =>
-          if (seen(e.dt)) None
-          else { seen += e.dt; Some((e.user_id, e.dt, e.event_id)) }
-        }
-        state.update(seen)
-        out.iterator
-      }
-      val deduped = typed.groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(keep)
-        .toDF("user_id", "dt", "event_id")
-      drain(deduped, "st_uv_out").orderBy("user_id", "dt")
+      drain(uvDedupTransform(typed), "st_uv_out").orderBy("user_id", "dt")
     },
     Some("""SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt, event_id
             FROM (SELECT *, row_number() OVER (
@@ -355,6 +364,28 @@ object StreamingOps {
     * state a RocksDB-backed store holds in production). */
   case class CepState(runs: Seq[graft.cep.Run[CepVEv]])
 
+  /** The st_cep_times_stream state machine (advance-carrying keyed
+    * state), factored out for RestartResilienceSpec. */
+  private[graft] def cepTimesTransform(
+      typed: org.apache.spark.sql.Dataset[CepVEv],
+      pat: graft.cep.Pattern[CepVEv]): DataFrame = {
+    val s = typed.sparkSession
+    import s.implicits._
+    import graft.cep.Matcher
+    def step(user: Long, rows: Iterator[CepVEv],
+        state: GroupState[CepState]): Iterator[(Long, Long, Long, String, String)] = {
+      val active0 = state.getOption.map(_.runs.toList).getOrElse(Nil)
+      val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+      val res = Matcher.advance(pat, active0, sorted.iterator.map(e => (e.us, e)))
+      state.update(CepState(res.active))
+      res.matches.iterator.map(m => (m.head.user_id, m.head.event_id,
+        m.last.event_id, m.head.t, m.last.t))
+    }
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+      .toDF("user_id", "first_id", "last_id", "t_first", "t_last")
+  }
+
   /** C3, streaming-executed — the QUANTIFIED pattern (times(3), 48 h
     * window) running inside flatMapGroupsWithState keyed state: each
     * micro-batch folds its (sorted) events over the runs carried in
@@ -378,24 +409,48 @@ object StreamingOps {
           unix_micros(col("ts")).as("us"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"))
         .as[CepVEv]
-      def step(user: Long, rows: Iterator[CepVEv],
-          state: GroupState[CepState]): Iterator[(Long, Long, Long, String, String)] = {
-        val active0 = state.getOption.map(_.runs.toList).getOrElse(Nil)
-        val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
-        val res = Matcher.advance(pat, active0, sorted.iterator.map(e => (e.us, e)))
-        state.update(CepState(res.active))
-        res.matches.iterator.map(m => (m.head.user_id, m.head.event_id,
-          m.last.event_id, m.head.t, m.last.t))
-      }
-      val out = typed.groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
-        .toDF("user_id", "first_id", "last_id", "t_first", "t_last")
-      drain(out, "st_cep_out").orderBy("user_id", "first_id")
+      drain(cepTimesTransform(typed, pat), "st_cep_out")
+        .orderBy("user_id", "first_id")
     },
     StatefulOps.c3CepTimes.oracle)
 
   case class AttrEv(event_id: Long, user_id: Long, us: Long,
       event_type: String, value: Double, dt: String)
+
+  /** The st_attribution_stream credit machine (last-touch carry-forward
+    * state), factored out for RestartResilienceSpec. */
+  private[graft] def attributionTransform(
+      typed: org.apache.spark.sql.Dataset[AttrEv]): DataFrame = {
+    val s = typed.sparkSession
+    import s.implicits._
+    def step(user: Long, rows: Iterator[AttrEv],
+        state: GroupState[(Long, String)]): Iterator[(String, String, Double)] = {
+      var (lastUs, lastSrc) = state.getOption.getOrElse((Long.MinValue, ""))
+      val sorted = rows.toSeq.sortBy(e =>
+        (e.us, if (e.event_type == "purchase") 1 else 0, e.event_id))
+      val out = sorted.flatMap { e =>
+        if (e.event_type != "purchase") {
+          // same-instant touches collapse to max(src_type) — the a17
+          // (user, ts) dedup rule; later instants simply replace
+          if (e.us == lastUs) lastSrc = Ordering[String].max(lastSrc, e.event_type)
+          else { lastUs = e.us; lastSrc = e.event_type }
+          None
+        } else {
+          val channel =
+            if (lastUs == Long.MinValue || e.us - lastUs > 86400000000L)
+              "direct"
+            else lastSrc
+          Some((channel, e.dt, e.value))
+        }
+      }
+      state.update((lastUs, lastSrc))
+      out.iterator
+    }
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(step)
+      .toDF("channel", "dt", "value")
+  }
 
   /** A17, streaming-executed — INCREMENTAL last-touch attribution. The
     * batch query resolves each purchase's most recent view/click via an
@@ -424,33 +479,7 @@ object StreamingOps {
           coalesce(col("value"), lit(0.0)).as("value"),
           date_format(col("ts"), "yyyy-MM-dd").as("dt"))
         .as[AttrEv]
-      def step(user: Long, rows: Iterator[AttrEv],
-          state: GroupState[(Long, String)]): Iterator[(String, String, Double)] = {
-        var (lastUs, lastSrc) = state.getOption.getOrElse((Long.MinValue, ""))
-        val sorted = rows.toSeq.sortBy(e =>
-          (e.us, if (e.event_type == "purchase") 1 else 0, e.event_id))
-        val out = sorted.flatMap { e =>
-          if (e.event_type != "purchase") {
-            // same-instant touches collapse to max(src_type) — the a17
-            // (user, ts) dedup rule; later instants simply replace
-            if (e.us == lastUs) lastSrc = Ordering[String].max(lastSrc, e.event_type)
-            else { lastUs = e.us; lastSrc = e.event_type }
-            None
-          } else {
-            val channel =
-              if (lastUs == Long.MinValue || e.us - lastUs > 86400000000L)
-                "direct"
-              else lastSrc
-            Some((channel, e.dt, e.value))
-          }
-        }
-        state.update((lastUs, lastSrc))
-        out.iterator
-      }
-      val credited = typed.groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Append,
-          GroupStateTimeout.NoTimeout)(step)
-        .toDF("channel", "dt", "value")
+      val credited = attributionTransform(typed)
       val rolled = credited.groupBy(col("channel"), col("dt"))
         .agg(count(lit(1)).as("ct"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
@@ -531,6 +560,74 @@ object StreamingOps {
     * product-encoder round-trip as [[CepState]], over the c4 event bean). */
   case class CepNegState(runs: Seq[graft.cep.Run[CepNegEv]])
 
+  /** The st_cep_negation_stream state machine — advance-carrying keyed
+    * state PLUS event-time timers for the trailing-negation window close
+    * (timeout timestamps are part of the checkpoint, so a restart resumes
+    * pending window-close emissions; RestartResilienceSpec proves it).
+    * Caller must have a watermark on the input's `ts`. */
+  private[graft] def cepNegationTransform(
+      typed: org.apache.spark.sql.Dataset[CepNegEv],
+      pat: graft.cep.Pattern[CepNegEv], win: Long): DataFrame = {
+    val s = typed.sparkSession
+    import s.implicits._
+    import graft.cep.Matcher
+    def step(user: Long, rows: Iterator[CepNegEv],
+        state: GroupState[CepNegState]): Iterator[(Long, Long, String)] = {
+      val active0 = state.getOption.map(_.runs.toList).getOrElse(Nil)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (matches, live) =
+        if (state.hasTimedOut) {
+          val (m, _, l) = Matcher.flushSplit(pat, active0, wmUs)
+          (m, l)
+        } else {
+          val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+          val res = Matcher.advance(pat, active0,
+            sorted.iterator.map(e => (e.us, e)))
+          val (m, _, l) = Matcher.flushSplit(pat, res.active, wmUs)
+          (res.matches ++ m, l)
+        }
+      if (live.isEmpty) state.remove()
+      else {
+        state.update(CepNegState(live))
+        // earliest open close, clamped above the watermark (the engine
+        // rejects timers at/behind it); flushSplit re-checks precisely,
+        // so an early firing just re-arms
+        val nextMs = live.map(r => (r.startTs + win) / 1000L + 1L).min
+        state.setTimeoutTimestamp(
+          math.max(nextMs, state.getCurrentWatermarkMs() + 1L))
+      }
+      matches.iterator.map(m => (m.head.event_id, m.head.user_id, m.head.t))
+    }
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(step)
+      .toDF("event_id", "user_id", "click_time")
+  }
+
+  /** The st_cep_optional_stream machine — like [[cepTimesTransform]] but
+    * emitting the (first, last, n) growth rows c5 reports. */
+  private[graft] def cepOptionalTransform(
+      typed: org.apache.spark.sql.Dataset[CepNegEv],
+      pat: graft.cep.Pattern[CepNegEv]): DataFrame = {
+    val s = typed.sparkSession
+    import s.implicits._
+    import graft.cep.Matcher
+    def step(user: Long, rows: Iterator[CepNegEv],
+        state: GroupState[CepNegState]): Iterator[(Long, Long, Long, Long)] = {
+      val active0 = state.getOption.map(_.runs.toList).getOrElse(Nil)
+      val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+      val res = Matcher.advance(pat, active0,
+        sorted.iterator.map(e => (e.us, e)))
+      state.update(CepNegState(res.active))
+      res.matches.iterator.map(m => (m.head.user_id, m.head.event_id,
+        m.last.event_id, m.size.toLong))
+    }
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(step)
+      .toDF("user_id", "first_id", "last_id", "n")
+  }
+
   /** C4, streaming-executed — the one CEP shape whose STREAMING form
     * differs structurally from batch: trailing negation's "arm at the
     * click, emit when the window closes" cannot wait for a later same-key
@@ -566,33 +663,6 @@ object StreamingOps {
         .select("event_id", "ts", "user_id", "event_type")
       ev.coalesce(1).write.parquet(in)
       val horizon = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-      def step(user: Long, rows: Iterator[CepNegEv],
-          state: GroupState[CepNegState]): Iterator[(Long, Long, String)] = {
-        val active0 = state.getOption.map(_.runs.toList).getOrElse(Nil)
-        val wmUs = state.getCurrentWatermarkMs() * 1000L
-        val (matches, live) =
-          if (state.hasTimedOut) {
-            val (m, _, l) = Matcher.flushSplit(pat, active0, wmUs)
-            (m, l)
-          } else {
-            val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
-            val res = Matcher.advance(pat, active0,
-              sorted.iterator.map(e => (e.us, e)))
-            val (m, _, l) = Matcher.flushSplit(pat, res.active, wmUs)
-            (res.matches ++ m, l)
-          }
-        if (live.isEmpty) state.remove()
-        else {
-          state.update(CepNegState(live))
-          // earliest open close, clamped above the watermark (the engine
-          // rejects timers at/behind it); flushSplit re-checks precisely,
-          // so an early firing just re-arms
-          val nextMs = live.map(r => (r.startTs + win) / 1000L + 1L).min
-          state.setTimeoutTimestamp(
-            math.max(nextMs, state.getCurrentWatermarkMs() + 1L))
-        }
-        matches.iterator.map(m => (m.head.event_id, m.head.user_id, m.head.t))
-      }
       val typed = s.readStream
         .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
         .parquet(in)
@@ -601,10 +671,7 @@ object StreamingOps {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"), col("ts"))
         .withWatermark("ts", "0 seconds")
         .as[CepNegEv]
-      val out = typed.groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Append,
-          GroupStateTimeout.EventTimeTimeout)(step)
-        .toDF("event_id", "user_id", "click_time")
+      val out = cepNegationTransform(typed, pat, win)
       val q = out.writeStream.format("memory").queryName("st_cepneg_out")
         .outputMode("append").start()
       try {
@@ -644,21 +711,8 @@ object StreamingOps {
           unix_micros(col("ts")).as("us"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"), col("ts"))
         .as[CepNegEv]
-      def step(user: Long, rows: Iterator[CepNegEv],
-          state: GroupState[CepNegState]): Iterator[(Long, Long, Long, Long)] = {
-        val active0 = state.getOption.map(_.runs.toList).getOrElse(Nil)
-        val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
-        val res = Matcher.advance(pat, active0,
-          sorted.iterator.map(e => (e.us, e)))
-        state.update(CepNegState(res.active))
-        res.matches.iterator.map(m => (m.head.user_id, m.head.event_id,
-          m.last.event_id, m.size.toLong))
-      }
-      val out = typed.groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Append,
-          GroupStateTimeout.NoTimeout)(step)
-        .toDF("user_id", "first_id", "last_id", "n")
-      drain(out, "st_cepopt_out").orderBy("user_id", "first_id", "n")
+      drain(cepOptionalTransform(typed, pat), "st_cepopt_out")
+        .orderBy("user_id", "first_id", "n")
     },
     StatefulOps.c5CepOptional.oracle)
 

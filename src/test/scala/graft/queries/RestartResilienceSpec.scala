@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.SparkTestBase
+import graft.ads.Behavior
+import graft.cep.Pattern
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Restart resilience for the stateful streaming twins — the exactly-once
+  * story the reference only gestures at with its commented-out
+  * checkpointing (RT/app/dwm/UserJumpDetailApp.java:36-44 sets, then
+  * abandons, an HDFS checkpoint): each REAL registry state machine (the
+  * factored transforms the st_* queries execute) is killed after batch 1
+  * of ≥2, restarted from its checkpoint onto a durable sink, and the
+  * total output must equal the uninterrupted run's — state, watermark and
+  * event-time TIMERS all resume from the checkpoint, and the sink's
+  * committed batch log suppresses re-emission of batch 1.
+  *
+  * Seven twins parameterize one runner: uv-dedup (seen-set state),
+  * cep-times (open NFA runs), cep-negation (runs + event-time timers —
+  * the timer recovery case), cep-optional (emitted-run growth),
+  * attribution (carry-forward last touch), funnel (stage cascade),
+  * retention (cohort first-sightings).
+  */
+class RestartResilienceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private case class RCase(
+      name: String,
+      batches: Seq[() => DataFrame],        // bean-shaped rows per batch
+      build: String => DataFrame)           // input dir → streaming output
+
+  private def beanStream(inDir: String, schema: String): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+
+  /** Write each batch to a staging dir with strictly increasing mtimes so
+    * the file source's modified-time ordering replays them as batches in
+    * definition order. */
+  private def stage(root: String, batches: Seq[() => DataFrame]): Seq[java.io.File] =
+    batches.zipWithIndex.map { case (mk, i) =>
+      val d = s"$root/stage/b$i"
+      mk().coalesce(1).write.parquet(d)
+      val t0 = System.currentTimeMillis() - 3600000L + i * 60000L
+      val dir = new java.io.File(d)
+      dir.listFiles().foreach(_.setLastModified(t0))
+      dir
+    }
+
+  private def copyIn(stageDir: java.io.File, inDir: String): Unit = {
+    new java.io.File(inDir).mkdirs()
+    stageDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      val dst = java.nio.file.Paths.get(inDir, s"${stageDir.getName}_${f.getName}")
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(f.lastModified())
+    }
+  }
+
+  private def runToParquet(out: DataFrame, path: String, ck: String): Unit = {
+    val q = out.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def rowsOf(path: String): Seq[String] =
+    spark.read.parquet(path).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  private val negPat = Pattern
+    .begin[StreamingOps.CepNegEv]("click", _.event_type == "click")
+    .notFollowedBy("purchase", _.event_type == "purchase")
+    .within(100L * 1000000L)
+  private val optPat = Pattern
+    .begin[StreamingOps.CepNegEv]("signup", _.event_type == "signup")
+    .followedBy("purchase", _.event_type == "purchase").optional
+    .within(100L * 1000000L)
+  private val timesPat = Pattern
+    .begin[StreamingOps.CepVEv]("v", _ => true).times(3)
+    .within(1000L * 1000000L)
+
+  private def negEv(sec: Long, id: Long, user: Long, typ: String) =
+    (id, user, sec * 1000000L, typ, f"t$id", ts(sec))
+  private val negSchema =
+    "event_id LONG, user_id LONG, us LONG, event_type STRING, t STRING, ts TIMESTAMP"
+
+  private val cases = Seq(
+    RCase("uv_dedup",
+      Seq(
+        () => Seq((1L, 10L, 1000000L, "d1"), (2L, 10L, 2000000L, "d1"),
+          (3L, 20L, 3000000L, "d1")).toDF("event_id", "user_id", "usec", "dt"),
+        () => Seq((4L, 10L, 4000000L, "d1"), (5L, 10L, 5000000L, "d2"),
+          (6L, 20L, 6000000L, "d1")).toDF("event_id", "user_id", "usec", "dt")),
+      in => StreamingOps.uvDedupTransform(
+        beanStream(in, "event_id LONG, user_id LONG, usec LONG, dt STRING")
+          .as[StreamingOps.Ev])),
+    RCase("cep_times",
+      Seq(
+        () => Seq((1L, 1L, 1000000L, "t1"), (2L, 1L, 2000000L, "t2"))
+          .toDF("event_id", "user_id", "us", "t"),
+        () => Seq((3L, 1L, 3000000L, "t3"), (4L, 1L, 4000000L, "t4"))
+          .toDF("event_id", "user_id", "us", "t")),
+      in => StreamingOps.cepTimesTransform(
+        beanStream(in, "event_id LONG, user_id LONG, us LONG, t STRING")
+          .as[StreamingOps.CepVEv], timesPat)),
+    RCase("cep_negation",
+      Seq(
+        // u1 click arms; u2 click arms
+        () => Seq(negEv(10L, 100L, 1L, "click"), negEv(20L, 200L, 2L, "click"))
+          .toDF("event_id", "user_id", "us", "event_type", "t", "ts"),
+        // u1's purchase kills; watermark advances
+        () => Seq(negEv(50L, 101L, 1L, "purchase"))
+          .toDF("event_id", "user_id", "us", "event_type", "t", "ts"),
+        // sentinel far past u2's close → u2's TIMER fires post-restart
+        () => Seq(negEv(500L, 999L, 99L, "purchase"))
+          .toDF("event_id", "user_id", "us", "event_type", "t", "ts")),
+      in => StreamingOps.cepNegationTransform(
+        beanStream(in, negSchema).withWatermark("ts", "0 seconds")
+          .as[StreamingOps.CepNegEv], negPat, 100L * 1000000L)),
+    RCase("cep_optional",
+      Seq(
+        () => Seq(negEv(10L, 100L, 1L, "signup"))
+          .toDF("event_id", "user_id", "us", "event_type", "t", "ts"),
+        () => Seq(negEv(50L, 101L, 1L, "purchase"))
+          .toDF("event_id", "user_id", "us", "event_type", "t", "ts")),
+      in => StreamingOps.cepOptionalTransform(
+        beanStream(in, negSchema).as[StreamingOps.CepNegEv], optPat)),
+    RCase("attribution",
+      Seq(
+        () => Seq((1L, 1L, 1000000L, "view", 0.0, "d1"))
+          .toDF("event_id", "user_id", "us", "event_type", "value", "dt"),
+        () => Seq((2L, 1L, 2000000L, "purchase", 9.5, "d1"),
+          (3L, 1L, 3000000L, "click", 0.0, "d1"),
+          (4L, 1L, 4000000L, "purchase", 1.5, "d1"))
+          .toDF("event_id", "user_id", "us", "event_type", "value", "dt")),
+      in => StreamingOps.attributionTransform(
+        beanStream(in,
+          "event_id LONG, user_id LONG, us LONG, event_type STRING, value DOUBLE, dt STRING")
+          .as[StreamingOps.AttrEv])),
+    RCase("funnel",
+      Seq(
+        () => Seq((1L, 1L, 1000000L, "view"))
+          .toDF("event_id", "user_id", "usec", "et"),
+        () => Seq((2L, 1L, 2000000L, "click"), (3L, 1L, 3000000L, "purchase"))
+          .toDF("event_id", "user_id", "usec", "et")),
+      in => {
+        val typed = beanStream(in,
+          "event_id LONG, user_id LONG, usec LONG, et STRING")
+          .as[Behavior.FunnelEv]
+        typed.groupByKey(_.user_id)
+          .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+            Behavior.funnelAdvance(Vector("view", "click", "purchase"),
+              86400L * 1000000L) _)
+          .toDF("uid", "stage_idx")
+      }),
+    RCase("retention",
+      Seq(
+        () => Seq((1L, 100L)).toDF("user_id", "epochDay"),
+        () => Seq((1L, 101L), (1L, 100L), (2L, 101L))
+          .toDF("user_id", "epochDay")),
+      in => {
+        val typed = beanStream(in, "user_id LONG, epochDay LONG")
+          .as[Behavior.VisitEv]
+        typed.groupByKey(_.user_id)
+          .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+            Behavior.retentionAdvance _)
+          .toDF("uid", "cohortEpoch", "dayEpoch")
+      }))
+
+  for (rc <- cases)
+    test(s"${rc.name}: kill after batch 1, restart from checkpoint ≡ uninterrupted") {
+      val root = tmpDir()
+      val staged = stage(root, rc.batches)
+
+      // uninterrupted baseline: all files present from the start
+      staged.foreach(copyIn(_, s"$root/inA"))
+      runToParquet(rc.build(s"$root/inA"), s"$root/outA", s"$root/ckA")
+
+      // interrupted run: batch 1 only, graceful-stop "kill", then the
+      // remaining files land and the query restarts from its checkpoint
+      copyIn(staged.head, s"$root/inB")
+      runToParquet(rc.build(s"$root/inB"), s"$root/outB", s"$root/ckB")
+      staged.tail.foreach(copyIn(_, s"$root/inB"))
+      runToParquet(rc.build(s"$root/inB"), s"$root/outB", s"$root/ckB")
+
+      val a = rowsOf(s"$root/outA")
+      val b = rowsOf(s"$root/outB")
+      assert(a.nonEmpty, s"${rc.name}: baseline produced no rows")
+      assert(a == b, s"${rc.name}: restart diverged\nA=$a\nB=$b")
+    }
+}
