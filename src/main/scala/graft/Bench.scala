@@ -76,12 +76,14 @@ object Bench {
     loadAvg, otherCores, waitForQuiet}
 
   /** Best (minimum) recorded median per query across every committed
-    * BENCH_r*.json — the cheapest defensible baseline for "did this query
-    * really get slower, or is the host degraded?". */
-  private def bestPriorMedians(dir: String): Map[String, Double] = {
+    * BENCH_r*.json, WITH the artifact it came from — adjudication records
+    * the provenance so a "2× slower than best prior" flag can be traced
+    * to the round that set the bar (VERDICT r9: an unattributed 5.78 s
+    * best_prior was itself part of a measurement contradiction). */
+  private def bestPriorMedians(dir: String): Map[String, (Double, String)] = {
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    val best = scala.collection.mutable.Map.empty[String, (Double, String)]
     val d = new java.io.File(dir)
     // bench_out.json is the PREVIOUS round's full (untruncated) line —
     // the committed BENCH_r*.json tails clip at 2000 chars, which can
@@ -112,8 +114,8 @@ object Bench {
           if (e.getValue.isNumber) {
             val v = e.getValue.asDouble()
             if (v > 0) best.updateWith(e.getKey) {
-              case Some(b) => Some(math.min(b, v))
-              case None => Some(v)
+              case Some((b, src)) if b <= v => Some((b, src))
+              case _ => Some((v, f.getName))
             }
           }
         })
@@ -221,10 +223,10 @@ object Bench {
     // the suite median (never promote a number taken under proven load).
     val best = bestPriorMedians(baseDir)
     final case class Adj(suiteM: Double, rerunM: Double, bestPrior: Double,
-        othersAtRerun: Double, valid: Boolean)
+        bestPriorSrc: String, othersAtRerun: Double, valid: Boolean)
     val adjudicated = scala.collection.mutable.LinkedHashMap.empty[String, Adj]
     val results = suite.map {
-      case (name, Some(m)) if best.get(name).exists(b => m > AdjudicateFactor * b) =>
+      case (name, Some(m)) if best.get(name).exists(b => m > AdjudicateFactor * b._1) =>
         var attempt = 0
         var entry: Option[Adj] = None
         while (attempt < 3 && !entry.exists(_.valid)) {
@@ -237,7 +239,8 @@ object Bench {
           if (rerun.size == iters) {
             val rm = median(rerun)
             // valid = not inverted (allow 10% jitter over the suite median)
-            val a = Adj(m, rm, best(name), others, rm <= m * 1.10)
+            val a = Adj(m, rm, best(name)._1, best(name)._2, others,
+              rm <= m * 1.10)
             // keep the best (fastest, preferring valid) attempt seen
             entry = Some(entry match {
               case Some(prev) if prev.valid && !a.valid => prev
@@ -263,7 +266,7 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val adjJson = adjudicated.map { case (k, a) =>
-      "\"" + k + f"""\":{"suite_median":${a.suiteM}%.3f,"isolated_rerun":${a.rerunM}%.3f,"best_prior":${a.bestPrior}%.3f,"others_at_rerun":${a.othersAtRerun}%.2f,"valid":${a.valid}}"""
+      "\"" + k + f"""\":{"suite_median":${a.suiteM}%.3f,"isolated_rerun":${a.rerunM}%.3f,"best_prior":${a.bestPrior}%.3f,"best_prior_src":"${a.bestPriorSrc}%s","others_at_rerun":${a.othersAtRerun}%.2f,"valid":${a.valid}}"""
     }.mkString("{", ",", "}")
     val loadHotJson = loadHot.map { case (k, l) => "\"" + k + f"\":$l%.2f" }
       .mkString("{", ",", "}")

@@ -1,0 +1,134 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.HostProbe
+import graft.ext.Similarity
+
+/** ANN-family 10× scale rehearsal (SCALING.md §6, VERDICT r9 #3): on the
+  * gen_ann_rehearsal.py corpora (2k and 20k vectors from one generative
+  * process), measure for IVF over k-means cells, IVF-PQ, and JL
+  * coarse-rank/exact-rerank:
+  *   - recall@5 against the brute-force truth for 16 query vectors, at
+  *     FIXED index parameters (8 coarse cells, nProbe 2, m=16×16 PQ,
+  *     JL coarseC 40) — does recall hold as the corpus grows 10×?
+  *   - recall@5 under the √N parameter-scaling rule (cells ∝ √N with
+  *     nProbe scaled to keep the probed fraction, coarseC ∝ √N) — the
+  *     rule a production deploy applies when fixed parameters decay;
+  *   - median wall over 3 iterations per config, under the same
+  *     foreign-CPU quiet gate as Bench.
+  * Output: one JSON line + target/ann_rehearsal.json.
+  */
+object AnnScaleRehearsal {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "target/ann_rehearsal"
+    val iters = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
+    val quietBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT", "600").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id) s")
+      .write.format("noop").mode("overwrite").save()
+
+    val out = new StringBuilder
+    out.append(s"""{"iters":$iters""")
+    for (size <- Seq("sfS", "sfL")) {
+      val e = spark.read.parquet(s"$base/$size/embeddings.parquet")
+        .cache()
+      val n = e.count()
+      val q = e.filter(col("vec_id") < 16)
+      val exact = Similarity
+        .cosineTopK(e, "vec_id", "embedding", q, k = 5)
+        .select("qid", "cid").cache()
+      val exactN = exact.count().toDouble
+
+      // fixed parameters (the shipped sf0.1 configuration)…
+      val cellsFixed = 8
+      val probeFixed = 2
+      val coarseCFixed = 40
+      // …and the √N scaling rule: cells ∝ √N keeps per-cell size ∝ √N,
+      // nProbe keeps the probed cell FRACTION, coarseC ∝ √N keeps the
+      // rerank candidate budget proportional to per-cell density
+      val cellsScaled = math.max(cellsFixed,
+        math.round(math.sqrt(n / 2000.0) * cellsFixed).toInt)
+      val probeScaled = math.max(probeFixed,
+        math.round(cellsScaled * probeFixed.toDouble / cellsFixed).toInt)
+      val coarseCScaled = math.max(coarseCFixed,
+        math.round(math.sqrt(n / 2000.0) * coarseCFixed).toInt)
+
+      def kmeansClustered(k: Int): DataFrame = {
+        val cells = Similarity
+          .kmeansAssign(e, "vec_id", "embedding", k = k, iters = 3)
+          .withColumnRenamed("id", "vec_id")
+        e.join(cells, Seq("vec_id"))
+      }
+
+      val variants: Seq[(String, () => DataFrame)] = Seq(
+        "ivf_kmeans_fixed" -> (() =>
+          Similarity.ivfTopK(kmeansClustered(cellsFixed), "vec_id",
+            "embedding", "cluster", q, k = 5, nProbe = probeFixed)),
+        "ivf_kmeans_scaled" -> (() =>
+          Similarity.ivfTopK(kmeansClustered(cellsScaled), "vec_id",
+            "embedding", "cluster", q, k = 5, nProbe = probeScaled)),
+        "ivfpq_kmeans_fixed" -> (() => {
+          val c = kmeansClustered(cellsFixed)
+          Similarity.ivfPqTopK(c, "vec_id", "embedding", "cluster", q,
+            k = 5, nProbe = probeFixed, m = 16, ksub = 16)
+        }),
+        "ivfpq_kmeans_scaled" -> (() => {
+          val c = kmeansClustered(cellsScaled)
+          Similarity.ivfPqTopK(c, "vec_id", "embedding", "cluster", q,
+            k = 5, nProbe = probeScaled, m = 16, ksub = 16)
+        }),
+        "jl_rerank_fixed" -> (() =>
+          Similarity.jlRerankTopK(e, "vec_id", "embedding", q,
+            dim = 64, kProj = 16, coarseC = coarseCFixed, k = 5)),
+        "jl_rerank_scaled" -> (() =>
+          Similarity.jlRerankTopK(e, "vec_id", "embedding", q,
+            dim = 64, kProj = 16, coarseC = coarseCScaled, k = 5)))
+
+      out.append(s""","$size":{"n":$n,"cells_scaled":$cellsScaled""" +
+        s""","probe_scaled":$probeScaled,"coarseC_scaled":$coarseCScaled""")
+      for ((name, mk) <- variants) {
+        HostProbe.waitForQuiet(quietBudget, s"ann-rehearsal:$name")
+        val hits = exact
+          .join(mk().select("qid", "cid"), Seq("qid", "cid"), "left_semi")
+          .count().toDouble
+        val recall = hits / exactN
+        val pre = HostProbe.cpuSample()
+        val t0 = System.nanoTime()
+        val times = (1 to iters).map { _ =>
+          System.gc()
+          val t = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t) / 1e9
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val others = HostProbe.otherCores(pre, HostProbe.cpuSample(), wall)
+        out.append(f""","$name%s":{"recall":$recall%.3f,"median_sec":${median(times)}%.3f,"others_cores":$others%.2f}""")
+        System.err.println(f"[ann-rehearsal] $size $name%-20s recall=$recall%.3f median=${median(times)}%.3f s (foreign $others%.2f cores)")
+      }
+      out.append("}")
+      e.unpersist(); exact.unpersist()
+    }
+    out.append("}")
+    println(out.toString)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/ann_rehearsal.json"), out.toString + "\n")
+    spark.stop()
+  }
+}

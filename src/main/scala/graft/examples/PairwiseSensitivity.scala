@@ -65,7 +65,6 @@ object PairwiseSensitivity {
     out.append(s"""{"sf":"$sfDir","iters":$iters""")
     for ((name, mk) <- variants) {
       HostProbe.waitForQuiet(quietBudget, s"sensitivity:$name")
-      val rows = mk().count()
       val pre = HostProbe.cpuSample()
       val t0 = System.nanoTime()
       val times = (1 to iters).map { _ =>
@@ -76,6 +75,11 @@ object PairwiseSensitivity {
       }
       val wall = (System.nanoTime() - t0) / 1e9
       val others = HostProbe.otherCores(pre, HostProbe.cpuSample(), wall)
+      // result-count AFTER the timed iterations: an untimed warm-up
+      // execution before them was the one methodological difference from
+      // Bench's cold-first median (r10 reconciliation, SCALING.md §3) —
+      // both harnesses now share the measurement shape
+      val rows = mk().count()
       out.append(f""","$name%s":{"median_sec":${median(times)}%.3f,"rows":$rows,"others_cores":$others%.2f}""")
       System.err.println(f"[sensitivity] $name: ${median(times)}%.3f s, $rows rows (foreign $others%.2f cores)")
     }
