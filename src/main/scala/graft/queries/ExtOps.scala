@@ -3132,6 +3132,52 @@ object ExtOps {
         "\n").as("text"))
   }
 
+  /** Shared chunk CTEs (size 40, stride 30): tokenized windows with the
+    * emission rule [[graft.ext.Chunking]] states — starts 1, 1+30, … ≤
+    * max(n, 1), tail kept, empty doc → one empty chunk. */
+  private val chunkCte =
+    """w AS (SELECT doc_id, list_filter(string_split(text, ' '),
+      |        t -> len(t) > 0) AS w FROM documents),
+      |st AS (SELECT doc_id, w,
+      |       unnest(generate_series(1, greatest(len(w), 1), 30)) AS s FROM w),
+      |ch AS (SELECT doc_id, s, w[s : s + 39] AS toks FROM st),
+      |cx AS (SELECT doc_id,
+      |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+      |            AS BIGINT) AS chunk_idx,
+      |       CAST(s AS BIGINT) AS chunk_start,
+      |       CAST(len(toks) AS BIGINT) AS n_tokens,
+      |       array_to_string(toks, ' ') AS chunk_text
+      |       FROM ch)""".stripMargin
+
+  /** Context-window chunking — the RAG/pretraining prep staple, map-only
+    * (no shuffle before the final presentation sort; PlanSpec pins it). */
+  val xChunkWindows = OpQuery(
+    "x_chunk_windows",
+    "fixed-window document chunking: 40-token chunks, stride 30 (overlap 10)",
+    (s, dir) =>
+      graft.ext.Chunking.chunk(t(s, dir, "documents"), "text", "doc_id",
+          size = 40, stride = 30)
+        .orderBy("doc_id", "chunk_idx"),
+    Some(s"""WITH $chunkCte
+            SELECT doc_id, chunk_idx, chunk_start, n_tokens, chunk_text
+            FROM cx ORDER BY doc_id, chunk_idx"""))
+
+  /** Chunk-granularity dedup — duplicate boilerplate chunks would
+    * dominate a RAG index's retrieval; first-wins by (doc, idx). */
+  val xChunkDedup = OpQuery(
+    "x_chunk_dedup",
+    "chunk-level first-wins dedup over the 40/30 windows",
+    (s, dir) =>
+      graft.ext.Chunking.chunkDedup(t(s, dir, "documents"), "text", "doc_id",
+          size = 40, stride = 30)
+        .withColumn("is_kept", col("is_kept").cast("long"))
+        .orderBy("doc_id", "chunk_idx"),
+    Some(s"""WITH $chunkCte
+            SELECT doc_id, chunk_idx, n_tokens, chunk_text,
+              CAST(row_number() OVER (PARTITION BY chunk_text
+                     ORDER BY doc_id, chunk_idx) = 1 AS BIGINT) AS is_kept
+            FROM cx ORDER BY doc_id, chunk_idx"""))
+
   /** C4's line-level dedup (Raffel et al. 2020 §2.2 — "removed all but
     * one of any [span] occurring more than once"): a line keeps only its
     * globally first (doc_id, pos) occurrence. The corpus has no newlines,
@@ -3242,7 +3288,7 @@ object ExtOps {
 
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xMinhashEst,
-    xNeardupJaccard, xLineDedup, xGopherRules, xCollocations,
+    xNeardupJaccard, xLineDedup, xChunkWindows, xChunkDedup, xGopherRules, xCollocations,
     xSimhash, xSimhashNeardup, xNeardupJaccard3, xContainment,
     xDedupComponents,
     xDedupPipeline,

@@ -170,25 +170,43 @@ class RestartResilienceSpec extends SparkTestBase {
           .toDF("uid", "cohortEpoch", "dayEpoch")
       }))
 
+  private def runCase(rc: RCase): Unit = {
+    val root = tmpDir()
+    val staged = stage(root, rc.batches)
+
+    // uninterrupted baseline: all files present from the start
+    staged.foreach(copyIn(_, s"$root/inA"))
+    runToParquet(rc.build(s"$root/inA"), s"$root/outA", s"$root/ckA")
+
+    // interrupted run: batch 1 only, graceful-stop "kill", then the
+    // remaining files land and the query restarts from its checkpoint
+    copyIn(staged.head, s"$root/inB")
+    runToParquet(rc.build(s"$root/inB"), s"$root/outB", s"$root/ckB")
+    staged.tail.foreach(copyIn(_, s"$root/inB"))
+    runToParquet(rc.build(s"$root/inB"), s"$root/outB", s"$root/ckB")
+
+    val a = rowsOf(s"$root/outA")
+    val b = rowsOf(s"$root/outB")
+    assert(a.nonEmpty, s"${rc.name}: baseline produced no rows")
+    assert(a == b, s"${rc.name}: restart diverged\nA=$a\nB=$b")
+  }
+
   for (rc <- cases)
     test(s"${rc.name}: kill after batch 1, restart from checkpoint ≡ uninterrupted") {
-      val root = tmpDir()
-      val staged = stage(root, rc.batches)
-
-      // uninterrupted baseline: all files present from the start
-      staged.foreach(copyIn(_, s"$root/inA"))
-      runToParquet(rc.build(s"$root/inA"), s"$root/outA", s"$root/ckA")
-
-      // interrupted run: batch 1 only, graceful-stop "kill", then the
-      // remaining files land and the query restarts from its checkpoint
-      copyIn(staged.head, s"$root/inB")
-      runToParquet(rc.build(s"$root/inB"), s"$root/outB", s"$root/ckB")
-      staged.tail.foreach(copyIn(_, s"$root/inB"))
-      runToParquet(rc.build(s"$root/inB"), s"$root/outB", s"$root/ckB")
-
-      val a = rowsOf(s"$root/outA")
-      val b = rowsOf(s"$root/outB")
-      assert(a.nonEmpty, s"${rc.name}: baseline produced no rows")
-      assert(a == b, s"${rc.name}: restart diverged\nA=$a\nB=$b")
+      runCase(rc)
     }
+
+  test("cep_negation restarts from a RocksDB checkpoint (timers + changelog)") {
+    // the production state backend: open NFA runs AND their event-time
+    // timeout timestamps live in RocksDB with changelog checkpointing;
+    // the kill/restart must recover both (a lost timer would silently
+    // swallow the window-close match)
+    graft.streaming.Runner.useRocksDBStateStore(spark)
+    try runCase(cases.find(_.name == "cep_negation").get)
+    finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
 }
