@@ -277,15 +277,17 @@ object Similarity {
     * k-means cells prunes genuinely similar vectors into the same cells —
     * examples.IvfRecallDemo measures the recall difference).
     *
-    * Scale shape per iteration (k centroids are always tiny): broadcast
-    * the centroids, score every vector against all k in one scan (argmax
-    * of dot/|c| — |e| is constant per vector so true-cosine argmax is
-    * unchanged), pick the best cell with the bounded top-1 heap
-    * (TopKAgg — no window sort), and recompute centroids with one
-    * posexplode + groupBy average. No driver-side data beyond the loop
-    * counter; assignments persist per round so lineage stays flat.
-    * Deterministic: seeds are the k smallest ids' vectors, ties break
-    * toward the lower cell id. */
+    * Scale shape per iteration (k centroids are always tiny): the
+    * centroid table lives on the DRIVER as plan literals — contract-
+    * bounded at k rows — so assignment is a PURE MAP expression (argmax
+    * of dot/|c| per vector; |e| is constant per vector so true-cosine
+    * argmax is unchanged) and each training round is exactly ONE
+    * distributed aggregation (posexplode + groupBy average, k rows back
+    * to the driver). No corpus shuffle anywhere in quantization: the
+    * final full-corpus assignment is a map over the scan, the shape that
+    * survives 100 TB ingest. Deterministic: seeds are the k smallest
+    * ids' vectors, ties break toward the lower cell id, NaN scores
+    * (zero centroids) are skipped with a cell-0 degenerate fallback. */
   def kmeansAssign(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3, fitFraction: Double = 1.0): DataFrame = {
     require(k > 0 && iters > 0)
@@ -311,49 +313,61 @@ object Similarity {
       }
     // deterministic seeds: the k smallest sampled ids' vectors, cells
     // 0..k-1 (fewer than k sampled vectors → fewer cells, still valid).
-    // Numbered via the same zipWithIndex surrogate as the centroid index
-    // above — a row_number over Window.orderBy here would be a bounded
-    // (k-row) but partition-less WindowExec, and its WARN drowns the
-    // signal the bench tail watches for real single-partition windows.
-    val seedsSorted = fit.orderBy("id").limit(k)
+    // COLLECTED — the centroid table IS the driver state, contract-
+    // bounded at k rows (the same bound the final codebook collect or an
+    // IVF probe-cell list already carries). Centroids-as-literals turn
+    // every training round into ONE distributed aggregation (map-only
+    // assignment expression → centroid groupBy → k-row collect) and the
+    // final corpus assignment into a PURE MAP — no corpus shuffle
+    // anywhere in quantization (pre-r10 this was a crossJoin + corpus-
+    // keyed groupBy heap per round: 3 s of per-job latency per trained
+    // query at sf0.1, and at 100 TB a full corpus shuffle at assign).
+    var cents: Seq[(Int, Seq[Double])] = fit.orderBy("id").limit(k)
       .select(expr("transform(e, x -> CAST(x AS DOUBLE))").as("c"))
-    var cents = fit.sparkSession.createDataFrame(
-      seedsSorted.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row(i.toInt, r.get(0)) },
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cluster",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        seedsSorted.schema.fields.head.copy(name = "c"))))
-    val scaledDot =
-      "aggregate(zip_with(e, c, (x, y) -> CAST(x AS DOUBLE) * y), " +
-        "CAST(0 AS DOUBLE), (a, x) -> a + x) / " +
-        "sqrt(aggregate(c, CAST(0 AS DOUBLE), (a, y) -> a + y * y))"
-    // top-1 by (score desc, cluster asc) — TopKAgg's tie-break toward
-    // the smaller stored id IS cluster-asc here. Degenerate guard: if
-    // EVERY centroid scored NaN for a vector (all-zero centroids), the
-    // NaN-dropping heap returns an empty buffer — assign cell 0
-    // deterministically rather than emit a null cluster into the
-    // partition layout. localCheckpoint truncates the per-round lineage
-    // (each round's plan would otherwise nest every previous round's —
-    // see the same pattern in Dedup.connectedComponents).
-    def assignTo(vecs: DataFrame, c: DataFrame): DataFrame = {
-      val best = graft.functions.TopK.topK(1)
-      vecs.crossJoin(broadcast(c))
-        .withColumn("s", expr(scaledDot))
-        .groupBy("id")
-        .agg(best(col("s"), col("cluster").cast("long")).as("tk"))
-        .select(col("id"),
-          coalesce(col("tk.items")(0).getField("id").cast("int"), lit(0))
-            .as("cluster"))
-        .staged
-    }
-    // train: iters-1 centroid updates over the fit sample...
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toIndexedSeq) }.toSeq
+
+    /** Map-only argmax assignment against literal centroids: score_c =
+      * dot(e, c)/|c| — the zip_with dot runs in the SAME IEEE sequence as
+      * the pre-r10 broadcast-join fold and |c| is the same left-to-right
+      * Σy² (computed once on the driver), so iters = 1 outputs (the
+      * hash-gated seed-argmax queries) are bit-identical. Scores
+      * materialize into structs first (the codesExpr let-bind move), the
+      * fold keeps strictly-greater scores — ties resolve to the SMALLER
+      * cell, TopKAgg's tie-break — and NaN scores (zero centroid ⇒ 0/0)
+      * are skipped like the heap dropped them; all-NaN falls back to
+      * cell 0, the same degenerate guard as before. */
+    def assignTo(vecs: DataFrame, cs: Seq[(Int, Seq[Double])],
+        carry: Seq[String] = Nil): DataFrame =
+      vecs
+        .withColumn("_carr", typedLit(cs.map(_._2)))
+        .withColumn("_cid", typedLit(cs.map(_._1)))
+        .withColumn("_cnorm", typedLit(cs.map { case (_, c) =>
+          math.sqrt(c.foldLeft(0.0)((a, y) => a + y * y)) }))
+        .withColumn("_pk", expr(
+          s"""aggregate(
+             |  transform(sequence(0, ${cs.size - 1}), p -> named_struct(
+             |    's', aggregate(zip_with(e, element_at(_carr, p + 1),
+             |           (x, y) -> CAST(x AS DOUBLE) * y),
+             |         CAST(0 AS DOUBLE), (a, x) -> a + x)
+             |         / element_at(_cnorm, p + 1),
+             |    'cl', element_at(_cid, p + 1))),
+             |  named_struct('s', CAST('-Infinity' AS DOUBLE), 'cl', -1),
+             |  (acc, st) -> CASE WHEN NOT isnan(st.s) AND st.s > acc.s
+             |               THEN st ELSE acc END)""".stripMargin))
+        .select((Seq(col("id"),
+          expr("CASE WHEN _pk.cl < 0 THEN 0 ELSE _pk.cl END").as("cluster")) ++
+          carry.map(col)): _*)
+    // train: iters-1 centroid updates over the fit sample — each round is
+    // a map-only assignment (e carried through) feeding ONE centroid
+    // aggregation whose k-row result returns to the driver
     for (_ <- 1 until iters) {
-      val a = assignTo(fit, cents)
-      cents = centroids(fit.join(a, Seq("id")), "cluster", "e")
-        .select(col("cluster"), col("centroid").as("c"))
+      cents = centroids(assignTo(fit, cents, carry = Seq("e")), "cluster", "e")
+        .orderBy("cluster")
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq)).toSeq
     }
-    // ...then ONE assignment pass over the full corpus. With
+    // ...then ONE map-only assignment pass over the full corpus. With
     // fitFraction = 1 this is step-for-step the classic full Lloyd's
     // (iters assignments, centroids recomputed between).
     assignTo(emb, cents)
@@ -372,12 +386,13 @@ object Similarity {
   /** Product-quantization codebook (the faiss-PQ family, public method):
     * each vector splits into `m` contiguous subvectors and each subspace
     * gets its own `ksub`-cell Lloyd's quantizer. All `m` quantizers train
-    * in ONE distributed loop: the sample explodes to (id, j, subvector)
-    * rows — m× the rows but the same total bytes — and cells are keyed by
-    * `cell = j·ksub + code`, so assignment and centroid updates are the
-    * single-frame TopK/centroids shapes the full-vector k-means already
-    * uses. Returns (cell, c: array<double>); cells that lose all members
-    * during training simply vanish (fewer codes in that subspace).
+    * in ONE distributed loop: the book rides the plan as literals
+    * (driver state, contract-bounded at ≤ m·ksub rows), each round is a
+    * map-only (cell, sub) assignment expression feeding one centroid
+    * aggregation — cells keyed `cell = j·ksub + code`, the same
+    * literal-book discipline [[kmeansAssign]] uses. Returns
+    * (cell, c: array<double>); cells that lose all members during
+    * training simply vanish (fewer codes in that subspace).
     *
     * Seeds are the `ksub` smallest sampled ids' subvectors (deterministic,
     * content-addressed sample via [[Sampling.keepFraction]]); assignment
@@ -393,47 +408,72 @@ object Similarity {
         val sample = emb.filter(Sampling.keepFraction(col("id"), fitFraction)).staged
         if (sample.isEmpty) emb else sample
       }
-    // (id, j, sub): the per-row dsub = size/m keeps the API free of a dim
-    // parameter; the caller contract is m | dim (spec-asserted)
-    val subs = fitBase
-      .select(col("id"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), j -> " +
-          s"transform(slice(e, j * CAST(size(e) / $m AS INT) + 1, " +
-          s"CAST(size(e) / $m AS INT)), x -> CAST(x AS DOUBLE)))"))
-        .as(Seq("j", "sub")))
-      .staged
-    // seeds: ksub smallest sampled ids, numbered via the zipWithIndex
-    // surrogate (same WARN-free pattern as kmeansAssign)
-    val seedIdsSorted = fitBase.select("id").distinct().orderBy("id").limit(ksub)
-    val seedIds = subs.sparkSession.createDataFrame(
-      seedIdsSorted.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row(r.get(0), i.toInt) },
-      org.apache.spark.sql.types.StructType(Seq(
-        seedIdsSorted.schema.fields.head.copy(name = "sid"),
-        org.apache.spark.sql.types.StructField("code",
-          org.apache.spark.sql.types.IntegerType, nullable = false))))
-    var cents = subs.join(broadcast(seedIds), col("id") === col("sid"))
-      .select((col("j") * ksub + col("code")).cast("int").as("cell"),
-        col("sub").as("c"))
-      .staged
-    val l2 = "aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), " +
-      "CAST(0 AS DOUBLE), (a, v) -> a + v)"
-    val best = graft.functions.TopK.topK(1)
-    for (_ <- 1 until iters) {
-      val assigned = subs
-        .join(broadcast(cents), col("j") === floor(col("cell") / ksub))
-        .withColumn("s", -expr(l2))
-        .groupBy("id", "j")
-        .agg(best(col("s"), col("cell").cast("long")).as("tk"))
-        .select(col("id"), col("j"),
-          col("tk.items")(0).getField("id").cast("int").as("cell"))
-      cents = centroids(
-          subs.join(assigned, Seq("id", "j")).select(col("cell"), col("sub")),
-          "cell", "sub")
-        .select(col("cluster").as("cell"), col("centroid").as("c"))
-        .staged
+    // seeds: the ksub smallest sampled ids' vectors, COLLECTED and sliced
+    // on the driver — the codebook IS the driver state, contract-bounded
+    // at ≤ m·ksub rows (exactly the bound pqModel's final collect already
+    // carries). Book-as-literals turn every training round into ONE
+    // distributed aggregation (map-only (cell, sub) assignment expression
+    // → centroid groupBy → ≤ m·ksub-row collect) — pre-r10 each round was
+    // a broadcast join + corpus-keyed TopK groupBy + a second groupBy +
+    // two localCheckpoints, whose per-job latency (not data volume)
+    // dominated x_ann_pq (examples.PqProfile: ~3 s of the query's 6 s).
+    val seedVecs: Seq[Seq[Double]] = fitBase.orderBy("id").limit(ksub)
+      .select(expr("transform(e, x -> CAST(x AS DOUBLE))").as("c"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toSeq
+    var book: Seq[(Int, Seq[Double])] =
+      if (seedVecs.isEmpty) Nil
+      else {
+        val dsub = seedVecs.head.size / m
+        for {
+          (v, code) <- seedVecs.zipWithIndex.toSeq
+          j <- 0 until m
+        } yield (j * ksub + code, v.slice(j * dsub, (j + 1) * dsub))
+      }
+    // one-scan training: the fit frame is re-read every round, so stage
+    // it when rounds > 1 (same bytes the pre-r10 exploded view staged)
+    val fitB = if (iters > 1) graft.core.Materialize.stage(fitBase) else fitBase
+    val dsubE = s"CAST(size(e) / $m AS INT)"
+    val subJ = s"transform(slice(e, j * $dsubE + 1, $dsubE), " +
+      "x -> CAST(x AS DOUBLE))"
+    /** Map-only (cell, sub) assignment against the literal book: per
+      * subspace j, L2 argmin over that subspace's surviving centroids
+      * (dists let-bound into structs, the codesExpr move) with ties to
+      * the smaller cell — the same (min d, cell asc) rule the pre-r10
+      * TopK heap applied, so iters = 1 semantics are unchanged (the book
+      * is then exactly the seed subvectors either way). */
+    def assignSubs(vecs: DataFrame, bk: Seq[(Int, Seq[Double])]): DataFrame = {
+      val byJ = bk.groupBy(_._1 / ksub)
+      val barr = (0 until m).map(j =>
+        byJ.getOrElse(j, Nil).sortBy(_._1).map(_._2))
+      val bcell = (0 until m).map(j =>
+        byJ.getOrElse(j, Nil).sortBy(_._1).map(_._1))
+      vecs
+        .withColumn("_barr", typedLit(barr))
+        .withColumn("_bcell", typedLit(bcell))
+        .select(explode(expr(
+          s"""transform(sequence(0, ${m - 1}), j -> named_struct(
+             |  'cell', element_at(element_at(_bcell, j + 1),
+             |    aggregate(
+             |      transform(sequence(0, size(element_at(_barr, j + 1)) - 1),
+             |        p -> named_struct(
+             |          'd', aggregate(zip_with($subJ,
+             |                 element_at(element_at(_barr, j + 1), p + 1),
+             |                 (x, y) -> (x - y) * (x - y)),
+             |               CAST(0 AS DOUBLE), (a, v) -> a + v),
+             |          'p', p)),
+             |      named_struct('d', CAST('Infinity' AS DOUBLE), 'p', -1),
+             |      (acc, s) -> CASE WHEN s.d < acc.d THEN s ELSE acc END).p + 1),
+             |  'sub', $subJ))""".stripMargin)).as("a"))
+        .select(col("a.cell").as("cell"), col("a.sub").as("sub"))
     }
-    cents
+    for (_ <- 1 until iters) {
+      book = centroids(assignSubs(fitB, book), "cell", "sub")
+        .orderBy("cluster")
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq)).toSeq
+    }
+    import emb.sparkSession.implicits._
+    book.toDF("cell", "c")
   }
 
   /** PQ encode + ADC top-k (asymmetric distance computation): candidates
