@@ -77,13 +77,23 @@ object Curation {
   def gate(docs: DataFrame, textCol: String, idCol: String,
       langCol: String, nCharsCol: String, model: DataFrame,
       qualityMin: Double, dupFracMax: Double, ceMax: Double): DataFrame = {
+    // each signal family on its own branch, narrowed to (id, signal) and
+    // MATERIALIZED — the same CollapseProject barrier [[curate]] stage 1
+    // documents: without it the joint filter's predicate pushdown inlines
+    // the interpreted filter/transform pyramids across the joins and
+    // re-evaluates split(text) multiplicatively (measured on the r10
+    // gate: 11.3 s unstaged → staged at curate's per-stage cost; the
+    // barrier is batch-sized here, one per micro-batch)
     val qSig = TextAnalysis.qualityScore(docs, textCol, nCharsCol)
       .select(col(idCol).as("doc_id"), col("quality"))
+      .staged
     val rSig = TextAnalysis.repetitionSignals(
         docs.select(col(idCol).as("doc_id"), col(textCol)), textCol)
       .select(col("doc_id"), col("dup_2gram_frac"))
+      .staged
     val lm = LmScore.scoreDocs(docs, model, textCol, idCol, langCol)
       .select(col("id").as("doc_id"), col("cross_entropy"))
+      .staged
     val kept = docs
       .select(col(idCol).as("doc_id"), col(langCol).as("domain"),
         col(textCol))
