@@ -166,7 +166,16 @@ object Dedup {
     * Duplicate (doc_a, doc_b) candidate rows would multiply the
     * intersection count while sizes stay fixed, inflating jaccard — so
     * candidates are deduplicated here (a no-op Aggregate that the
-    * optimizer removes when the caller already ended in distinct()). */
+    * optimizer removes when the caller already ended in distinct()).
+    *
+    * Shape note (measured, round 10): a packed-array alternative — join
+    * candidates to two per-doc sorted token ARRAYS and count
+    * array_intersect map-side — moves |A|+|B| strings per candidate where
+    * this token-level form moves only |A| narrow rows (the B side
+    * hash-joins once, never per pair), and measured 1.6× SLOWER on the
+    * prefix-join workload (193k candidates, ~100-shingle docs at sf0.1:
+    * 5.8 s vs 3.7 s). Candidate-bound verification wants the smaller
+    * per-candidate footprint, so the row form stays. */
   def jaccardOnTokens(tok: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
     val pairs = cand.select("doc_a", "doc_b").distinct()
@@ -216,7 +225,16 @@ object Dedup {
     * (df, shingle) PAIR realizes the same canonical order, so prefixes
     * fall out of a per-row sort_array + slice after one df join — the
     * vocabulary is never sorted through a single task (the
-    * "partition-less window" this repo bans). */
+    * "partition-less window" this repo bans).
+    *
+    * One more All-Pairs refinement cuts candidates before they cost
+    * anything: the LENGTH FILTER at candidate generation. J(A,B) ≥ t
+    * forces min(|A|,|B|) ≥ t·max(|A|,|B|) (the intersection fits in the
+    * smaller set but must cover t of the union), so size-mismatched
+    * prefix collisions never reach verification. The comparison carries
+    * a −1e−9 slack so a binary-float t·n landing a hair ABOVE the true
+    * rational can only ADMIT a doomed candidate, never drop a true pair
+    * (same one-sided treatment as the prefix length). */
   def prefixFilterPairs(docs: DataFrame, textCol: String, idCol: String,
       ngram: Int = 3, threshold: Double = 0.6): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
@@ -227,14 +245,20 @@ object Dedup {
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("ord"),
         count(lit(1)).as("n"))
+    // ceil(n·t) in binary floats can land one ulp ABOVE the true rational
+    // (e.g. 0.6·5), which would SHORTEN the prefix and silently lose
+    // recall on an unlucky corpus; the one-sided −1e−9 makes any FP error
+    // lengthen it instead (a few extra candidates, zero recall risk)
     val prefixes = perDoc
       .withColumn("p",
-        (col("n") - ceil(col("n") * threshold) + lit(1)).cast("int"))
-      .select(col("id"),
+        (col("n") - ceil(col("n") * threshold - lit(1e-9)) + lit(1)).cast("int"))
+      .select(col("id"), col("n"),
         explode(slice(col("ord"), lit(1), col("p"))).as("pt"))
-      .select(col("id"), col("pt.word").as("word"))
+      .select(col("id"), col("n"), col("pt.word").as("word"))
     val cand = prefixes.as("pa").join(prefixes.as("pb"),
-        col("pa.word") === col("pb.word") && col("pa.id") < col("pb.id"))
+        col("pa.word") === col("pb.word") && col("pa.id") < col("pb.id") &&
+          least(col("pa.n"), col("pb.n")).cast("double") >=
+            greatest(col("pa.n"), col("pb.n")) * threshold - lit(1e-9))
       .select(col("pa.id").as("doc_a"), col("pb.id").as("doc_b"))
       .distinct()
     jaccardOnTokens(tok, cand, threshold)

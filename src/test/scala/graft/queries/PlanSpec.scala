@@ -351,8 +351,9 @@ class PlanSpec extends SparkTestBase {
     val p = planOf("x_prefix_join")
     assert(!p.contains("CartesianProduct"), p)
     // the canonical rarity order is realized per-doc (sort_array over the
-    // doc's own tokens), never as a corpus-wide rank window
-    assert(!p.contains("windowspecdefinition()"), p)
+    // doc's own tokens), never as a corpus-wide rank window — the plan
+    // must contain NO window at all
+    assert(!p.contains("windowspecdefinition"), p)
   }
 
   test("edit-distance near-dup verifies only blocked candidates") {
