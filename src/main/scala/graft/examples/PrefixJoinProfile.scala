@@ -49,6 +49,11 @@ object PrefixJoinProfile {
         .select(col("pa.id").as("doc_a"), col("pb.id").as("doc_b"))
         .distinct()) }
       println(s"[pjprof]   cand rows = ${cand.count()}")
+      val candNoLen = prefixes.as("pa").join(prefixes.as("pb"),
+          col("pa.word") === col("pb.word") && col("pa.id") < col("pb.id"))
+        .select(col("pa.id").as("doc_a"), col("pb.id").as("doc_b"))
+        .distinct()
+      println(s"[pjprof]   cand rows (no length filter) = ${candNoLen.count()}")
       // the packed-array verify shape REJECTED in round 10 (see the
       // jaccardOnTokens scaladoc): ships |A|+|B| strings per candidate,
       // measured 1.6x slower than the token-row form kept below
