@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomProbe, StridedMinHash, VectorCosine, WinnowFps}
+import graft.functions.{BloomProbe, PqArgmin, StridedMinHash, VectorCosine, WinnowFps}
 
 /** The library's `SparkSessionExtensions` injection point — the standard
   * Spark mechanism for shipping native functions with a library, so a user
@@ -73,7 +73,13 @@ object GraftExtensions {
       BloomProbe.probeBuilder),
     fn("z_value",
       "z_value(x, y, bits) - Morton z-order interleave of the low bits",
-      graft.ops.ZOrder.builder))
+      graft.ops.ZOrder.builder),
+    fn("pq_argmin",
+      "pq_argmin(vec, cents, ids) - per-subspace L2 argmin centroid ids",
+      PqArgmin.builder),
+    fn("kmeans_argmax",
+      "kmeans_argmax(vec, cents, ids, norms) - k-means assignment cell id",
+      PqArgmin.kmeansBuilder))
 
   /** Eagerly add every native to an EXISTING session's registry — the
     * escape hatch when the session was built without the extensions conf

@@ -328,36 +328,33 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Double](0).toIndexedSeq) }.toSeq
 
     /** Map-only argmax assignment against literal centroids: score_c =
-      * dot(e, c)/|c| — the zip_with dot runs in the SAME IEEE sequence as
-      * the pre-r10 broadcast-join fold and |c| is the same left-to-right
+      * dot(e, c)/|c| — the dot runs in the SAME IEEE sequence as the
+      * pre-r10 broadcast-join fold and |c| is the same left-to-right
       * Σy² (computed once on the driver), so iters = 1 outputs (the
-      * hash-gated seed-argmax queries) are bit-identical. Scores
-      * materialize into structs first (the codesExpr let-bind move), the
-      * fold keeps strictly-greater scores — ties resolve to the SMALLER
-      * cell, TopKAgg's tie-break — and NaN scores (zero centroid ⇒ 0/0)
-      * are skipped like the heap dropped them; all-NaN falls back to
-      * cell 0, the same degenerate guard as before. */
+      * hash-gated seed-argmax queries) are bit-identical. Only
+      * strictly-greater non-NaN scores advance — ties resolve to the
+      * SMALLER cell, TopKAgg's tie-break; NaN scores (zero centroid ⇒
+      * 0/0) are skipped like the heap dropped them; all-NaN falls back
+      * to cell 0, the same degenerate guard as before. The whole rule is
+      * the native kmeans_argmax expression (graft.functions.PqArgmin:
+      * fused codegen loop, bit-identical to the interpreted HOF fold it
+      * replaced). */
     def assignTo(vecs: DataFrame, cs: Seq[(Int, Seq[Double])],
-        carry: Seq[String] = Nil): DataFrame =
+        carry: Seq[String] = Nil): DataFrame = {
+      if (cs.isEmpty)
+        // empty corpus → no seeds; nothing to assign (schema preserved)
+        return vecs.limit(0).select((Seq(col("id"),
+          lit(0).as("cluster")) ++ carry.map(col)): _*)
       vecs
-        .withColumn("_carr", typedLit(cs.map(_._2)))
-        .withColumn("_cid", typedLit(cs.map(_._1)))
-        .withColumn("_cnorm", typedLit(cs.map { case (_, c) =>
-          math.sqrt(c.foldLeft(0.0)((a, y) => a + y * y)) }))
-        .withColumn("_pk", expr(
-          s"""aggregate(
-             |  transform(sequence(0, ${cs.size - 1}), p -> named_struct(
-             |    's', aggregate(zip_with(e, element_at(_carr, p + 1),
-             |           (x, y) -> CAST(x AS DOUBLE) * y),
-             |         CAST(0 AS DOUBLE), (a, x) -> a + x)
-             |         / element_at(_cnorm, p + 1),
-             |    'cl', element_at(_cid, p + 1))),
-             |  named_struct('s', CAST('-Infinity' AS DOUBLE), 'cl', -1),
-             |  (acc, st) -> CASE WHEN NOT isnan(st.s) AND st.s > acc.s
-             |               THEN st ELSE acc END)""".stripMargin))
+        .withColumn("_cl", graft.functions.PqArgmin.kmeansArgmax(
+          vecs.sparkSession, col("e"),
+          typedLit(cs.map(_._2)), typedLit(cs.map(_._1)),
+          typedLit(cs.map { case (_, c) =>
+            math.sqrt(c.foldLeft(0.0)((a, y) => a + y * y)) })))
         .select((Seq(col("id"),
-          expr("CASE WHEN _pk.cl < 0 THEN 0 ELSE _pk.cl END").as("cluster")) ++
+          expr("CASE WHEN _cl < 0 THEN 0 ELSE _cl END").as("cluster")) ++
           carry.map(col)): _*)
+    }
     // train: iters-1 centroid updates over the fit sample — each round is
     // a map-only assignment (e carried through) feeding ONE centroid
     // aggregation whose k-row result returns to the driver
@@ -437,32 +434,29 @@ object Similarity {
       "x -> CAST(x AS DOUBLE))"
     /** Map-only (cell, sub) assignment against the literal book: per
       * subspace j, L2 argmin over that subspace's surviving centroids
-      * (dists let-bound into structs, the codesExpr move) with ties to
-      * the smaller cell — the same (min d, cell asc) rule the pre-r10
-      * TopK heap applied, so iters = 1 semantics are unchanged (the book
-      * is then exactly the seed subvectors either way). */
+      * with ties to the smaller cell — the same (min d, cell asc) rule
+      * the pre-r10 TopK heap applied, so iters = 1 semantics are
+      * unchanged (the book is then exactly the seed subvectors either
+      * way). The argmin runs through the native pq_argmin expression
+      * (graft.functions.PqArgmin — fused codegen loop, bit-identical to
+      * the interpreted HOF pyramid it replaced, which cost ~1.4 s per
+      * round at sf0.1); only the cheap per-subspace slice/cast stays as
+      * a built-in transform. */
     def assignSubs(vecs: DataFrame, bk: Seq[(Int, Seq[Double])]): DataFrame = {
+      if (bk.isEmpty)
+        return vecs.limit(0).select(lit(0).as("cell"),
+          expr("transform(e, x -> CAST(x AS DOUBLE))").as("sub"))
       val byJ = bk.groupBy(_._1 / ksub)
       val barr = (0 until m).map(j =>
         byJ.getOrElse(j, Nil).sortBy(_._1).map(_._2))
       val bcell = (0 until m).map(j =>
         byJ.getOrElse(j, Nil).sortBy(_._1).map(_._1))
       vecs
-        .withColumn("_barr", typedLit(barr))
-        .withColumn("_bcell", typedLit(bcell))
+        .withColumn("_cells", graft.functions.PqArgmin.pqArgmin(
+          vecs.sparkSession, col("e"), typedLit(barr), typedLit(bcell)))
         .select(explode(expr(
           s"""transform(sequence(0, ${m - 1}), j -> named_struct(
-             |  'cell', element_at(element_at(_bcell, j + 1),
-             |    aggregate(
-             |      transform(sequence(0, size(element_at(_barr, j + 1)) - 1),
-             |        p -> named_struct(
-             |          'd', aggregate(zip_with($subJ,
-             |                 element_at(element_at(_barr, j + 1), p + 1),
-             |                 (x, y) -> (x - y) * (x - y)),
-             |               CAST(0 AS DOUBLE), (a, v) -> a + v),
-             |          'p', p)),
-             |      named_struct('d', CAST('Infinity' AS DOUBLE), 'p', -1),
-             |      (acc, s) -> CASE WHEN s.d < acc.d THEN s ELSE acc END).p + 1),
+             |  'cell', element_at(_cells, j + 1),
              |  'sub', $subJ))""".stripMargin)).as("a"))
         .select(col("a.cell").as("cell"), col("a.sub").as("sub"))
     }
@@ -503,28 +497,10 @@ object Similarity {
     * bounded by contract at ≤ m·ksub rows. */
   private final case class PqModel(cbArr: org.apache.spark.sql.Column,
       cbCode: org.apache.spark.sql.Column, cn2: org.apache.spark.sql.Column,
-      m: Int, ksub: Int) {
+      m: Int, ksub: Int, hasBook: Boolean) {
     private val dsub = s"CAST(size(e) / $m AS INT)"
     private val subJ =
       s"transform(slice(e, j * $dsub + 1, $dsub), x -> CAST(x AS DOUBLE))"
-    /** Map-only encoder: per subspace, L2 argmin over the surviving
-      * centroids (dists materialized into structs FIRST — the let-bind
-      * move that keeps CollapseProject from re-evaluating per
-      * comparison). Expects columns e/cbarr/cbcode. */
-    def codesExpr: org.apache.spark.sql.Column = expr(
-      s"""transform(sequence(0, ${m - 1}), j ->
-         |  element_at(element_at(cbcode, j + 1),
-         |    aggregate(
-         |      transform(sequence(0, size(element_at(cbarr, j + 1)) - 1), p ->
-         |        named_struct(
-         |          'd', aggregate(zip_with($subJ,
-         |                 element_at(element_at(cbarr, j + 1), p + 1),
-         |                 (x, y) -> (x - y) * (x - y)),
-         |               CAST(0 AS DOUBLE), (a, v) -> a + v),
-         |          'p', p)),
-         |      named_struct('d', CAST('Infinity' AS DOUBLE), 'p', -1),
-         |      (acc, s) -> CASE WHEN s.d < acc.d THEN s ELSE acc END).p + 1))
-         |""".stripMargin)
     /** Per-query LUT: lutd[j][code] = dot(q_j, centroid), NaN-padded like
       * cn2 — built map-only on the few query rows. */
     def lutExpr: org.apache.spark.sql.Column = expr(
@@ -544,14 +520,24 @@ object Similarity {
          |  element_at(element_at($tbl, j + 1),
          |    element_at(codes, j + 1) + 1)),
          |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin)
-    /** (cid, codes [, carried]) — the encoded corpus, map-only. */
+    /** (cid, codes [, carried]) — the encoded corpus, map-only. The
+      * per-subspace argmin runs through the native pq_argmin expression
+      * (fused codegen loop; bit-identical to the interpreted HOF form it
+      * replaced — see graft.functions.PqArgmin). */
     def encode(embeddings: DataFrame, idCol: String, vecCol: String,
-        carry: Seq[String] = Nil): DataFrame =
-      embeddings
+        carry: Seq[String] = Nil): DataFrame = {
+      val base = embeddings
         .select((Seq(col(idCol).as("cid"), col(vecCol).as("e")) ++
           carry.map(col)): _*)
-        .withColumn("cbarr", cbArr).withColumn("cbcode", cbCode)
-        .select((Seq(col("cid"), codesExpr.as("codes")) ++ carry.map(col)): _*)
+      if (!hasBook)
+        // empty training corpus → no codebook; nothing can be encoded
+        base.limit(0).select((Seq(col("cid"),
+          expr("CAST(array() AS ARRAY<INT>)").as("codes")) ++
+          carry.map(col)): _*)
+      else base.select((Seq(col("cid"),
+        graft.functions.PqArgmin.pqArgmin(embeddings.sparkSession,
+          col("e"), cbArr, cbCode).as("codes")) ++ carry.map(col)): _*)
+    }
     /** (qid, lutd, qn) — queries with their ADC tables, map-only. */
     def queriesWithLut(queries: DataFrame, idCol: String,
         vecCol: String): DataFrame =
@@ -584,7 +570,8 @@ object Similarity {
       (0 until ksub).map(c => cb.get((j, c))
         .map(v => v.map(x => x * x).sum).getOrElse(Double.NaN))
     }
-    PqModel(typedLit(centsByJ), typedLit(codesByJ), typedLit(cn2ByJ), m, ksub)
+    PqModel(typedLit(centsByJ), typedLit(codesByJ), typedLit(cn2ByJ), m, ksub,
+      hasBook = cb.nonEmpty)
   }
 
   def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
