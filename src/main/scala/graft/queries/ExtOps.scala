@@ -676,6 +676,55 @@ object ExtOps {
     },
     Some(bruteforceGatedSql))
 
+  /** ANN SERVING, streaming-executed — the similarity family's streaming
+    * twin (every other family already has one): the index half of
+    * x_ann_ivf_kmeans is an INGEST artifact (k-means cells + the
+    * clustered physical layout, both frozen before the stream starts),
+    * and queries arrive as micro-batches that probe it — the
+    * query-stream-against-frozen-index shape an online vector-serving
+    * tier runs. Per-query output depends only on the query row and the
+    * frozen layout/corpus, so the streamed union over ANY batching
+    * equals the batch run and the query shares x_ann_ivf_kmeans's
+    * recall-gated oracle verbatim (per-query hits@5 ≥ 2 vs measured
+    * min 3 — examples.BoundsProbe). */
+  val stAnnServe = OpQuery(
+    "st_ann_serve_stream",
+    "streaming ANN serving: query stream probes a frozen k-means IVF layout",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val e = t(s, dir, "embeddings")
+      // frozen ingest artifacts: quantize + clustered layout, ONCE
+      val cells = Similarity
+        .kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 3)
+        .withColumnRenamed("id", "vec_id")
+      val layoutPath = graft.core.Scratch.tempDir("graft_ann_serve_layout_")
+      Similarity.writeClustered(e.join(cells, Seq("vec_id")), "cluster",
+        layoutPath)
+      val scratch = graft.core.Scratch.tempDir("graft_ann_serve_stream_")
+      val out = s"$scratch/out"; val ck = s"$scratch/ckpt"
+      val embSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val stream = s.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") < 8) // the query set arrives as a stream
+      val q = graft.streaming.Runner.toBatchSink(stream, ck) { (batch, _) =>
+        val layout = s.read.parquet(layoutPath)
+        val approx = Similarity.ivfTopK(layout, "vec_id", "embedding",
+          "cluster", batch, k = 5, nProbe = 2)
+        val exact = Similarity.cosineTopK(e, "vec_id", "embedding", batch,
+          k = 5)
+        Similarity.recallGate(exact, approx, minHits = 2)
+          .drop("hits_at_k")
+          .withColumn("rank", col("rank").cast("long"))
+          .write.mode("append").parquet(out)
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out).orderBy("qid", "rank")
+    },
+    Some(bruteforceGatedSql))
+
   val xCosineNeardup = OpQuery(
     "x_cosine_neardup",
     "embedding-cosine near-dup pairs ≥0.35, blocked within label clusters",
@@ -3297,7 +3346,7 @@ object ExtOps {
     xSubstringCut,
     xAnnBruteforce, xAnnNative, xAnnSq8, xAnnFiltered, xAnnPq,
     xEmbedCentroids,
-    xAnnIvf, xAnnIvfKmeans, xAnnIvfPq,
+    xAnnIvf, xAnnIvfKmeans, stAnnServe, xAnnIvfPq,
     xAnnKmeansExact, xAnnPqExact, xAnnIvfPqExact, xSemDedupKmeans1r,
     xCosineNeardup, xSemDedup, xSemDedupKmeansGated, xJlProject, xAnnJlRerank,
     xSrpSignature, xSrpNeardup, xSrpSemDedup, stSrpDedup,
