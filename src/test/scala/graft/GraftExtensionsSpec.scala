@@ -15,7 +15,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
   private lazy val spark: SparkSession = {
     // the suite JVM is shared: another suite's session (no extensions)
     // may already be active, and getOrCreate would return it — with the
-    // five lazily-register()ed natives coincidentally present but any
+    // lazily-register()ed natives coincidentally present but any
     // injection-only function missing. Clear both handles so the builder
     // actually CREATES a session and the extensions run (the underlying
     // SparkContext is still reused).
@@ -31,15 +31,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
-  test("all six natives are visible to pure SQL after injection") {
+  test("all eight natives are visible to pure SQL after injection") {
     val names = GraftExtensions.functions.map(_._1.funcName)
     assert(names.sorted === Seq("graft_bloom_agg", "graft_bloom_probe",
-      "strided_minhash", "vec_cosine", "winnow_fps", "z_value"))
+      "kmeans_argmax", "pq_argmin", "strided_minhash", "vec_cosine",
+      "winnow_fps", "z_value"))
     names.foreach { n =>
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
         s"$n not injected")
     }
+  }
+
+  test("pq_argmin and kmeans_argmax work from pure SQL") {
+    val codes = spark.sql(
+      """SELECT pq_argmin(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT),
+        |                       CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+        |  array(array(array(1.0D, 2.0D), array(9.0D, 9.0D)),
+        |        array(array(3.0D, 4.0D))),
+        |  array(array(0, 1), array(2))) AS codes""".stripMargin)
+      .head().getSeq[Int](0)
+    assert(codes == Seq(0, 2))
+    val cl = spark.sql(
+      """SELECT kmeans_argmax(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |  array(array(1.0D, 2.0D)), array(5),
+        |  array(CAST(sqrt(5.0) AS DOUBLE))) AS cl""".stripMargin)
+      .head().getInt(0)
+    assert(cl == 5)
   }
 
   test("vec_cosine works from SQL with no prior graft call") {
