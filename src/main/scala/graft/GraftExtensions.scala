@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomProbe, PqArgmin, StridedMinHash, VectorCosine, WinnowFps}
+import graft.functions.{BloomProbe, JaroWinkler, PqArgmin, StridedMinHash, VectorCosine, WinnowFps}
 
 /** The library's `SparkSessionExtensions` injection point — the standard
   * Spark mechanism for shipping native functions with a library, so a user
@@ -79,7 +79,10 @@ object GraftExtensions {
       PqArgmin.builder),
     fn("kmeans_argmax",
       "kmeans_argmax(vec, cents, ids, norms) - k-means assignment cell id",
-      PqArgmin.kmeansBuilder))
+      PqArgmin.kmeansBuilder),
+    fn("jaro_winkler",
+      "jaro_winkler(a, b) - Jaro-Winkler similarity (standard Winkler form)",
+      JaroWinkler.builder))
 
   /** Eagerly add every native to an EXISTING session's registry — the
     * escape hatch when the session was built without the extensions conf

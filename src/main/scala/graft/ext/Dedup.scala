@@ -286,6 +286,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** Entity-resolution fuzzy matching: Jaro-Winkler–verified pairs over
+    * blocked candidates — the classic record-linkage shape (block on a
+    * cheap deterministic key, verify with an edit-based similarity that
+    * tolerates typos/transpositions where exact/Jaccard matching cannot).
+    * Blocking is delegated to PairBuckets (triangle-salted hot buckets,
+    * loud failure on non-selective keys); the verifier is the native
+    * codegen'd [[graft.functions.JaroWinkler]] expression, floor-truncated
+    * to 4 dp so the DuckDB oracle (`jaro_winkler_similarity`, the same
+    * standard Winkler form) restates scores exactly.
+    * Output: (doc_a, doc_b, jw) with jw ≥ threshold. */
+  def jaroWinklerPairs(docs: DataFrame, textCol: String, idCol: String,
+      bucketKey: org.apache.spark.sql.Column, threshold: Double): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0, 1], got $threshold")
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    val cand = graft.ops.PairBuckets.selfPairs(docs, idCol, bucketKey)
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(base.select(col("id").as("doc_a"), col("t").as("ta")), Seq("doc_a"))
+      .join(base.select(col("id").as("doc_b"), col("t").as("tb")), Seq("doc_b"))
+      .withColumn("jw",
+        floor(graft.functions.JaroWinkler
+          .jaroWinkler(spark, col("ta"), col("tb")) * 10000.0) / 10000.0)
+      .filter(col("jw") >= threshold)
+      .select("doc_a", "doc_b", "jw")
+  }
+
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
       ngram: Int = 3, maxDf: Long = 10L,
       threshold: Double = 0.5): DataFrame = {

@@ -177,6 +177,40 @@ object ScaleOps {
             FROM cand WHERE levenshtein(ta, tb) <= 50
             ORDER BY doc_a, doc_b"""))
 
+  /** Entity resolution over derived document "titles" (first 6 words):
+    * block on the first word, verify with the native Jaro-Winkler
+    * expression — the record-linkage shape (typo/transposition-tolerant
+    * matching that exact equality and set-Jaccard both miss). At the
+    * 0.92 threshold the corpus yields 256 exact-title pairs PLUS ~46
+    * genuinely fuzzy pairs (mutated near-dup prefixes) — the fuzzy tail
+    * is the operator's value. Scores floor-truncate to 4 dp; the kernel
+    * is pinned bit-for-bit against DuckDB's jaro_winkler_similarity
+    * (JaroWinklerSpec), so the oracle restates scores exactly. */
+  val xErFuzzyMatch = OpQuery(
+    "x_er_fuzzy_match",
+    "entity resolution: Jaro-Winkler >= 0.92 title pairs over first-word blocks",
+    (s, dir) => {
+      val titled = t(s, dir, "documents")
+        .withColumn("_w", filter(split(col("text"), " "), w => length(w) > 0))
+        .withColumn("title", array_join(slice(col("_w"), 1, 6), " "))
+        .withColumn("blk", element_at(col("_w"), 1))
+      Dedup.jaroWinklerPairs(titled, "title", "doc_id", col("blk"),
+          threshold = 0.92)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+              array_to_string(
+                list_filter(string_split(text,' '), x -> len(x) > 0)[1:6],
+                ' ') AS title,
+              list_filter(string_split(text,' '), x -> len(x) > 0)[1] AS blk
+            FROM documents),
+            c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                floor(jaro_winkler_similarity(a.title, b.title) * 10000.0)
+                  / 10000.0 AS jw
+              FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, CAST(jw AS DOUBLE) AS jw
+            FROM c WHERE jw >= 0.92 ORDER BY doc_a, doc_b"""))
+
   /** approx_percentile(value, 0.5, accuracy=100) checked against its own
     * GK rank-error guarantee: the returned value's rank in its group must
     * sit within 2·n/accuracy (+1 for ties) of the true median rank. The
@@ -456,7 +490,7 @@ object ScaleOps {
 
   val all: Seq[OpQuery] = Seq(
     j10BucketedJoin, s8PartitionPrune, xSampleWeighted, xPrefixJoin,
-    xEditdistNeardup, xApproxQuantileBounds, xCmsHeavyHitters,
+    xEditdistNeardup, xErFuzzyMatch, xApproxQuantileBounds, xCmsHeavyHitters,
     xSketchRollup, xThetaSetops, xKllRollup, xZorderCurve, xZorderSkip,
     xSketchPersisted)
 }
