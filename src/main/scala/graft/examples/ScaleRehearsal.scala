@@ -33,8 +33,13 @@ import graft.ext.{Dedup, TextAnalysis}
   */
 object ScaleRehearsal {
 
-  private val QueryNames = Seq("x_clone_pairs", "x_containment_neardup",
-    "x_dedup_pipeline", "x_curation_e2e")
+  /** Default query set; override with a comma list in
+    * SPARK_GRAFT_REHEARSAL_QUERIES to rehearse a newly added pairwise op
+    * without re-measuring the whole family. */
+  private val QueryNames = sys.env.get("SPARK_GRAFT_REHEARSAL_QUERIES")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(Seq("x_clone_pairs", "x_containment_neardup",
+      "x_dedup_pipeline", "x_curation_e2e"))
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -66,10 +71,36 @@ object ScaleRehearsal {
       .groupBy("band").agg(count(lit(1)).as("b"))
       .agg(coalesce(sum(col("b") * (col("b") - 1) / 2), lit(0L)).cast("long"))
       .collect()(0).getLong(0)
+    // ER blocking, both keys over the same derived titles:
+    //  - er_block_pairs: Σ b·(b−1)/2 over FIRST-WORD blocks (the
+    //    oracle-gated x_er_fuzzy_match key — Zipf-headed, expected
+    //    quadratic);
+    //  - er_rare_pairs: Σ df·(df−1)/2 over df≤20 title words (the
+    //    jaroWinklerPairsRareToken key — the df-capped 100-TB shape).
+    val titles = erTitles(docs)
+    val erBlockPairs = titles
+      .select(element_at(filter(split(col("title"), " "),
+        w => length(w) > 0), 1).as("blk"))
+      .groupBy("blk").agg(count(lit(1)).as("b"))
+      .agg(coalesce(sum(col("b") * (col("b") - 1) / 2), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+    val erRarePairs = Dedup.shingleTokens(titles, "title", "doc_id", 1)
+      .groupBy("word").agg(count(lit(1)).as("d"))
+      .filter(col("d") <= 20)
+      .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
     Map("containment_rare_pairs" -> containCand,
       "clone_join_rows" -> cloneJoinRows,
-      "lsh_bucket_pairs" -> lshBucketPairs)
+      "lsh_bucket_pairs" -> lshBucketPairs,
+      "er_block_pairs" -> erBlockPairs,
+      "er_rare_pairs" -> erRarePairs)
   }
+
+  /** The x_er_fuzzy_match title derivation (first 6 non-empty words). */
+  private def erTitles(docs: DataFrame): DataFrame = docs
+    .withColumn("_w", filter(split(col("text"), " "), w => length(w) > 0))
+    .withColumn("title", array_join(slice(col("_w"), 1, 6), " "))
+    .select(col("doc_id"), col("title"))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "target/rehearsal"
@@ -102,7 +133,15 @@ object ScaleRehearsal {
       out.append(s""","$label":{"docs":$nDocs""")
       counters.foreach { case (k, v) => out.append(s""","$k":$v""") }
       for (name <- QueryNames) {
-        val fn = SparkEntry.queries(name)
+        // "x_er_fuzzy_match_rare" is not a registry query: it is the
+        // df-capped blocking variant of x_er_fuzzy_match, rehearsed here
+        // head-to-head against the first-word-blocked registry form
+        val fn: (SparkSession, String) => DataFrame =
+          if (name == "x_er_fuzzy_match_rare")
+            (s, d) => Dedup.jaroWinklerPairsRareToken(
+              erTitles(Tables.load(s, d, "documents")), "title", "doc_id",
+              maxDf = 20L, threshold = 0.92)
+          else SparkEntry.queries(name)
         val pre = HostProbe.cpuSample()
         val t0 = System.nanoTime()
         val times = (1 to iters).map { _ =>

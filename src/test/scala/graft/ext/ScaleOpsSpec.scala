@@ -97,4 +97,48 @@ class ScaleOpsSpec extends SparkTestBase {
     // 1-2 within 10; 1-3 and 2-3 share the block but exceed maxDist; 4 alone
     assert(got == Set((1L, 2L, 1L)))
   }
+
+  test("jaroWinklerPairs: blocked JW matches per-block brute force") {
+    val docs = Seq(
+      (1L, "acme holdings incorporated"),
+      (2L, "acme holdngs incorporated"),  // typo of 1, same first word
+      (3L, "acme completely different"),  // same block, low JW
+      (4L, "zenith gadgets ltd"),
+      (5L, "zenith gadgets ltd"),         // exact dup of 4
+      (6L, "other block entirely")
+    ).toDF("doc_id", "text")
+    val blk = element_at(split(col("text"), " "), 1)
+    val got = Dedup.jaroWinklerPairs(docs, "text", "doc_id", blk, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force within blocks with the SAME kernel + truncation
+    val rows = Seq((1L, "acme holdings incorporated"),
+      (2L, "acme holdngs incorporated"), (3L, "acme completely different"),
+      (4L, "zenith gadgets ltd"), (5L, "zenith gadgets ltd"),
+      (6L, "other block entirely"))
+    val want = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows
+      if ia < ib && ta.split(" ").head == tb.split(" ").head
+      jw = math.floor(graft.functions.JaroWinkler.score(ta, tb) * 1e4) / 1e4
+      if jw >= 0.9
+    } yield (ia, ib, jw)).toSet
+    assert(got == want && got.exists(_._1 == 1L) && got.contains((4L, 5L, 1.0)))
+  }
+
+  test("jaroWinklerPairsRareToken: rare-word candidates, exact JW verify") {
+    // long-string regime (the key's intended domain): every near-dup pair
+    // shares a rare word; the common word 'the' (df 4 > cap) must not
+    // generate candidates on its own
+    val docs = Seq(
+      (1L, "the wondrous chronicle of zyxlbard the magnificent explorer"),
+      (2L, "the wondrous chronicle of zyxlbard the magnificent explorers"),
+      (3L, "the unrelated treatise on qwxplonk botany and gardens"),
+      (4L, "the unrelated treatise on qwxplonk botany and garden")
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaroWinklerPairsRareToken(docs, "text", "doc_id",
+        maxDf = 3L, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1-2 share rare 'zyxlbard...'; 3-4 share 'qwxplonk...'; cross pairs
+    // share only 'the'/'unrelated'-class words above or below threshold
+    assert(got == Set((1L, 2L), (3L, 4L)))
+  }
 }
