@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomProbe, JaroWinkler, PqArgmin, StridedMinHash, VectorCosine, WinnowFps}
+import graft.functions.{BloomProbe, JaroWinkler, PqArgmin, StridedMinHash, VectorCosine, WinnowFps, WinnowFpsRolling}
 
 /** The library's `SparkSessionExtensions` injection point — the standard
   * Spark mechanism for shipping native functions with a library, so a user
@@ -82,7 +82,10 @@ object GraftExtensions {
       PqArgmin.kmeansBuilder),
     fn("jaro_winkler",
       "jaro_winkler(a, b) - Jaro-Winkler similarity (standard Winkler form)",
-      JaroWinkler.builder))
+      JaroWinkler.builder),
+    fn("winnow_fps_rolling",
+      "winnow_fps_rolling(text, k, w) - winnowing with a Karp-Rabin rolling hash",
+      WinnowFpsRolling.builder))
 
   /** Eagerly add every native to an EXISTING session's registry — the
     * escape hatch when the session was built without the extensions conf

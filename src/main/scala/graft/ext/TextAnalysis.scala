@@ -123,6 +123,26 @@ object TextAnalysis {
       .select(col(idCol), explode(expr(s"winnow_fps(norm, $k, $w)")).as("fp"))
   }
 
+  /** [[winnowFingerprints]] with the Karp-Rabin ROLLING hash — the
+    * production variant for corpus-scale fingerprinting. The md5 form
+    * pays one full digest per character position (~6–7 MB/s/core — at
+    * 100 TB the hash, not the scan, is the bottleneck) and exists
+    * because the DuckDB oracle can restate it; winnowing only needs a
+    * hash ORDER, so this one rolls in O(1)/position and emits LONG
+    * fingerprints (4× smaller than md5-hex). Same windowing guarantee;
+    * selection density vs the md5 variant is bounds-gated by
+    * x_winnow_rolling_bounds (measured ratio ≈ 1), the matching
+    * guarantee by WinnowRollingSpec. SCALING.md §6h has the measured
+    * throughput gap. */
+  def winnowFingerprintsRolling(docs: DataFrame, textCol: String,
+      idCol: String, k: Int = 16, w: Int = 4): DataFrame = {
+    graft.functions.WinnowFpsRolling.register(docs.sparkSession)
+    docs
+      .withColumn("norm", trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+      .select(col(idCol),
+        explode(expr(s"winnow_fps_rolling(norm, $k, $w)")).as("fp"))
+  }
+
   /** Per-domain distribution shift: KL(domain unigram dist ‖ corpus
     * unigram dist) — the data-selection diagnostic that says how far a
     * source's token distribution sits from the corpus (DSIR-adjacent:

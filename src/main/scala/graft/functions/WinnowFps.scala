@@ -97,6 +97,106 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** [[WinnowFps]] with a Karp-Rabin ROLLING hash instead of md5 — the
+  * 100-TB production variant. The md5 form exists for ORACLE PARITY
+  * (DuckDB can restate md5(substr(...)) bit-for-bit) but pays one full
+  * digest PER CHARACTER POSITION: ~150 ns/position ≈ 6–7 MB/s/core,
+  * which at corpus scale makes the hash — not I/O, not the shuffle —
+  * the fingerprinting bottleneck (SCALING.md §6h). Winnowing only needs
+  * a hash ORDER over k-grams, any uniform one: this eval rolls a
+  * base-1000003 polynomial over the chars in O(1) per position
+  * (~30–100× less hash work), keeps the same monotonic-deque window
+  * minima and first-occurrence distinct, and returns LONG fingerprints
+  * (8 bytes vs 32-char hex strings — also 4× less fingerprint I/O).
+  * Minima compare UNSIGNED so the order matches the uniform-uint64
+  * model. Same windowing semantics as [[WinnowFps]] exactly: full
+  * windows only, one clipped window when the doc has fewer than w
+  * grams, single clipped gram when shorter than k.
+  *
+  * Guarantee unchanged (it is a property of winnowing, not the hash):
+  * any shared run of ≥ w+k−1 chars shares a fingerprint — spec-gated,
+  * plus a bounds-gated registry query asserting its per-doc selection
+  * density stays within a measured band of the md5 variant's. */
+case class WinnowFpsRolling(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fps_rolling"
+
+  private val B = 1000003L
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    val nGrams = math.max(len - (k - 1), 1)
+    val h = new Array[Long](nGrams)
+    if (len < k) {
+      // single clipped gram: plain polynomial over what's there
+      var acc = 0L; var i = 0
+      while (i < len) { acc = acc * B + s.charAt(i); i += 1 }
+      h(0) = acc
+    } else {
+      var acc = 0L; var i = 0
+      while (i < k) { acc = acc * B + s.charAt(i); i += 1 }
+      h(0) = acc
+      // highest-power multiplier for the outgoing char
+      var top = 1L; i = 0
+      while (i < k - 1) { top *= B; i += 1 }
+      var p = 1
+      while (p < nGrams) {
+        acc = (acc - s.charAt(p - 1) * top) * B + s.charAt(p + k - 1)
+        h(p) = acc
+        p += 1
+      }
+    }
+    val out = new java.util.LinkedHashSet[Long]
+    if (nGrams < w) {
+      var best = h(0); var i = 1
+      while (i < nGrams) {
+        if (java.lang.Long.compareUnsigned(h(i), best) < 0) best = h(i)
+        i += 1
+      }
+      out.add(best)
+    } else {
+      val dq = new java.util.ArrayDeque[Int]
+      var i = 0
+      while (i < nGrams) {
+        while (!dq.isEmpty &&
+          java.lang.Long.compareUnsigned(h(dq.peekLast()), h(i)) >= 0)
+          dq.removeLast()
+        dq.addLast(i)
+        if (dq.peekFirst() <= i - w) dq.removeFirst()
+        if (i >= w - 1) out.add(h(dq.peekFirst()))
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator(); var j = 0
+    while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpsRolling =
+    copy(child = newChild)
+}
+
+object WinnowFpsRolling {
+  /** Expression builder shared by register and [[graft.GraftExtensions]]. */
+  val builder: Seq[Expression] => Expression =
+    exprs => WinnowFpsRolling(exprs.head,
+      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fps_rolling")))
+      reg.createOrReplaceTempFunction("winnow_fps_rolling", builder, "built-in")
+  }
+}
+
 /** Native strided window min-hash: md5-hex each k-char gram taken at
   * positions 1, 1+stride, 1+2·stride, … (clipped SQL-substr semantics, one
   * clipped gram when the string is shorter than k), return the

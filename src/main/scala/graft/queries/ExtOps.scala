@@ -1365,6 +1365,40 @@ object ExtOps {
         .orderBy("doc_id", "fp"),
     Some(s"WITH $winnowCte SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"))
 
+  /** The ROLLING-HASH winnowing variant, density-gated against the md5
+    * form (the bounds-promotion recipe): md5-per-position is the oracle-
+    * parity hash but costs ~6× the wall of a Karp-Rabin roll (measured
+    * 1.68 s vs 0.27 s at sf0.1 — examples.WinnowRollingProbe, SCALING.md
+    * §6h), so production fingerprinting rolls. Winnowing selection
+    * density depends only on hash-order uniformity, so the per-doc
+    * fingerprint COUNT of the two variants must agree within a band:
+    * measured ratio ∈ [0.733, 1.667] across both SFs (500 + 5000 docs,
+    * n ∈ [10, 228]); gated at [0.5, 2.0], integer-exact. A degenerate
+    * hash (constant → 1 fp/doc, ratio ≈ 0.01) or a broken deque
+    * (every position selected, ratio ≈ (w+1)/2 = 2.5) flips the
+    * boolean and the driver hash bites. The shared-run GUARANTEE — a
+    * winnowing property independent of the hash — is spec-gated
+    * (WinnowRollingSpec). */
+  val xWinnowRollingBounds = OpQuery(
+    "x_winnow_rolling_bounds",
+    "rolling-hash winnowing, per-doc density gated against the md5 variant",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = TextAnalysis.winnowFingerprints(docs, "text", "doc_id")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+      val r = TextAnalysis.winnowFingerprintsRolling(docs, "text", "doc_id")
+        .groupBy("doc_id").agg(count(lit(1)).as("_nr"))
+      m.join(r, Seq("doc_id"))
+        .select(col("doc_id"), col("n_fps"),
+          (col("_nr") * 2L >= col("n_fps") &&
+            col("_nr") <= col("n_fps") * 2L).as("density_ok"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $winnowCte
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+                   TRUE AS density_ok
+            FROM fps GROUP BY doc_id ORDER BY doc_id"""))
+
   /** MOSS-style clone detection over the winnow fingerprints: the
     * df cap (≤20 docs) is both the boilerplate filter and the join-skew
     * bound (see [[TextAnalysis.clonePairs]]). */
@@ -3351,7 +3385,8 @@ object ExtOps {
     xCosineNeardup, xSemDedup, xSemDedupKmeansGated, xJlProject, xAnnJlRerank,
     xSrpSignature, xSrpNeardup, xSrpSemDedup, stSrpDedup,
     xTextStats, xLangidNgram,
-    xFingerprint, xWinnow, xClonePairs, xTfidfTopk, xBm25Topk, xVocabProfile,
+    xFingerprint, xWinnow, xWinnowRollingBounds, xClonePairs, xTfidfTopk,
+    xBm25Topk, xVocabProfile,
     xDomainKl, xDqProfile, xKeySkew,
     xApproxDistinct, xSampleStratified, xSampleKGroup, xSplitAssign,
     xSplitLeakageSafe,

@@ -31,11 +31,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
-  test("all nine natives are visible to pure SQL after injection") {
+  test("all ten natives are visible to pure SQL after injection") {
     val names = GraftExtensions.functions.map(_._1.funcName)
     assert(names.sorted === Seq("graft_bloom_agg", "graft_bloom_probe",
       "jaro_winkler", "kmeans_argmax", "pq_argmin", "strided_minhash",
-      "vec_cosine", "winnow_fps", "z_value"))
+      "vec_cosine", "winnow_fps", "winnow_fps_rolling", "z_value"))
     names.foreach { n =>
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
