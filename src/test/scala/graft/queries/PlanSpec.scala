@@ -356,6 +356,25 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("ER fuzzy match: blocked join, no cartesian, no corpus-wide window") {
+    val p = planOf("x_er_fuzzy_match")
+    assert(!p.contains("CartesianProduct"), p)
+    // the JW verify fetches strings by id through hash joins — a
+    // sort-merge here would mean the candidate frame lost its bound
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("jaro_winkler"), p)
+  }
+
+  test("winnow rolling bounds: two map-only fingerprint scans, no pair join") {
+    val p = planOf("x_winnow_rolling_bounds")
+    // both variants aggregate per doc straight off their generator
+    // expressions: any join other than the final doc_id count-merge —
+    // or any cartesian — means a fingerprint-level shuffle snuck in
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("winnow_fps"), p)
+    assert(p.contains("winnow_fps_rolling"), p)
+  }
+
   test("edit-distance near-dup verifies only blocked candidates") {
     val p = planOf("x_editdist_neardup")
     assert(!p.contains("CartesianProduct"), p)
