@@ -918,6 +918,20 @@ object Dedup {
       delim: String = "\n"): DataFrame =
     docLines(corpus, textCol, idCol, delim).select("line").distinct().staged
 
+  /** Fold one processed batch's lines into a line index: after this, every
+    * line the batch contained (kept OR cut — it has now "occurred") is
+    * known to subsequent [[lineDedupAgainst]] calls. One distinct over the
+    * batch's lines plus a staged union with the old index — the same
+    * between-batch refresh cost class as rebuilding
+    * [[buildCorpusIndex]] on the batch side's schedule, paid per batch
+    * here because line identity (unlike MinHash signatures) makes the
+    * increment exact. */
+  def extendLineIndex(index: DataFrame, batch: DataFrame, textCol: String,
+      idCol: String, delim: String = "\n"): DataFrame =
+    index
+      .union(docLines(batch, textCol, idCol, delim).select("line").distinct())
+      .distinct().staged
+
   /** Incremental line dedup for one incoming shard/micro-batch: a line is
     * cut if it exists in the corpus index OR occurred earlier within this
     * batch (first-wins by (doc id, pos), [[lineDedup]]'s rule). Per-batch
@@ -933,20 +947,6 @@ object Dedup {
     * processing-order first-wins — which coincides with the global
     * (doc id, pos) rule whenever batches arrive in id order, and exactly
     * equals it in the single-batch case. */
-  /** Fold one processed batch's lines into a line index: after this, every
-    * line the batch contained (kept OR cut — it has now "occurred") is
-    * known to subsequent [[lineDedupAgainst]] calls. One distinct over the
-    * batch's lines plus a staged union with the old index — the same
-    * between-batch refresh cost class as rebuilding
-    * [[buildCorpusIndex]] on the batch side's schedule, paid per batch
-    * here because line identity (unlike MinHash signatures) makes the
-    * increment exact. */
-  def extendLineIndex(index: DataFrame, batch: DataFrame, textCol: String,
-      idCol: String, delim: String = "\n"): DataFrame =
-    index
-      .union(docLines(batch, textCol, idCol, delim).select("line").distinct())
-      .distinct().staged
-
   def lineDedupAgainst(index: DataFrame, batch: DataFrame, textCol: String,
       idCol: String, delim: String = "\n"): DataFrame = {
     val lines = docLines(batch, textCol, idCol, delim)

@@ -949,7 +949,8 @@ object ExtOps {
   /** The 1-round-cell SemDedup statement, with optional extra literal
     * columns appended to the final projection — reused verbatim by the
     * stability-gated x_semdedup_kmeans (extra `TRUE AS stable_ok`). */
-  private def semDedupKmeans1rSql(extraCols: String): String =
+  private def semDedupKmeans1rSql(extraCols: String,
+      keptAlias: String = "is_kept"): String =
     s"""WITH RECURSIVE
             sd AS (SELECT embedding AS se,
                      row_number() OVER (ORDER BY vec_id) - 1 AS cluster
@@ -999,7 +1000,7 @@ object ExtOps {
                    FROM comp GROUP BY component)
             SELECT comp.vec_id, CAST(comp.component AS BIGINT) AS component,
                    CAST(cs.cluster_size AS BIGINT) AS cluster_size,
-                   CAST(comp.vec_id = comp.component AS BIGINT) AS is_kept$extraCols
+                   CAST(comp.vec_id = comp.component AS BIGINT) AS $keptAlias$extraCols
             FROM comp JOIN cs USING (component)
             ORDER BY vec_id"""
 
@@ -1011,13 +1012,22 @@ object ExtOps {
     * agree with the 1-round run on the vast majority of documents
     * (measured 0.80-0.93 across SFs, examples.BoundsProbe). The query
     * runs BOTH variants, emits the SQL-restatable 1-round rows plus
-    * `stable_ok` = (is_kept agreement fraction >= 0.70), and the oracle
-    * restates the 1-round side + literal TRUE -- so the driver hash bites
-    * if the converged trainer ever drifts wholesale from its seed
-    * assignment, the signature of a broken Lloyd update. */
+    * `stable_ok` = (keep-decision agreement fraction >= 0.70), and the
+    * oracle restates the 1-round side + literal TRUE -- so the driver hash
+    * bites if the converged trainer ever drifts wholesale from its seed
+    * assignment, the signature of a broken Lloyd update.
+    *
+    * COLUMN CONTRACT: the emitted per-row columns (component,
+    * cluster_size, is_kept_1r) are the 1-ROUND assignment — the
+    * SQL-restatable side of the gate, named `is_kept_1r` precisely so it
+    * cannot be misread as the production iters=3 decision; the iters=3 run
+    * participates only through the aggregate `stable_ok`. A consumer who
+    * wants the converged per-row decisions runs
+    * `Similarity.semanticDedup` over `kmeansAssign(iters = 3)` directly
+    * (the d3 frame below). */
   val xSemDedupKmeansGated = OpQuery(
     "x_semdedup_kmeans",
-    "SemDedup over k-means cells (iters=3), stability-bound-gated vs the 1-round twin",
+    "SemDedup k-means stability gate: 1-round rows (is_kept_1r) + iters=3 agreement bound stable_ok",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
       def dedupAt(iters: Int) = {
@@ -1032,13 +1042,14 @@ object ExtOps {
       val agree = d1.select(col("vec_id"), col("is_kept").as("k1"))
         .join(d3, Seq("vec_id"))
         .agg(avg(when(col("k1") === col("k3"), 1.0).otherwise(0.0)).as("agree"))
-      d1.withColumn("is_kept", col("is_kept").cast("long"))
+      d1.withColumn("is_kept_1r", col("is_kept").cast("long"))
+        .drop("is_kept")
         .crossJoin(broadcast(agree))
         .withColumn("stable_ok", col("agree") >= 0.70)
         .drop("agree")
         .orderBy("vec_id")
     },
-    Some(semDedupKmeans1rSql(", TRUE AS stable_ok")))
+    Some(semDedupKmeans1rSql(", TRUE AS stable_ok", keptAlias = "is_kept_1r")))
 
   // ---------- signed-random-projection LSH ----------
 
@@ -2654,12 +2665,19 @@ object ExtOps {
 
   /** Incremental line dedup, streaming-executed: the corpus line index is
     * staged ONCE before the stream starts, each micro-batch pays only its
-    * own lines + one keyed index join, and each processed batch's lines
-    * are folded back into the index ([[Dedup.extendLineIndex]]) so
-    * first-wins holds ACROSS batches too — boilerplate suppression for a
-    * live ingest feed. The oracle's global (doc_id, pos) rule coincides
-    * with processing-order first-wins because the file source delivers
-    * documents in id order. */
+    * own lines + one keyed index join, and each processed batch's distinct
+    * lines are PERSISTED to a per-batch parquet dir so first-wins holds
+    * ACROSS batches too — boilerplate suppression for a live ingest feed.
+    * The cross-batch memory is durable, not a driver-local var: a batch
+    * reads every prior committed batch's lines back from disk, so a
+    * kill/restart-from-checkpoint resumes with the same seen-set instead
+    * of re-keeping lines already kept in committed batches (the
+    * flatMapGroupsWithState twins get this from the state store; this
+    * foreachBatch topology gets it from the per-batch side-write, which is
+    * idempotent under replay — a replayed batch overwrites its OWN dir and
+    * reads only strictly-earlier ones). The oracle's global (doc_id, pos)
+    * rule coincides with processing-order first-wins because the file
+    * source delivers documents in id order. */
   val stLineDedup = OpQuery(
     "st_line_dedup_stream",
     "streaming incremental line dedup against a frozen corpus line index",
@@ -2670,23 +2688,36 @@ object ExtOps {
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType)))
       val srcNum = expr("CAST(substring(source, 4) AS INT)")
-      var index = graft.ext.Dedup.buildLineIndex(
+      val index = graft.ext.Dedup.buildLineIndex(
         pseudoLines(t(s, dir, "documents").filter(srcNum < 10)),
         "text", "doc_id")
       val scratch = graft.core.Scratch.tempDir("graft_linededup_stream_")
       val out = s"$scratch/out"; val ck = s"$scratch/ckpt"
+      val seenRoot = s"$scratch/seen"
       val stream = s.readStream.schema(docsSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(srcNum >= 10)
-      val q = graft.streaming.Runner.toBatchSink(stream, ck) { (batch, _) =>
+      val q = graft.streaming.Runner.toBatchSink(stream, ck) { (batch, batchId) =>
         val b = pseudoLines(batch.select("doc_id", "text"))
-        graft.ext.Dedup.lineDedupAgainst(index, b, "text", "doc_id")
+        // cross-batch first-wins from DURABLE state: frozen corpus index
+        // plus every strictly-earlier batch's persisted lines (empty on the
+        // first batch — zero overhead in the single-batch verify/bench
+        // shape; LineDedupSpec drives the multi-batch + restart paths)
+        val priorDirs = Option(new java.io.File(seenRoot).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.matches("b\\d+") &&
+            f.getName.drop(1).toLong < batchId)
+          .map(_.getAbsolutePath).sorted.toIndexedSeq
+        val eff =
+          if (priorDirs.isEmpty) index
+          else index.union(s.read.parquet(priorDirs: _*).select("line"))
+            .distinct().staged
+        graft.ext.Dedup.lineDedupAgainst(eff, b, "text", "doc_id")
           .write.mode("append").parquet(out)
-        // cross-batch first-wins: every line this batch contained is now
-        // "seen" for later batches (single-batch here — one source file —
-        // but the topology stays correct under maxFilesPerTrigger;
-        // LineDedupSpec drives the multi-batch path)
-        index = graft.ext.Dedup.extendLineIndex(index, b, "text", "doc_id")
+        // overwrite = idempotent under at-least-once replay: a replayed
+        // batch rewrites its own dir and never extends anyone else's
+        graft.ext.Dedup.buildLineIndex(b, "text", "doc_id")
+          .write.mode("overwrite").parquet(s"$seenRoot/b$batchId")
       }
       try q.processAllAvailable() finally q.stop()
       s.read.parquet(out).orderBy("doc_id")

@@ -190,8 +190,13 @@ object ScaleOps {
     "x_er_fuzzy_match",
     "entity resolution: Jaro-Winkler >= 0.92 title pairs over first-word blocks",
     (s, dir) => {
+      // empty/whitespace-only docs are in the corpus contract (Chunking
+      // admits them): drop them BEFORE element_at(_, 1), which under
+      // Spark 4 ANSI mode throws INVALID_ARRAY_INDEX on an empty array —
+      // the oracle drops them with the identical len(...) > 0 predicate
       val titled = t(s, dir, "documents")
         .withColumn("_w", filter(split(col("text"), " "), w => length(w) > 0))
+        .filter(size(col("_w")) > 0)
         .withColumn("title", array_join(slice(col("_w"), 1, 6), " "))
         .withColumn("blk", element_at(col("_w"), 1))
       Dedup.jaroWinklerPairs(titled, "title", "doc_id", col("blk"),
@@ -203,7 +208,8 @@ object ScaleOps {
                 list_filter(string_split(text,' '), x -> len(x) > 0)[1:6],
                 ' ') AS title,
               list_filter(string_split(text,' '), x -> len(x) > 0)[1] AS blk
-            FROM documents),
+            FROM documents
+            WHERE len(list_filter(string_split(text,' '), x -> len(x) > 0)) > 0),
             c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 floor(jaro_winkler_similarity(a.title, b.title) * 10000.0)
                   / 10000.0 AS jw

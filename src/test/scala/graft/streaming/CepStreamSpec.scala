@@ -14,64 +14,38 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object CepStreamSpec {
   case class V(user: Long, us: Long, name: String)
   case class St(runs: Seq[Run[V]])
-  case class NEv(user: Long, us: Long, id: Long, typ: String,
-      ts: java.sql.Timestamp)
-  case class NSt(runs: Seq[Run[NEv]])
 }
 
 class CepStreamSpec extends SparkTestBase {
   import spark.implicits._
-  import CepStreamSpec.{V, St, NEv, NSt}
+  import CepStreamSpec.{V, St}
+  import graft.queries.StreamingOps
+  import StreamingOps.CepNegEv
 
-  /** The st_cep_negation_stream state machine over a MemoryStream: the
-    * trailing-negation window close as a REAL event-time timer, with the
-    * batch-impossible cases — a purchase KILLING a click armed in an
-    * earlier micro-batch, a purchase landing exactly ON the window
-    * boundary (too late: the window resolves first, the click matches),
-    * and a click whose match can only ever emit from a TIMER firing
-    * (no later same-key event exists). */
+  /** st_cep_negation_stream's SHIPPED state machine
+    * ([[StreamingOps.cepNegationTransform]] — not a spec-local copy, so
+    * the cases proved here cannot drift from the registry query) over a
+    * MemoryStream: the trailing-negation window close as a REAL event-time
+    * timer, with the batch-impossible cases — a purchase KILLING a click
+    * armed in an earlier micro-batch, a purchase landing exactly ON the
+    * window boundary (too late: the window resolves first, the click
+    * matches), and a click whose match can only ever emit from a TIMER
+    * firing (no later same-key event exists). */
   test("trailing negation across micro-batches: kills, boundary, timer") {
     implicit val ctx = spark.sqlContext
     val winUs = 100L * 1000000L // 100 s
-    val pat = Pattern.begin[NEv]("click", _.typ == "click")
-      .notFollowedBy("purchase", _.typ == "purchase").within(winUs)
-    val input = MemoryStream[NEv]
-    def step(user: Long, rows: Iterator[NEv],
-        state: GroupState[NSt]): Iterator[Long] = {
-      val active0 = state.getOption.map(_.runs.toList).getOrElse(Nil)
-      val wmUs = state.getCurrentWatermarkMs() * 1000L
-      val (matches, live) =
-        if (state.hasTimedOut) {
-          val (m, _, l) = Matcher.flushSplit(pat, active0, wmUs)
-          (m, l)
-        } else {
-          val sorted = rows.toSeq.sortBy(e => (e.us, e.id))
-          val res = Matcher.advance(pat, active0,
-            sorted.iterator.map(e => (e.us, e)))
-          val (m, _, l) = Matcher.flushSplit(pat, res.active, wmUs)
-          (res.matches ++ m, l)
-        }
-      if (live.isEmpty) state.remove()
-      else {
-        state.update(NSt(live))
-        val nextMs = live.map(r => (r.startTs + winUs) / 1000L + 1L).min
-        state.setTimeoutTimestamp(
-          math.max(nextMs, state.getCurrentWatermarkMs() + 1L))
-      }
-      matches.iterator.map(_.head.id)
-    }
-    def ev(user: Long, sec: Long, id: Long, typ: String): NEv =
-      NEv(user, sec * 1000000L, id, typ, new java.sql.Timestamp(sec * 1000L))
-    val out = input.toDS()
-      .withWatermark("ts", "0 seconds")
-      .groupByKey(_.user)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(step)
-      .toDF("click_id")
+    val pat = Pattern.begin[CepNegEv]("click", _.event_type == "click")
+      .notFollowedBy("purchase", _.event_type == "purchase").within(winUs)
+    val input = MemoryStream[CepNegEv]
+    def ev(user: Long, sec: Long, id: Long, typ: String): CepNegEv =
+      CepNegEv(id, user, sec * 1000000L, typ, s"1970-01-01 00:0$sec",
+        new java.sql.Timestamp(sec * 1000L))
+    val out = StreamingOps.cepNegationTransform(
+      input.toDS().withWatermark("ts", "0 seconds"), pat, winUs)
     val q = out.writeStream.format("memory").queryName("cepneg_xbatch")
       .outputMode("append").start()
     def ids(): Set[Long] =
-      spark.table("cepneg_xbatch").as[Long].collect().toSet
+      spark.table("cepneg_xbatch").select("event_id").as[Long].collect().toSet
     try {
       // batch 1: user 1 clicks at t=10s — armed (watermark → 10s)
       input.addData(ev(1L, 10L, 100L, "click"))
