@@ -295,13 +295,48 @@ object Dedup {
     * codegen'd [[graft.functions.JaroWinkler]] expression, floor-truncated
     * to 4 dp so the DuckDB oracle (`jaro_winkler_similarity`, the same
     * standard Winkler form) restates scores exactly.
-    * Output: (doc_a, doc_b, jw) with jw ≥ threshold. */
+    * Output: (doc_a, doc_b, jw) with jw ≥ threshold.
+    *
+    * ER is the family where a head-word blocking key is the RIGHT key at
+    * small scale (§6g: 94% recall on short Zipf titles) and a quadratic
+    * time bomb at corpus scale (the same head block grows ×107.7 at 10×) —
+    * so unlike the other PairBuckets callers this one opts into the
+    * candidate-budget breaker by default ([[DefaultJwCandidateBudget]]):
+    * past the budget the call fails loudly with the block histogram
+    * instead of silently running a 10⁹-pair verify. */
   def jaroWinklerPairs(docs: DataFrame, textCol: String, idCol: String,
-      bucketKey: org.apache.spark.sql.Column, threshold: Double): DataFrame =
+      bucketKey: org.apache.spark.sql.Column, threshold: Double,
+      maxCandidatePairs: Long = DefaultJwCandidateBudget): DataFrame =
     jwVerify(docs, textCol, idCol,
-      graft.ops.PairBuckets.selfPairs(docs, idCol, bucketKey)
+      graft.ops.PairBuckets.selfPairs(docs, idCol, bucketKey,
+          maxCandidatePairs = maxCandidatePairs)
         .select("doc_a", "doc_b").distinct(),
       threshold)
+
+  /** Default JW verify budget: ~2×10⁹ candidate pairs ≈ a few core-hours
+    * of the native kernel — generous for any sane blocking scheme, loud
+    * before a broken one burns a cluster-day. */
+  val DefaultJwCandidateBudget: Long = 2000000000L
+
+  /** [[jaroWinklerPairs]] with a COMPOSITE blocking key — §6g's named
+    * production-scale control for the head-word block's quadratic growth:
+    * two cheap fields must BOTH agree for a pair to become a candidate
+    * (name+zip in the classic record-linkage setting), which divides each
+    * head block by the second key's selectivity while costing recall only
+    * on pairs that disagree on that second field — choose one the match
+    * semantics already require (same language, same region, same year).
+    * NULLs in either key get a sentinel so they block among themselves
+    * rather than vanishing or cross-colliding. */
+  def jaroWinklerPairsComposite(docs: DataFrame, textCol: String,
+      idCol: String, key1: org.apache.spark.sql.Column,
+      key2: org.apache.spark.sql.Column, threshold: Double,
+      maxCandidatePairs: Long = DefaultJwCandidateBudget): DataFrame = {
+    def part(k: org.apache.spark.sql.Column) =
+      coalesce(k.cast("string"), lit("\u0000"))
+    jaroWinklerPairs(docs, textCol, idCol,
+      concat_ws("\u0001", part(key1), part(key2)), threshold,
+      maxCandidatePairs)
+  }
 
   /** [[jaroWinklerPairs]] with the df-capped RARE-TOKEN blocking key: a
     * candidate pair must share at least one word with document frequency

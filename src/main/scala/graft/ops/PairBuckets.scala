@@ -31,11 +31,45 @@ object PairBuckets {
   val MaxHotBuckets = 100000
 
   /** All unordered pairs (doc_a < doc_b) of ids sharing `bucketKey`.
-    * Returns columns (bk, doc_a, doc_b). */
+    * Returns columns (bk, doc_a, doc_b).
+    *
+    * `maxCandidatePairs` is the loud CANDIDATE-BUDGET breaker (the ER
+    * family's production control, SCALING.md §6g): salting distributes a
+    * hot bucket's c² pairs across tasks but does nothing about their
+    * NUMBER — a boilerplate-headed block can silently expand to tens of
+    * millions of verify candidates that are each individually cheap and
+    * collectively a cluster-day. When a finite budget is passed, the total
+    * Σ c·(c−1)/2 over all buckets is computed up front (one extra
+    * aggregate over the bucket-size frame — only when opted in, so the
+    * default Long.MaxValue path keeps the single guard action) and the
+    * call FAILS with the top-of-the-block-size histogram when it exceeds
+    * the budget — the fix is a more selective (composite) blocking key,
+    * not a bigger cluster, and that decision belongs to a human. */
   def selfPairs(df: DataFrame, idCol: String, bucketKey: Column,
-      maxBucketRows: Int = 4096, maxSalts: Int = 256): DataFrame = {
+      maxBucketRows: Int = 4096, maxSalts: Int = 256,
+      maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
     require(maxBucketRows > 0)
     val rows = df.select(col(idCol).as("id"), bucketKey.as("bk"))
+    if (maxCandidatePairs < Long.MaxValue) {
+      val sizes = rows.groupBy("bk").agg(count(lit(1)).as("_bc"))
+      // sum c·(c−1) in LONG (SQL `/` would go double) and halve exactly here
+      val tot = sizes
+        .agg(coalesce(sum(col("_bc") * (col("_bc") - 1L)), lit(0L)),
+          count(lit(1)))
+        .collect()(0)
+      val (totPairs, nBuckets) = (tot.getLong(0) / 2L, tot.getLong(1))
+      if (totPairs > maxCandidatePairs) {
+        val top = sizes.orderBy(col("_bc").desc).limit(10).collect()
+          .map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(", ")
+        throw new IllegalStateException(
+          s"PairBuckets: candidate budget exceeded — Σ c·(c−1)/2 = $totPairs " +
+            s"pairs across $nBuckets bucket(s) > budget $maxCandidatePairs. " +
+            s"Largest blocks (key=rows): $top. The blocking key is not " +
+            "selective enough at this corpus size; compose it with a second " +
+            "cheap field (e.g. Dedup.jaroWinklerPairsComposite) or raise " +
+            "the budget deliberately.")
+      }
+    }
     // ONE action computes the guard stats: the hot-bucket keys and their
     // sizes (bounded by MaxHotBuckets, loud failure beyond). The sizes
     // aggregation — a single shuffle on (bk) — is the price of

@@ -217,6 +217,42 @@ object ScaleOps {
             SELECT doc_a, doc_b, CAST(jw AS DOUBLE) AS jw
             FROM c WHERE jw >= 0.92 ORDER BY doc_a, doc_b"""))
 
+  /** Entity resolution under the COMPOSITE blocking key — §6g's named
+    * production-scale control, shipped: candidates must agree on BOTH the
+    * title's first word AND the language field, so each head-word block is
+    * divided by the second key's selectivity (here ~5 languages ≈ ×5 fewer
+    * candidates per hot block) while recall is lost only on cross-language
+    * pairs — which the match semantics here don't want anyway. The same
+    * jaroWinklerPairs machinery (and its candidate-budget breaker,
+    * PairBucketsSpec) runs underneath; the key is the only change, so this
+    * query is deterministic and directly hash-gated like x_er_fuzzy_match. */
+  val xErComposite = OpQuery(
+    "x_er_composite",
+    "entity resolution: Jaro-Winkler >= 0.92 pairs over composite (first-word, lang) blocks",
+    (s, dir) => {
+      val titled = t(s, dir, "documents")
+        .withColumn("_w", filter(split(col("text"), " "), w => length(w) > 0))
+        .filter(size(col("_w")) > 0)
+        .withColumn("title", array_join(slice(col("_w"), 1, 6), " "))
+      Dedup.jaroWinklerPairsComposite(titled, "title", "doc_id",
+          element_at(col("_w"), 1), col("lang"), threshold = 0.92)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+              array_to_string(
+                list_filter(string_split(text,' '), x -> len(x) > 0)[1:6],
+                ' ') AS title,
+              list_filter(string_split(text,' '), x -> len(x) > 0)[1] AS blk
+            FROM documents
+            WHERE len(list_filter(string_split(text,' '), x -> len(x) > 0)) > 0),
+            c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                floor(jaro_winkler_similarity(a.title, b.title) * 10000.0)
+                  / 10000.0 AS jw
+              FROM t a JOIN t b ON a.blk = b.blk AND a.lang = b.lang
+                AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, CAST(jw AS DOUBLE) AS jw
+            FROM c WHERE jw >= 0.92 ORDER BY doc_a, doc_b"""))
+
   /** approx_percentile(value, 0.5, accuracy=100) checked against its own
     * GK rank-error guarantee: the returned value's rank in its group must
     * sit within 2·n/accuracy (+1 for ties) of the true median rank. The
@@ -496,7 +532,8 @@ object ScaleOps {
 
   val all: Seq[OpQuery] = Seq(
     j10BucketedJoin, s8PartitionPrune, xSampleWeighted, xPrefixJoin,
-    xEditdistNeardup, xErFuzzyMatch, xApproxQuantileBounds, xCmsHeavyHitters,
+    xEditdistNeardup, xErFuzzyMatch, xErComposite, xApproxQuantileBounds,
+    xCmsHeavyHitters,
     xSketchRollup, xThetaSetops, xKllRollup, xZorderCurve, xZorderSkip,
     xSketchPersisted)
 }

@@ -55,4 +55,40 @@ class PairBucketsSpec extends SparkTestBase {
     assert(PairBuckets.selfPairs(rows, "id", col("bk"), maxBucketRows = 8)
       .count() == 64L * 63 / 2)
   }
+
+  // ---- candidate-budget breaker (SCALING.md §6g's production control) ----
+
+  /** The §6g failure shape: a Zipf-headed title corpus whose head-word
+    * block crossed 24.7M candidates at the 10× rehearsal. The breaker
+    * prices the blocks from their SIZES alone, so the spec reproduces the
+    * candidate count (10,000 rows in one head block → 49,995,000 pairs,
+    * twice the rehearsal's) without ever materializing a pair. */
+  test("budget breaker fires on the §6g-scale head block, with the histogram") {
+    val head = (1L to 10000L).map(i => (i, "the"))
+    val tail = (10001L to 10050L).map(i => (i, s"w$i"))
+    val df = (head ++ tail).toDF("id", "bk")
+    val e = intercept[IllegalStateException] {
+      PairBuckets.selfPairs(df, "id", col("bk"),
+        maxCandidatePairs = 24700000L)
+    }
+    assert(e.getMessage.contains("candidate budget exceeded"))
+    assert(e.getMessage.contains("49995000")) // Σ c·(c−1)/2, priced not built
+    assert(e.getMessage.contains("the=10000")) // the histogram names the block
+  }
+
+  test("a composite key that divides the head block passes the same budget") {
+    // same corpus, second key with 5 values: each sub-block 2000 rows →
+    // Σ = 5 · 2000·1999/2 = 9,995,000 < 24.7M — the §6g-named control
+    val head = (1L to 10000L).map(i => (i, s"the|k${i % 5}"))
+    val df = head.toDF("id", "bk")
+    val pairs = PairBuckets.selfPairs(df, "id", col("bk"),
+      maxCandidatePairs = 24700000L)
+    assert(pairs.limit(1).count() == 1L) // plan is live, breaker silent
+  }
+
+  test("the default budget path adds no breaker action and never fires") {
+    val rows = (1L to 100L).map(i => (i, "b")).toDF("id", "bk")
+    assert(PairBuckets.selfPairs(rows, "id", col("bk")).count() ==
+      100L * 99 / 2)
+  }
 }
