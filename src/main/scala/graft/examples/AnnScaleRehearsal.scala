@@ -94,6 +94,21 @@ object AnnScaleRehearsal {
           Similarity.ivfPqTopK(c, "vec_id", "embedding", "cluster", q,
             k = 5, nProbe = probeScaled, m = 16, ksub = 16)
         }),
+        // the §6b prescription for IVF-PQ's fixed-parameter recall decay:
+        // ADC as candidate generation (top-coarseC), exact cosine re-rank
+        // to top-k. Fixed row must show recall at 20k ≥ the 2k value.
+        "ivfpq_rerank_fixed" -> (() => {
+          val c = kmeansClustered(cellsFixed)
+          Similarity.ivfPqRerankTopK(c, "vec_id", "embedding", "cluster", q,
+            k = 5, nProbe = probeFixed, m = 16, ksub = 16,
+            coarseC = coarseCFixed)
+        }),
+        "ivfpq_rerank_scaled" -> (() => {
+          val c = kmeansClustered(cellsScaled)
+          Similarity.ivfPqRerankTopK(c, "vec_id", "embedding", "cluster", q,
+            k = 5, nProbe = probeScaled, m = 16, ksub = 16,
+            coarseC = coarseCScaled)
+        }),
         "jl_rerank_fixed" -> (() =>
           Similarity.jlRerankTopK(e, "vec_id", "embedding", q,
             dim = 64, kProj = 16, coarseC = coarseCFixed, k = 5)),

@@ -41,6 +41,9 @@ object BoundsProbe {
         k = 5, m = 16, ksub = 16, iters = 3))
       hitStats("ivfpq", Similarity.ivfPqTopK(e, "vec_id", "embedding", "label", q,
         k = 5, nProbe = 2, m = 16, ksub = 16))
+      hitStats("ivfpq_rerank", Similarity.ivfPqRerankTopK(e, "vec_id",
+        "embedding", "label", q, k = 5, nProbe = 2, m = 16, ksub = 16,
+        coarseC = 20))
       val cells = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 3)
         .withColumnRenamed("id", "vec_id")
       hitStats("ivf_kmeans", Similarity.ivfTopK(e.join(cells, Seq("vec_id")),

@@ -794,6 +794,18 @@ object Similarity {
       .agg(topC((-col("d")).cast("double"), col("cid")).as("tk"))
       .select(col("qid"), explode(col("tk.items")).as("s"))
       .select(col("qid"), col("s.id").as("cid"))
+    exactRerankTopK(embeddings, idCol, vecCol, queries, cand, k)
+  }
+
+  /** Stage-2 exact re-rank shared by every coarse-to-fine composition
+    * ([[jlRerankTopK]], [[ivfPqRerankTopK]]): score ONLY the (qid, cid)
+    * candidate pairs by exact cosine on the raw vectors and keep top-k.
+    * The candidate frame is per-query-bounded (top-C), so it broadcasts;
+    * the corpus pays one candidate-pruned exact pass — never a full-width
+    * exact scan per query. Every emitted score is exact; the upstream
+    * approximation lives entirely in which candidates arrive. */
+  private def exactRerankTopK(embeddings: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
       .withColumn("qn", norm("qe"))
     val candQ = cand.join(broadcast(q), Seq("qid"))
@@ -805,6 +817,30 @@ object Similarity {
         floor(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("cn"))) * 1000000.0)
           / 1000000.0)
     rankTopK(scored, k)
+  }
+
+  /** IVF-PQ + exact re-rank — the composition SCALING.md §6b prescribes
+    * for IVF-PQ's measured recall decay (0.338 → 0.213 at 10× vectors at
+    * fixed m/ksub: quantization error grows relative to the shrinking
+    * true-neighbor distances, and the ADC RANKING is what loses them).
+    * Stage 1 is [[ivfPqTopK]] asked for coarseC ≫ k candidates — cheap,
+    * since ADC scoring is m byte-lookups per vector — and stage 2 re-ranks
+    * only those by exact cosine ([[exactRerankTopK]], the jlRerankTopK
+    * stage-2 shape). The PQ error now only has to keep a true neighbor
+    * inside the top-C, not inside the top-k in the right order, so recall
+    * at fixed quantizer parameters is restored by raising coarseC (the
+    * §6b rule: C ∝ the candidate fraction the recall law tracks) — the
+    * standard faiss serving arrangement (IVFPQ + refine). Candidate I/O
+    * stays nProbe/nLists of the corpus; the exact pass touches only
+    * |queries|·coarseC vectors fetched by id. */
+  def ivfPqRerankTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, queries: DataFrame, k: Int, nProbe: Int,
+      m: Int, ksub: Int, coarseC: Int, iters: Int = 3,
+      fitFraction: Double = 1.0): DataFrame = {
+    require(coarseC >= k, s"coarseC ($coarseC) must be >= k ($k)")
+    val cand = ivfPqTopK(embeddings, idCol, vecCol, clusterCol, queries,
+      coarseC, nProbe, m, ksub, iters, fitFraction).select("qid", "cid")
+    exactRerankTopK(embeddings, idCol, vecCol, queries, cand, k)
   }
 
   /** Candidate pairs from SRP band keys: vectors sharing ≥1 band key,

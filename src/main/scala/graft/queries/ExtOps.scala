@@ -559,6 +559,34 @@ object ExtOps {
     },
     Some(bruteforceGatedSql))
 
+  /** IVF-PQ + exact re-rank ([[Similarity.ivfPqRerankTopK]]) — the
+    * composition SCALING.md §6b prescribes for IVF-PQ's measured recall
+    * decay at scale (0.338 → 0.213 at 10× vectors at fixed m×ksub): ADC
+    * generates top-C=20 candidates per query cheaply, then only those C
+    * raw vectors are re-scored by exact cosine, so PQ error only has to
+    * keep a neighbor inside the top-C, not rank it into the top-k. Gate:
+    * the recall-bound promotion with a HIGHER floor than plain IVF-PQ's
+    * (Σ hits ≥ 4 of 40 vs ivfpq's ≥ 3) — measured totals 7–13 across SFs
+    * vs ivfpq's 5–9 and chance 0.4 (examples.BoundsProbe; the residual
+    * ceiling is the 2-of-8 RANDOM `label` cells probed, which bound
+    * recall at ~25% regardless of ranking quality). The rerank stage's
+    * scores are exact by construction, so any gate failure isolates to
+    * candidate generation. */
+  val xAnnIvfPqRerank = OpQuery(
+    "x_ann_ivfpq_rerank",
+    "IVF-PQ top-20 candidates + exact cosine re-rank to top-5, recall-bound-gated",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val approx = Similarity.ivfPqRerankTopK(e, "vec_id", "embedding",
+        "label", q, k = 5, nProbe = 2, m = 16, ksub = 16, coarseC = 20)
+      val exact = Similarity.cosineTopK(e, "vec_id", "embedding", q, k = 5)
+      recallGatedTotal(exact, approx, minTotalHits = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+    Some(bruteforceGatedSql))
+
   /** Filtered vector search (the "pre-filter" serving composition):
     * top-k among ONLY the candidates passing a metadata predicate —
     * exact within the filtered set. The predicate is a plain Column, so
@@ -3411,7 +3439,7 @@ object ExtOps {
     xSubstringCut,
     xAnnBruteforce, xAnnNative, xAnnSq8, xAnnFiltered, xAnnPq,
     xEmbedCentroids,
-    xAnnIvf, xAnnIvfKmeans, stAnnServe, xAnnIvfPq,
+    xAnnIvf, xAnnIvfKmeans, stAnnServe, xAnnIvfPq, xAnnIvfPqRerank,
     xAnnKmeansExact, xAnnPqExact, xAnnIvfPqExact, xSemDedupKmeans1r,
     xCosineNeardup, xSemDedup, xSemDedupKmeansGated, xJlProject, xAnnJlRerank,
     xSrpSignature, xSrpNeardup, xSrpSemDedup, stSrpDedup,

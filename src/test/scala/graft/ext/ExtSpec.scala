@@ -347,6 +347,46 @@ class ExtSpec extends SparkTestBase {
     assert(perQ.nonEmpty && perQ.forall(_ == 5L))
   }
 
+  test("ivfPqRerankTopK: full probe + corpus-wide coarseC equals brute force") {
+    // when every cell is probed and coarseC covers the whole corpus, the
+    // candidate set is ALL vectors and the exact re-rank stage makes the
+    // ADC stage irrelevant — the composition must reproduce brute force
+    // row for row, whatever the codebook learned
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val rerank = rows(Similarity.ivfPqRerankTopK(e, "vec_id", "embedding",
+      "label", q, k = 5, nProbe = 10, m = 16, ksub = 16, coarseC = 100000))
+    val brute = rows(Similarity.cosineTopK(e, "vec_id", "embedding", q, k = 5))
+    assert(rerank == brute)
+  }
+
+  test("ivfPqRerankTopK: per-query recall dominates plain IVF-PQ at same params") {
+    // theorem, not tuning: a true top-5 neighbor among the top-C ADC
+    // candidates is beaten by at most 4 vectors globally on exact cosine,
+    // so the exact re-rank must emit it; plain IVF-PQ's hits are neighbors
+    // inside the ADC top-5 ⊆ top-C, hence hits(rerank) ⊇ hits(ivfpq)
+    // per query — assert the containment on the real table
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" < 8)
+    val exact = Similarity.cosineTopK(e, "vec_id", "embedding", q, k = 5)
+      .select("qid", "cid")
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      exact.join(df.select("qid", "cid"), Seq("qid", "cid"), "left_semi")
+        .groupBy("qid").count()
+        .as[(Long, Long)].collect().toMap.withDefaultValue(0L)
+    val plain = hits(Similarity.ivfPqTopK(e, "vec_id", "embedding", "label",
+      q, k = 5, nProbe = 2, m = 16, ksub = 16))
+    val rerank = hits(Similarity.ivfPqRerankTopK(e, "vec_id", "embedding",
+      "label", q, k = 5, nProbe = 2, m = 16, ksub = 16, coarseC = 20))
+    val qids = e.filter($"vec_id" < 8).select($"vec_id").as[Long].collect()
+    assert(qids.nonEmpty)
+    for (qid <- qids) assert(rerank(qid) >= plain(qid),
+      s"query $qid: rerank hits ${rerank(qid)} < plain ADC hits ${plain(qid)}")
+  }
+
   test("IVF-PQ on the axis fixture: memorizing codebook exact, unprobed cell absent") {
     val res = Similarity.ivfPqTopK(vecs, "vec_id", "embedding", "label",
         vecs.filter($"vec_id" === 0), k = 2, nProbe = 2, m = 3, ksub = 4, iters = 4)
