@@ -68,6 +68,22 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   private val AdjudicateFactor = 2.0
+  /** Round-10 lesson (VERDICT r10 #1): an adjudication rerun INSIDE the
+    * suite's JVM inherits the session-aging mode it is supposed to rule
+    * out — SCALING.md §6a measured a bounded ≤1.35× in-suite tax, yet the
+    * r10 artifact still recorded x_containment_neardup at 2.9× its
+    * best-prior because the "isolated" rerun ran in the aged session and
+    * confirmed the inflated number. So flagged queries are now re-measured
+    * in a FRESH JVM: a forked `java -cp <same classpath> graft.Bench` with
+    * SPARK_GRAFT_BENCH_ONLY=<query> and SPARK_GRAFT_BENCH_CHILD=1 (child
+    * mode runs the one query under the same warmup/quiet gates and skips
+    * adjudication/defs bookkeeping). The fork threshold is 1.5× best-prior
+    * (below the 2× gate, so borderline inflation gets a clean number too),
+    * capped at SPARK_GRAFT_BENCH_FRESH_MAX forks per run (default 10,
+    * worst excess first — each fork costs a JVM+Spark startup); flagged
+    * queries beyond the cap, and queries whose fork fails, fall back to
+    * the old in-session rerun above the 2× gate, with the mode recorded. */
+  private val FreshFactor = 1.5
 
   // host-quiet probes live in graft.core.HostProbe (shared with the scale
   // rehearsal); see its scaladoc for why the signal is other-process CPU,
@@ -124,6 +140,65 @@ object Bench {
     best.toMap
   }
 
+  /** Artifact → comparable round number: "BENCH_r07.json" → 7, a bare
+    * "r11" label → 11. bench_out.json is the latest COMMITTED round's
+    * full line, so it ranks as the highest BENCH_r* present. "r0" (the
+    * pre-tracking sentinel) and anything unparseable rank 0. */
+  private def roundNum(src: String, maxBench: Int): Int = src match {
+    case s if s == "bench_out.json" => maxBench
+    case s =>
+      val m = "r(\\d+)".r.findFirstMatchIn(s)
+      m.map(_.group(1).toInt).getOrElse(0)
+  }
+
+  private def maxBenchRound(dir: String): Int =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName))
+      .map(_.group(1).toInt).foldLeft(0)(math.max)
+
+  /** Canonicalized-analyzed-plan fingerprint of a query's RETURNED frame,
+    * with scratch/testdata paths normalized out — the
+    * `definition_changed_since_best_prior` signal (VERDICT r10: x_bpe_vocab
+    * read as a 2.2× regression when the 2.2× was the query's own new
+    * bounds-gate work; nothing recorded that the definition changed).
+    * Caveats, by construction: covers only the plan the query RETURNS
+    * (a streaming query that materializes to scratch and returns a read
+    * fingerprints as that read), and tracking starts at r11 — earlier
+    * changes are seeded from VERDICT r10's findings in bench_defs.json. */
+  private def planFingerprint(df: org.apache.spark.sql.DataFrame): Option[String] =
+    try {
+      val norm = df.queryExecution.analyzed.canonicalized.toString
+        .replaceAll("/tmp/\\S*", "<tmp>")
+        .replaceAll("file:\\S*", "<loc>")
+        .replaceAll("/root/testdata/\\S*", "<sf>")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Some(md.digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    } catch { case _: Throwable => None }
+
+  /** bench_defs.json: per-query plan fingerprint + the round label at
+    * which it last changed ("since"). Committed alongside the bench
+    * artifacts so adjudication can tell a definition change from a
+    * regression. A seeded entry with an empty fp adopts the first
+    * fingerprint seen WITHOUT bumping `since` (how r10's known changes
+    * were back-recorded). */
+  private def loadDefs(path: java.nio.file.Path): Map[String, (String, String)] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(path.toFile)
+      import scala.jdk.CollectionConverters._
+      node.path("defs").fields().asScala.map { e =>
+        e.getKey -> (e.getValue.path("fp").asText(""), e.getValue.path("since").asText("r0"))
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
+
+  private def saveDefs(path: java.nio.file.Path, label: String,
+      defs: Map[String, (String, String)]): Unit = {
+    val body = defs.toSeq.sortBy(_._1).map { case (k, (fp, since)) =>
+      s"""    "$k": {"fp": "$fp", "since": "$since"}"""
+    }.mkString(",\n")
+    val json = s"""{\n  "written_at": "$label",\n  "defs": {\n$body\n  }\n}\n"""
+    java.nio.file.Files.writeString(path, json): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -161,6 +236,9 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
+    // plan fingerprint per query, captured on its first successful build
+    // this run (feeds bench_defs.json / definition_changed_since_best_prior)
+    val planFps = scala.collection.mutable.Map.empty[String, String]
     /** One timed run; None on failure (logged). */
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       // JMH-style hygiene, OUTSIDE the timed section: staged/checkpointed
@@ -172,7 +250,10 @@ object Bench {
       System.gc()
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val df = fn(spark, sfDir)
+        if (!planFps.contains(name))
+          planFingerprint(df).foreach(planFps(name) = _)
+        df.write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
@@ -216,41 +297,129 @@ object Bench {
       name -> m
     }
 
-    // adjudication pass: re-measure suspicious medians in the now-idle JVM.
-    // An isolated rerun can only be FASTER than its suite median on a quiet
-    // host; a slower rerun is an inverted measurement — wait for quiet and
-    // retry, and if the inversion persists flag the entry invalid and keep
-    // the suite median (never promote a number taken under proven load).
+    // adjudication pass. Child mode (SPARK_GRAFT_BENCH_CHILD): this IS an
+    // adjudication fork — report the measurement and do no meta-work.
+    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
     val best = bestPriorMedians(baseDir)
-    final case class Adj(suiteM: Double, rerunM: Double, bestPrior: Double,
-        bestPriorSrc: String, othersAtRerun: Double, valid: Boolean)
-    val adjudicated = scala.collection.mutable.LinkedHashMap.empty[String, Adj]
-    val results = suite.map {
-      case (name, Some(m)) if best.get(name).exists(b => m > AdjudicateFactor * b._1) =>
-        var attempt = 0
-        var entry: Option[Adj] = None
-        while (attempt < 3 && !entry.exists(_.valid)) {
-          if (attempt > 0) waitForQuiet(quietWaitBudget, s"adjudicate:$name")
-          val pre = cpuSample()
-          val t0 = System.nanoTime()
-          val rerun = (1 to iters).iterator.map(_ => once(name, SparkEntry.queries(name)))
-            .takeWhile(_.isDefined).flatten.toSeq
-          val others = otherCores(pre, cpuSample(), (System.nanoTime() - t0) / 1e9)
-          if (rerun.size == iters) {
-            val rm = median(rerun)
-            // valid = not inverted (allow 10% jitter over the suite median)
-            val a = Adj(m, rm, best(name)._1, best(name)._2, others,
-              rm <= m * 1.10)
-            // keep the best (fastest, preferring valid) attempt seen
-            entry = Some(entry match {
-              case Some(prev) if prev.valid && !a.valid => prev
-              case Some(prev) if prev.valid == a.valid && prev.rerunM < a.rerunM => prev
-              case _ => a
-            })
-          }
-          attempt += 1
+    val maxBench = maxBenchRound(baseDir)
+    val runLabel = s"r${maxBench + 1}"
+    // definition tracking: merge this run's plan fingerprints into
+    // bench_defs.json (seeded empty-fp entries adopt without bumping since)
+    val defsPath = java.nio.file.Paths.get(baseDir, "bench_defs.json")
+    val oldDefs = loadDefs(defsPath)
+    val newDefs = oldDefs ++ planFps.map { case (name, fp) =>
+      name -> (oldDefs.get(name) match {
+        case Some((oldFp, oldSince)) if oldFp.isEmpty || oldFp == fp => (fp, oldSince)
+        case Some(_) => (fp, runLabel)
+        case None => (fp, "r0") // first sighting: no recorded change
+      })
+    }
+    if (!isChild) saveDefs(defsPath, runLabel, newDefs)
+    def defChangedSince(name: String, bestPriorSrc: String): Boolean =
+      newDefs.get(name).exists { case (_, since) =>
+        roundNum(since, maxBench) > roundNum(bestPriorSrc, maxBench) }
+
+    /** Fork `java -cp <this JVM's classpath> graft.Bench` restricted to one
+      * query and read its median (and the foreign-CPU evidence its own
+      * gates recorded) back from the child's JSON file. Returns None if
+      * the fork fails, times out (15 min), or exits nonzero. */
+    def freshJvmRun(name: String): Option[(Double, Double)] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val javaBin = java.nio.file.Paths
+          .get(System.getProperty("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq
+          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+        val outF = java.nio.file.Files.createTempFile("graft_fresh_bench_", ".json")
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.environment().putAll(Map(
+          "SPARK_GRAFT_BENCH_CHILD" -> "1",
+          "SPARK_GRAFT_BENCH_ONLY" -> name,
+          "SPARK_GRAFT_BENCH_OUT" -> outF.toString,
+          "SPARK_GRAFT_SF_DIR" -> sfDir,
+          "SPARK_GRAFT_CPUS" -> cpus,
+          "SPARK_GRAFT_BENCH_ITERS" -> iters.toString,
+          "SPARK_GRAFT_BENCH_QUIET_WAIT" -> "120").asJava)
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        val p = pb.start()
+        if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+          p.destroyForcibly(); None
+        } else if (p.exitValue() != 0) None
+        else {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(outF.toFile)
+          val v = node.path("queries").path(name)
+          if (v.isNumber)
+            Some((v.asDouble(), node.path("load_hot").path(name).asDouble(0.0)))
+          else None
         }
+      } catch { case _: Throwable => None }
+
+    final case class Adj(suiteM: Double, rerunM: Double, bestPrior: Double,
+        bestPriorSrc: String, othersAtRerun: Double, valid: Boolean,
+        mode: String, defChanged: Boolean)
+    val adjudicated = scala.collection.mutable.LinkedHashMap.empty[String, Adj]
+
+    /** The pre-r11 fallback: re-measure in this (now idle, but possibly
+      * aged) JVM. A rerun slower than its suite median is an inverted
+      * measurement — wait for quiet, retry, and if the inversion persists
+      * keep the suite median flagged invalid. */
+    def inSessionRerun(name: String, m: Double): Option[Adj] = {
+      var attempt = 0
+      var entry: Option[Adj] = None
+      while (attempt < 3 && !entry.exists(_.valid)) {
+        if (attempt > 0) waitForQuiet(quietWaitBudget, s"adjudicate:$name")
+        val pre = cpuSample()
+        val t0 = System.nanoTime()
+        val rerun = (1 to iters).iterator.map(_ => once(name, SparkEntry.queries(name)))
+          .takeWhile(_.isDefined).flatten.toSeq
+        val others = otherCores(pre, cpuSample(), (System.nanoTime() - t0) / 1e9)
+        if (rerun.size == iters) {
+          val rm = median(rerun)
+          // valid = not inverted (allow 10% jitter over the suite median)
+          val a = Adj(m, rm, best(name)._1, best(name)._2, others,
+            rm <= m * 1.10, "in_session", defChangedSince(name, best(name)._2))
+          // keep the best (fastest, preferring valid) attempt seen
+          entry = Some(entry match {
+            case Some(prev) if prev.valid && !a.valid => prev
+            case Some(prev) if prev.valid == a.valid && prev.rerunM < a.rerunM => prev
+            case _ => a
+          })
+        }
+        attempt += 1
+      }
+      entry
+    }
+
+    // fork budget: fresh JVMs go to the worst offenders first
+    val freshMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH_MAX", "10").toInt
+    val freshSet: Set[String] = if (isChild) Set.empty else suite.collect {
+      case (name, Some(m)) if best.get(name).exists(b => m > FreshFactor * b._1) =>
+        (name, m / best(name)._1)
+    }.sortBy(-_._2).take(freshMax).map(_._1).toSet
+
+    val results = if (isChild) suite else suite.map {
+      case (name, Some(m)) if freshSet.contains(name) =>
+        val fresh = freshJvmRun(name).map { case (rm, others) =>
+          Adj(m, rm, best(name)._1, best(name)._2, others,
+            rm <= m * 1.10, "fresh_jvm", defChangedSince(name, best(name)._2))
+        }
+        // a failed fork falls back to the in-session mode (recorded as such)
+        val entry = fresh.orElse(
+          if (m > AdjudicateFactor * best(name)._1) inSessionRerun(name, m) else None)
         entry match {
+          case Some(a) =>
+            adjudicated(name) = a
+            name -> Some(if (a.valid) math.min(m, a.rerunM) else m)
+          case None => name -> Some(m)
+        }
+      case (name, Some(m)) if best.get(name).exists(b => m > AdjudicateFactor * b._1) =>
+        // flagged beyond the fresh-fork cap: old in-session path
+        inSessionRerun(name, m) match {
           case Some(a) =>
             adjudicated(name) = a
             name -> Some(if (a.valid) math.min(m, a.rerunM) else m)
@@ -266,11 +435,14 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val adjJson = adjudicated.map { case (k, a) =>
-      "\"" + k + f"""\":{"suite_median":${a.suiteM}%.3f,"isolated_rerun":${a.rerunM}%.3f,"best_prior":${a.bestPrior}%.3f,"best_prior_src":"${a.bestPriorSrc}%s","others_at_rerun":${a.othersAtRerun}%.2f,"valid":${a.valid}}"""
+      "\"" + k + f"""\":{"suite_median":${a.suiteM}%.3f,"isolated_rerun":${a.rerunM}%.3f,"rerun_mode":"${a.mode}%s","best_prior":${a.bestPrior}%.3f,"best_prior_src":"${a.bestPriorSrc}%s","definition_changed_since_best_prior":${a.defChanged},"others_at_rerun":${a.othersAtRerun}%.2f,"valid":${a.valid}}"""
     }.mkString("{", ",", "}")
     val loadHotJson = loadHot.map { case (k, l) => "\"" + k + f"\":$l%.2f" }
       .mkString("{", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"failed":$failedJson,"load_pre":"$loadPre","load_post":"$loadPost","io_probe_pre_mbps":$ioPre%.1f,"io_probe_post_mbps":$ioPost%.1f,"quiet_wait_sec":$quietWaitSec%.1f,"load_hot":$loadHotJson,"adjudication":$adjJson,"queries":$qs,"sf":"$sfDir"}"""
+    // registry_at_run: measurement records must say how many queries the
+    // registry held when the number was taken (VERDICT r10: a SCALING.md
+    // snapshot said "160 queries, 226.3 s" against a shipped 165/280.8)
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"registry_at_run":${SparkEntry.queries.size},"failed":$failedJson,"load_pre":"$loadPre","load_post":"$loadPost","io_probe_pre_mbps":$ioPre%.1f,"io_probe_post_mbps":$ioPost%.1f,"quiet_wait_sec":$quietWaitSec%.1f,"load_hot":$loadHotJson,"adjudication":$adjJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // also write the bare JSON to a file: the stdout line is buried in the
     // sbt log tail, which left the driver's artifact with "parsed": null
