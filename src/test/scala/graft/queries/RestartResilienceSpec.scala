@@ -90,12 +90,16 @@ class RestartResilienceSpec extends SparkTestBase {
   private val cases = Seq(
     RCase("uv_dedup",
       Seq(
-        () => Seq((1L, 10L, 1000000L, "d1"), (2L, 10L, 2000000L, "d1"),
-          (3L, 20L, 3000000L, "d1")).toDF("event_id", "user_id", "usec", "dt"),
-        () => Seq((4L, 10L, 4000000L, "d1"), (5L, 10L, 5000000L, "d2"),
-          (6L, 20L, 6000000L, "d1")).toDF("event_id", "user_id", "usec", "dt")),
+        () => Seq((1L, 10L, 1000000L, "d1", ts(1)), (2L, 10L, 2000000L, "d1", ts(2)),
+          (3L, 20L, 3000000L, "d1", ts(3)))
+          .toDF("event_id", "user_id", "usec", "dt", "ts"),
+        () => Seq((4L, 10L, 4000000L, "d1", ts(4)), (5L, 10L, 5000000L, "d2", ts(5)),
+          (6L, 20L, 6000000L, "d1", ts(6)))
+          .toDF("event_id", "user_id", "usec", "dt", "ts")),
       in => StreamingOps.uvDedupTransform(
-        beanStream(in, "event_id LONG, user_id LONG, usec LONG, dt STRING")
+        beanStream(in,
+          "event_id LONG, user_id LONG, usec LONG, dt STRING, ts TIMESTAMP")
+          .withWatermark("ts", "0 seconds")
           .as[StreamingOps.Ev])),
     RCase("cep_times",
       Seq(
