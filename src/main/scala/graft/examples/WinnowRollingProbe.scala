@@ -43,6 +43,30 @@ object WinnowRollingProbe {
       println(s"[winprobe] $dir ratio min/max=${stats.getDouble(0)}/" +
         s"${stats.getDouble(1)} absdiff max=${stats.getLong(2)} " +
         s"n min/max=${stats.getLong(3)}/${stats.getLong(4)} docs=${stats.getLong(5)}")
+
+      // pipeline-level: the decontamination gate end-to-end on each
+      // kernel (VERDICT r10 #5 — the kernel win must show up in a real
+      // consumer), plus the flagged-set agreement behind
+      // x_decontaminate_rolling's bound
+      val bench = col("doc_id") % 7 === 0
+      for (i <- 1 to 2) {
+        time(s"$dir decon md5 #$i") {
+          TextAnalysis.contaminationWithin(docs, "text", "doc_id", bench)
+            .write.format("noop").mode("overwrite").save() }
+        time(s"$dir decon rolling #$i") {
+          TextAnalysis.contaminationWithin(docs, "text", "doc_id", bench,
+              rolling = true)
+            .write.format("noop").mode("overwrite").save() }
+      }
+      val mf = TextAnalysis.contaminationWithin(docs, "text", "doc_id", bench)
+        .select("doc_id")
+      val rf = TextAnalysis.contaminationWithin(docs, "text", "doc_id", bench,
+        rolling = true).select("doc_id")
+      val nInter = mf.join(rf, Seq("doc_id"), "left_semi").count()
+      val nM = mf.count(); val nR = rf.count()
+      val nUnion = nM + nR - nInter
+      println(f"[winprobe] $dir flagged md5=$nM rolling=$nR inter=$nInter " +
+        f"jaccard=${nInter.toDouble / math.max(nUnion, 1L)}%.4f")
     }
     spark.stop()
   }

@@ -190,8 +190,8 @@ object TextAnalysis {
     * (materialized) feeds the df census and both join sides. */
   def clonePairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 16, w: Int = 4, maxDf: Long = 20L,
-      minShared: Long = 5L): DataFrame = {
-    val fps = winnowFingerprints(docs, textCol, idCol, k, w).staged
+      minShared: Long = 5L, rolling: Boolean = false): DataFrame = {
+    val fps = fpsOf(docs, textCol, idCol, k, w, rolling).staged
     val rare = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= maxDf).select("fp"),
@@ -278,14 +278,30 @@ object TextAnalysis {
       winnowFingerprints(corpus, textCol, idCol, k, w),
       winnowFingerprints(benchmark, textCol, idCol, k, w), idCol)
 
+  /** Hash-kernel selector shared by the fingerprint consumers: the md5
+    * kernel is the oracle-parity default, the Karp-Rabin ROLLING kernel
+    * (`rolling = true`) is the production path — ~6× cheaper hashing
+    * (SCALING.md §6h) with the identical windowing guarantee. Selection
+    * differs only in which marginal (sub-guarantee-length) overlaps get
+    * fingerprinted, which is what x_decontaminate_rolling's agreement
+    * band gates. */
+  private def fpsOf(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, rolling: Boolean): DataFrame =
+    if (rolling) winnowFingerprintsRolling(docs, textCol, idCol, k, w)
+    else winnowFingerprints(docs, textCol, idCol, k, w)
+
   /** Within-corpus decontamination: the benchmark is a predicate over the
     * corpus's OWN id column (e.g. the held-out shard), so the dominant
     * fingerprinting pass runs ONCE over the corpus — materialized, then
     * filtered for the benchmark side — instead of re-normalizing and
-    * re-winnowing the benchmark rows a second time. */
+    * re-winnowing the benchmark rows a second time. `rolling = true`
+    * swaps in the Karp-Rabin fingerprint kernel — the corpus-scale
+    * default, where hashing (not scanning) is the decontamination
+    * pipeline's dominant cost. */
   def contaminationWithin(corpus: DataFrame, textCol: String, idCol: String,
-      isBench: org.apache.spark.sql.Column, k: Int = 16, w: Int = 4): DataFrame = {
-    val fps = winnowFingerprints(corpus, textCol, idCol, k, w).staged
+      isBench: org.apache.spark.sql.Column, k: Int = 16, w: Int = 4,
+      rolling: Boolean = false): DataFrame = {
+    val fps = fpsOf(corpus, textCol, idCol, k, w, rolling).staged
     contaminationOnFps(fps, fps.filter(isBench), idCol)
   }
 

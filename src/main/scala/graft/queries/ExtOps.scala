@@ -1557,6 +1557,44 @@ object ExtOps {
               AND b.doc_id <> c.doc_id AND b.doc_id % 7 = 0
             GROUP BY c.doc_id ORDER BY c.doc_id"""))
 
+  /** The decontamination gate on the ROLLING fingerprint kernel — the
+    * production pairing (VERDICT r10 #5: the 6× §6h kernel was only
+    * exercised by its own bounds query; the pipelines still hashed md5).
+    * The rolling hash isn't oracle-restatable, so the gate is the
+    * agreement-band promotion: the query runs BOTH kernels' gates, emits
+    * the md5 (SQL-restatable) flagged rows, and `rolling_ok` asserts the
+    * two flagged SETS agree to Jaccard ≥ 0.90 — measured 0.979 (sf0.01)
+    * and 0.9994 (sf0.1) (examples.WinnowRollingProbe; disagreement can
+    * only come from sub-guarantee-length overlaps, since any shared
+    * ≥ w+k−1-char run is flagged by both kernels by the winnowing
+    * guarantee). A degenerate rolling hash collapses its fingerprint
+    * selection and the band bites. Pipeline-level win: warm 2.59 s →
+    * 0.76 s at sf0.1 (SCALING.md §7b). */
+  val xDecontaminateRolling = OpQuery(
+    "x_decontaminate_rolling",
+    "decontamination on the rolling-hash kernel, flagged-set agreement-gated vs md5",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = col("doc_id") % 7 === 0
+      val md5F = TextAnalysis.contaminationWithin(docs, "text", "doc_id",
+        bench)
+      val rolF = TextAnalysis.contaminationWithin(docs, "text", "doc_id",
+        bench, rolling = true).select("doc_id")
+      val inter = md5F.select("doc_id")
+        .join(rolF, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("_ni"))
+      // 1-row frames: broadcast crossJoins, integer-exact gate arithmetic
+      val gate = md5F.agg(count(lit(1)).as("_nm"))
+        .crossJoin(broadcast(rolF.agg(count(lit(1)).as("_nr"))))
+        .crossJoin(broadcast(inter))
+        .select((col("_ni") * 10L >=
+          (col("_nm") + col("_nr") - col("_ni")) * 9L).as("rolling_ok"))
+      md5F.crossJoin(broadcast(gate)).orderBy("doc_id")
+    },
+    xDecontaminate.oracle.map(sql => sql.replace(
+      "AS n_shared_fps",
+      "AS n_shared_fps, TRUE AS rolling_ok")))
+
   /** The 100-TB variant of the decontamination gate: a Bloom filter
     * built over the benchmark fingerprints pre-filters the corpus side
     * map-only, so only probable hits shuffle into the exact join. The
@@ -3467,7 +3505,8 @@ object ExtOps {
     xProfilePercentiles, xMadOutliers, xCorpusDiff,
     xPackChunks, xPackStats, xChunkSliding, xLengthBuckets,
     xShardAssign, xShardManifest, xCurriculumOrder, xBudgetSelect,
-    xPiiScrub, xRepetition, xDecontaminate, xDecontaminateBloom,
+    xPiiScrub, xRepetition, xDecontaminate, xDecontaminateRolling,
+    xDecontaminateBloom,
     stDecontaminate, xLmQuality, xLmBigram,
     xDsirWeights, xDsirSelect, xNbClassify, xCcnetBuckets,
     xBpePairStats, xBpeVocab, xBpeVocabToy, xBpeEncode,
