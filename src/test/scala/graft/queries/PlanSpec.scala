@@ -404,6 +404,30 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("IVF-PQ rerank: exact stage candidate-pruned, no cartesian, heaps not windows") {
+    val p = planOf("x_ann_ivfpq_rerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // the only sort-merge allowed is the recall gate's |queries|·k-row
+    // LeftSemi bookkeeping join (static stats mispredict the two tiny
+    // aggregate-derived frames; AQE converts it at runtime) — the DATA
+    // PATH joins (candidate × corpus, query panel) must all broadcast
+    // count TREE lines only ("+- SortMergeJoin LeftSemi (n)") — the
+    // formatted detail section repeats each node name without join type
+    val smjAll = p.linesIterator.count(_.contains("- SortMergeJoin"))
+    val smjSemi = p.linesIterator.count(_.contains("- SortMergeJoin LeftSemi"))
+    assert(smjAll == smjSemi, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("rolling decontamination: fp-keyed joins only, 1-row gate broadcast") {
+    val p = planOf("x_decontaminate_rolling")
+    // both kernels' gates are fingerprint equi-joins; the agreement gate
+    // rides 1-row broadcast frames — no cartesian, no corpus-wide window
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("CMS heavy hitters: sketch side broadcasts, exact pass is semi-pruned") {
     val p = planOf("x_cms_heavy_hitters")
     // the ≤ d·w sketch and candidate frames ride broadcast joins; the
