@@ -144,14 +144,14 @@ object Bench {
     * "r11" label → 11. bench_out.json is the latest COMMITTED round's
     * full line, so it ranks as the highest BENCH_r* present. "r0" (the
     * pre-tracking sentinel) and anything unparseable rank 0. */
-  private def roundNum(src: String, maxBench: Int): Int = src match {
+  private[graft] def roundNum(src: String, maxBench: Int): Int = src match {
     case s if s == "bench_out.json" => maxBench
     case s =>
       val m = "r(\\d+)".r.findFirstMatchIn(s)
       m.map(_.group(1).toInt).getOrElse(0)
   }
 
-  private def maxBenchRound(dir: String): Int =
+  private[graft] def maxBenchRound(dir: String): Int =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName))
       .map(_.group(1).toInt).foldLeft(0)(math.max)
@@ -165,7 +165,7 @@ object Bench {
     * (a streaming query that materializes to scratch and returns a read
     * fingerprints as that read), and tracking starts at r11 — earlier
     * changes are seeded from VERDICT r10's findings in bench_defs.json. */
-  private def planFingerprint(df: org.apache.spark.sql.DataFrame): Option[String] =
+  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): Option[String] =
     try {
       val norm = df.queryExecution.analyzed.canonicalized.toString
         .replaceAll("/tmp/\\S*", "<tmp>")
@@ -181,7 +181,7 @@ object Bench {
     * regression. A seeded entry with an empty fp adopts the first
     * fingerprint seen WITHOUT bumping `since` (how r10's known changes
     * were back-recorded). */
-  private def loadDefs(path: java.nio.file.Path): Map[String, (String, String)] =
+  private[graft] def loadDefs(path: java.nio.file.Path): Map[String, (String, String)] =
     try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(path.toFile)
       import scala.jdk.CollectionConverters._
@@ -190,7 +190,7 @@ object Bench {
       }.toMap
     } catch { case _: Throwable => Map.empty }
 
-  private def saveDefs(path: java.nio.file.Path, label: String,
+  private[graft] def saveDefs(path: java.nio.file.Path, label: String,
       defs: Map[String, (String, String)]): Unit = {
     val body = defs.toSeq.sortBy(_._1).map { case (k, (fp, since)) =>
       s"""    "$k": {"fp": "$fp", "since": "$since"}"""

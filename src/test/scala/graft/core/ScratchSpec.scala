@@ -31,4 +31,25 @@ class ScratchSpec extends AnyFunSuite {
     Scratch.tempDir("graft_scratch_spec_other_")
     assert(new File(keep).exists())
   }
+
+  test("cached: one build per key, same fully-built path for every caller") {
+    var builds = 0
+    def get() = Scratch.cached("scratch_spec_cache_a") { p =>
+      builds += 1
+      Files.writeString(Paths.get(p, "artifact"), "built")
+    }
+    val first = get(); val second = get()
+    assert(first == second)
+    assert(builds == 1, "the artifact must build exactly once per JVM")
+    assert(Files.exists(Paths.get(first, "artifact")))
+  }
+
+  test("cached: distinct keys get distinct directories") {
+    val a = Scratch.cached("scratch_spec_cache_b")(_ => ())
+    val b = Scratch.cached("scratch_spec_cache_c")(_ => ())
+    assert(a != b)
+    // and tempDir's same-prefix reclamation must not touch cached dirs
+    Scratch.tempDir("scratch_spec_cache_b")
+    assert(new File(a).exists())
+  }
 }
