@@ -89,11 +89,22 @@ object ScaleRehearsal {
       .filter(col("d") <= 20)
       .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L)).cast("long"))
       .collect()(0).getLong(0)
+    //  - er_composite_pairs: the shipped x_er_composite control — each
+    //    first-word head block divided by the lang field's selectivity
+    val erCompositePairs = docs
+      .withColumn("_w", filter(split(col("text"), " "), w => length(w) > 0))
+      .filter(size(col("_w")) > 0)
+      .select(concat_ws("",
+        element_at(col("_w"), 1), col("lang")).as("blk"))
+      .groupBy("blk").agg(count(lit(1)).as("b"))
+      .agg(coalesce(sum(col("b") * (col("b") - 1) / 2), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
     Map("containment_rare_pairs" -> containCand,
       "clone_join_rows" -> cloneJoinRows,
       "lsh_bucket_pairs" -> lshBucketPairs,
       "er_block_pairs" -> erBlockPairs,
-      "er_rare_pairs" -> erRarePairs)
+      "er_rare_pairs" -> erRarePairs,
+      "er_composite_pairs" -> erCompositePairs)
   }
 
   /** The x_er_fuzzy_match title derivation (first 6 non-empty words). */
