@@ -372,6 +372,41 @@ object Dedup {
   /** Shared JW verification: fetch both strings by id (two hash joins —
     * scales, unlike carrying strings through the pair join) and score
     * with the native expression, floor-truncated to 4 dp. */
+  /** A-against-REFERENCE fuzzy matching — the SERVING half of entity
+    * resolution: each document is matched against a FROZEN reference list
+    * (arriving records vs a curated master/entity table), never against
+    * the rest of its own batch. Candidates come from the equi-join on the
+    * caller's blocking column; the reference side is broadcast BY
+    * CONTRACT — a master list is orders of magnitude smaller than the
+    * corpus (the same asymmetry the dim-enrichment family leans on,
+    * reference analog `RT/app/dwm/OrderWideApp.java:90-199`) — so the
+    * corpus side never shuffles and per-row cost is bounded by the
+    * hottest reference block. Verification is the native codegen'd
+    * [[graft.functions.JaroWinkler]], floor-truncated to 4 dp for exact
+    * DuckDB-oracle parity. Because each row's matches depend only on the
+    * row and the frozen reference, the streamed union over any batching
+    * equals the batch run — st_er_match_stream shares x_er_match's
+    * oracle on that argument. Output: (doc_id, ref_id, jw) with
+    * jw ≥ threshold; self-matches excluded. */
+  def jaroWinklerMatch(docs: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0, 1], got $threshold")
+    val spark = docs.sparkSession
+    val l = docs.select(col(idCol).as("doc_id"), col(textCol).as("_lt"),
+      col(blockCol).as("_blk"))
+    val r = reference.select(col(idCol).as("ref_id"), col(textCol).as("_rt"),
+      col(blockCol).as("_blk"))
+    l.join(broadcast(r), Seq("_blk"))
+      .filter(col("doc_id") =!= col("ref_id"))
+      .withColumn("jw",
+        floor(graft.functions.JaroWinkler
+          .jaroWinkler(spark, col("_lt"), col("_rt")) * 10000.0) / 10000.0)
+      .filter(col("jw") >= threshold)
+      .select("doc_id", "ref_id", "jw")
+  }
+
   private def jwVerify(docs: DataFrame, textCol: String, idCol: String,
       cand: DataFrame, threshold: Double): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0,

@@ -253,6 +253,90 @@ object ScaleOps {
             SELECT doc_a, doc_b, CAST(jw AS DOUBLE) AS jw
             FROM c WHERE jw >= 0.92 ORDER BY doc_a, doc_b"""))
 
+  /** The composite-blocked title frame shared by the ER serving pair:
+    * first-6-words title, (first word, lang) blocking key (the §7e
+    * measured control), empty/whitespace-only docs dropped before
+    * element_at (the ANSI INVALID_ARRAY_INDEX guard x_er_fuzzy_match
+    * carries). */
+  private def erTitledComposite(docs: org.apache.spark.sql.DataFrame) = docs
+    .withColumn("_w", filter(split(col("text"), " "), w => length(w) > 0))
+    .filter(size(col("_w")) > 0)
+    .withColumn("title", array_join(slice(col("_w"), 1, 6), " "))
+    .withColumn("_blk", concat_ws("\u0001",
+      element_at(col("_w"), 1), coalesce(col("lang"), lit("\u0000"))))
+
+  private val erMatchSql =
+    """WITH t AS (SELECT doc_id, lang,
+              array_to_string(
+                list_filter(string_split(text,' '), x -> len(x) > 0)[1:6],
+                ' ') AS title,
+              list_filter(string_split(text,' '), x -> len(x) > 0)[1] AS blk
+            FROM documents
+            WHERE len(list_filter(string_split(text,' '), x -> len(x) > 0)) > 0)
+       SELECT a.doc_id AS doc_id, b.doc_id AS ref_id,
+              CAST(floor(jaro_winkler_similarity(a.title, b.title) * 10000.0)
+                   / 10000.0 AS DOUBLE) AS jw
+       FROM t a JOIN t b ON a.blk = b.blk AND a.lang = b.lang
+       WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+         AND floor(jaro_winkler_similarity(a.title, b.title) * 10000.0)
+             / 10000.0 >= 0.92
+       ORDER BY doc_id, ref_id"""
+
+  /** ER SERVING, batch form: every non-reference document fuzzy-matched
+    * against the FROZEN reference list (doc_id ≡ 0 mod 7 plays the
+    * curated master-entity table) under the composite (first-word, lang)
+    * block — [[Dedup.jaroWinklerMatch]]'s broadcast A×reference shape,
+    * where the corpus side never shuffles. Directly hash-gated: the
+    * native jaro_winkler is bit-for-bit DuckDB's kernel. */
+  val xErMatch = OpQuery(
+    "x_er_match",
+    "ER serving: docs fuzzy-matched (JW >= 0.92) against a frozen reference list",
+    (s, dir) => {
+      val titled = erTitledComposite(t(s, dir, "documents"))
+      Dedup.jaroWinklerMatch(
+          titled.filter(col("doc_id") % 7 =!= 0),
+          titled.filter(col("doc_id") % 7 === 0),
+          "title", "doc_id", "_blk", threshold = 0.92)
+        .orderBy("doc_id", "ref_id")
+    },
+    Some(erMatchSql))
+
+  /** ER SERVING, streaming-executed — the record-linkage lookup tier:
+    * the reference list is frozen BEFORE the stream starts and arriving
+    * micro-batches pay only their own title derivation + the broadcast
+    * block-join + JW verify against it (the streaming siblings of
+    * st_decontaminate_stream / st_ann_serve_stream; reference analog:
+    * the dim-lookup enrichment chain, RT/app/dwm/OrderWideApp.java).
+    * Per-doc matches depend only on the doc and the frozen reference, so
+    * the streamed union over any batching equals the batch run — shares
+    * x_er_match's oracle verbatim. */
+  val stErMatch = OpQuery(
+    "st_er_match_stream",
+    "streaming ER serving: micro-batches fuzzy-matched against the frozen reference list",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val reference = erTitledComposite(t(s, dir, "documents"))
+        .filter(col("doc_id") % 7 === 0)
+        .select("doc_id", "title", "_blk")
+      val scratch = graft.core.Scratch.tempDir("graft_er_match_stream_")
+      val out = s"$scratch/out"; val ck = s"$scratch/ckpt"
+      val stream = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.Runner.toBatchSink(stream, ck) { (batch, _) =>
+        Dedup.jaroWinklerMatch(
+            erTitledComposite(batch).filter(col("doc_id") % 7 =!= 0),
+            reference, "title", "doc_id", "_blk", threshold = 0.92)
+          .write.mode("append").parquet(out)
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out).orderBy("doc_id", "ref_id")
+    },
+    Some(erMatchSql))
+
   /** approx_percentile(value, 0.5, accuracy=100) checked against its own
     * GK rank-error guarantee: the returned value's rank in its group must
     * sit within 2·n/accuracy (+1 for ties) of the true median rank. The
@@ -532,7 +616,8 @@ object ScaleOps {
 
   val all: Seq[OpQuery] = Seq(
     j10BucketedJoin, s8PartitionPrune, xSampleWeighted, xPrefixJoin,
-    xEditdistNeardup, xErFuzzyMatch, xErComposite, xApproxQuantileBounds,
+    xEditdistNeardup, xErFuzzyMatch, xErComposite, xErMatch, stErMatch,
+    xApproxQuantileBounds,
     xCmsHeavyHitters,
     xSketchRollup, xThetaSetops, xKllRollup, xZorderCurve, xZorderSkip,
     xSketchPersisted)

@@ -420,6 +420,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("ER serving match: the reference list broadcasts; corpus side never shuffles") {
+    val p = planOf("x_er_match")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.linesIterator.exists(_.contains("- SortMergeJoin")), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("rolling decontamination: fp-keyed joins only, 1-row gate broadcast") {
     val p = planOf("x_decontaminate_rolling")
     // both kernels' gates are fingerprint equi-joins; the agreement gate
