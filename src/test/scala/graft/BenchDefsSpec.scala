@@ -61,4 +61,33 @@ class BenchDefsSpec extends AnyFunSuite {
     assert(changed.isDefined && changed != fp1,
       "a plan change must change the fingerprint")
   }
+
+  test("plan fingerprint ignores aggregate-instance identity hashes") {
+    // TypedImperativeAggregate instances print with their JVM object hash
+    // (graft.functions.TopKAgg@18b88f7) — two constructions of the SAME
+    // aggregation must fingerprint equal (the r11 drift that mislabeled
+    // 21 unchanged queries as definition-changed between bench runs)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    def agg() = Seq((1L, 0.5), (2L, 0.9)).toDF("id", "s")
+      .groupBy($"id")
+      .agg(graft.functions.TopK.topK(3)($"s", $"id").as("tk"))
+    val a = Bench.planFingerprint(agg())
+    val b = Bench.planFingerprint(agg())
+    assert(a.isDefined && a == b,
+      "identical aggregations must fingerprint equal across instances")
+  }
+
+  test("invalidCause classifies unvalidatable adjudication entries") {
+    // ambient load trumps everything — the rerun window itself was dirty
+    assert(Bench.invalidCause(0.5, 3.0, "fresh_jvm") == "ambient_load_at_rerun")
+    // short query on a quiet host: the fork measured JVM warmup
+    assert(Bench.invalidCause(0.5, 0.0, "fresh_jvm") == "fresh_jvm_warmup_floor")
+    assert(Bench.invalidCause(1.9, 0.0, "fresh_jvm") == "fresh_jvm_warmup_floor")
+    // long query, quiet host, in-session mode: the aged-JVM inflation
+    assert(Bench.invalidCause(5.0, 0.0, "in_session") == "session_jvm_aging")
+    // long query, quiet host, fresh JVM still slower: genuinely unexplained
+    assert(Bench.invalidCause(5.0, 0.0, "fresh_jvm") == "unexplained_inversion")
+  }
 }
