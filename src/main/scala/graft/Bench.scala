@@ -60,9 +60,14 @@ import org.apache.spark.sql.SparkSession
   *     the suite median is kept
   *     (never the polluted rerun). Each entry records the foreign-CPU
   *     cores seen during the rerun (`others_at_rerun`).
-  * loadavg and a write+fsync I/O probe are still RECORDED (`load_pre/
-  * post`, `io_probe_*`) as corroborating evidence, but neither gates:
-  * both are confounded by the bench's own work.
+  * loadavg is still RECORDED (`load_pre/post`) as corroborating evidence
+  * but never gates — it is confounded by the bench's own work. The
+  * write+fsync I/O probe gates ONCE, pre-suite (`io_floor_mbps`/
+  * `io_wait_sec`): hypervisor I/O weather slows the whole suite ~1.2-3x
+  * while contributing zero foreign CPU, so the CPU gate alone cannot see
+  * it (round-11 evidence in HostProbe.waitForIoFloor's scaladoc). It is
+  * not re-checked per query — the probe's own 64 MiB write would perturb
+  * the measurements it guards.
   *
   * Queries are fully evaluated through the noop sink — a count() would let
   * Catalyst prune every computed column and benchmark the scan alone.
@@ -117,7 +122,7 @@ object Bench {
   // rehearsal); see its scaladoc for why the signal is other-process CPU,
   // not loadavg
   import graft.core.HostProbe.{QuietOtherCores, cpuSample, ioProbeMbps,
-    loadAvg, otherCores, waitForQuiet}
+    loadAvg, otherCores, waitForIoFloor, waitForQuiet}
 
   /** Best (minimum) recorded median per query across every committed
     * BENCH_r*.json, WITH the artifact it came from — adjudication records
@@ -242,8 +247,12 @@ object Bench {
     // refuse to measure on a busy host: a degraded stretch records 2-10x
     // inflated medians for whatever alphabetical run of the suite it covers
     val quietWaitSec = waitForQuiet(quietWaitBudget, "pre-suite")
+    // second gate, same budget class: hypervisor I/O weather (see
+    // HostProbe.waitForIoFloor — invisible to the foreign-CPU signal)
+    val ioFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_IO_FLOOR_MBPS", "25").toDouble
+    val (ioWaitSec, ioPre) =
+      waitForIoFloor(ioFloor, quietWaitBudget, "pre-suite")
     val loadPre = loadAvg()
-    val ioPre = ioProbeMbps()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -495,7 +504,7 @@ object Bench {
     // registry_at_run: measurement records must say how many queries the
     // registry held when the number was taken (VERDICT r10: a SCALING.md
     // snapshot said "160 queries, 226.3 s" against a shipped 165/280.8)
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"registry_at_run":${SparkEntry.queries.size},"failed":$failedJson,"load_pre":"$loadPre","load_post":"$loadPost","io_probe_pre_mbps":$ioPre%.1f,"io_probe_post_mbps":$ioPost%.1f,"quiet_wait_sec":$quietWaitSec%.1f,"load_hot":$loadHotJson,"adjudication":$adjJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"registry_at_run":${SparkEntry.queries.size},"failed":$failedJson,"load_pre":"$loadPre","load_post":"$loadPost","io_probe_pre_mbps":$ioPre%.1f,"io_probe_post_mbps":$ioPost%.1f,"io_floor_mbps":$ioFloor%.1f,"io_wait_sec":$ioWaitSec%.1f,"quiet_wait_sec":$quietWaitSec%.1f,"load_hot":$loadHotJson,"adjudication":$adjJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // also write the bare JSON to a file: the stdout line is buried in the
     // sbt log tail, which left the driver's artifact with "parsed": null
