@@ -119,4 +119,49 @@ object Packing {
     packs.groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
       .withColumn("budget", lit(budget))
+
+  /** Length-bucketed SHELF packing — the padding-aware sibling of
+    * [[concatChunkPacks]]: documents are grouped by their power-of-two
+    * length bucket ([[lengthBuckets]]' integer bit math) and each bucket
+    * is sliced into shelves of `budget div bucket` documents, every
+    * member padded to the bucket size. This is the "length-grouped
+    * batching" layout dynamic-padding trainers use (and the shelf/
+    * harmonic family of bin-packing algorithms — per-bucket waste is
+    * bounded by the bucket rounding, under 50 % worst-case and far less
+    * on real length distributions), chosen over greedy first-fit
+    * DELIBERATELY: first-fit is sequential by construction and
+    * tie-divergent across engines, while the shelf assignment is a pure
+    * function of (bucket, rank-within-bucket) — deterministic, fully
+    * parallel, and exactly restatable in SQL for the oracle.
+    *
+    * A pack is the (bucket, shelf_id) pair. Documents longer than the
+    * budget land in buckets with capacity floor(budget/bucket) = 0,
+    * clamped to 1 — each gets a singleton pack (split/truncation is the
+    * trainer's policy decision, not the packer's).
+    *
+    * Scale shape: the rank-within-bucket comes from the shared
+    * distributed prefix sum ([[PrefixSum.runningTotal]] partitioned by
+    * bucket — a `row_number() OVER (PARTITION BY bucket)` would funnel
+    * each bucket (and a Zipf-headed corpus concentrates in ~6 buckets)
+    * through one task); everything after the rank is per-row integer
+    * math. Precondition: `idCol` unique, as in [[concatChunkPacks]]. */
+  def shelfPacks(docs: DataFrame, textCol: String, idCol: String,
+      budget: Long, minBucket: Long = 16L): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(minBucket >= 1 && (minBucket & (minBucket - 1)) == 0,
+      s"minBucket must be a power of two, got $minBucket")
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(filter(split(col(textCol), " "), w => length(w) > 0))
+        .cast("long").as("n_tok"))
+    val bucketed = base
+      .withColumn("bucket",
+        when(col("n_tok") <= minBucket, minBucket)
+          .otherwise(expr("shiftleft(1L, length(bin(n_tok - 1)))")))
+      .withColumn("_one", lit(1L))
+    PrefixSum.runningTotal(bucketed, Seq("bucket"), Seq("doc_id"),
+        "_one", "_rk")
+      .withColumn("shelf_id",
+        expr(s"(_rk - 1) div greatest(1L, $budget div bucket)"))
+      .select("doc_id", "n_tok", "bucket", "shelf_id")
+  }
 }

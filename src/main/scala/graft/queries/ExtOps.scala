@@ -2338,6 +2338,33 @@ object ExtOps {
                      * 10000.0) / 10000.0 AS DOUBLE) AS waste_frac
             FROM g ORDER BY bucket"""))
 
+  /** Padding-aware pack assignment: every column is integer math over
+    * the whitespace token count — bucket by bit length, rank within
+    * bucket (the oracle restates the distributed prefix-sum rank as a
+    * partitioned row_number, identical because doc_id is unique), shelf
+    * by integer division. Hash-exact end to end. */
+  val xPackShelf = OpQuery(
+    "x_pack_shelf",
+    "length-bucketed shelf packing: padding-efficient (bucket, shelf) pack assignment",
+    (s, dir) =>
+      graft.ext.Packing.shelfPacks(t(s, dir, "documents"), "text", "doc_id",
+          budget = 512L, minBucket = 16L)
+        .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id,
+              CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+                AS BIGINT) AS n_tok
+              FROM documents),
+            b AS (SELECT doc_id, n_tok, CASE WHEN n_tok <= 16 THEN 16
+                ELSE (1::BIGINT << length(bin(n_tok - 1))) END AS bucket
+              FROM d),
+            r AS (SELECT doc_id, n_tok, bucket,
+                row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rk
+              FROM b)
+            SELECT doc_id, n_tok, CAST(bucket AS BIGINT) AS bucket,
+                   CAST((rk - 1) // greatest(1, 512 // bucket) AS BIGINT)
+                     AS shelf_id
+            FROM r ORDER BY doc_id"""))
+
   /** THE flagship: the whole curation family composed end to end — the
     * "curate a training corpus" call a 100 TB pipeline actually makes.
     * Quality+repetition signals and CCNet LM scoring gate the corpus,
@@ -3515,7 +3542,7 @@ object ExtOps {
     xDomainMix,
     xDomainTemperature,
     xProfilePercentiles, xMadOutliers, xCorpusDiff,
-    xPackChunks, xPackStats, xChunkSliding, xLengthBuckets,
+    xPackChunks, xPackStats, xPackShelf, xChunkSliding, xLengthBuckets,
     xShardAssign, xShardManifest, xCurriculumOrder, xBudgetSelect,
     xPiiScrub, xRepetition, xDecontaminate, xDecontaminateRolling,
     xDecontaminateBloom,

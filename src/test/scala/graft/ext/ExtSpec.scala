@@ -787,6 +787,49 @@ class ExtSpec extends SparkTestBase {
       (64L, 1L, 33L, 64L, math.floor((1.0 - 33.0 / 64) * 10000) / 10000)))
   }
 
+  test("shelf packs: bucket capacities, rank order, and oversize singletons") {
+    def doc(id: Long, n: Int) = (id, (1 to n).map(_ => "w").mkString(" "))
+    // budget 64: cap(16)=4, cap(32)=2, cap(128)=clamped 1 (oversize)
+    val df = Seq(doc(1, 10), doc(2, 12), doc(3, 14), doc(4, 16), doc(5, 3),
+      doc(6, 17), doc(7, 30), doc(8, 20), doc(9, 100)).toDF("doc_id", "text")
+    val p = Packing.shelfPacks(df, "text", "doc_id", budget = 64L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tok", "bucket", "shelf_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(p == Seq(
+      (1L, 10L, 16L, 0L), (2L, 12L, 16L, 0L), (3L, 14L, 16L, 0L),
+      (4L, 16L, 16L, 0L), (5L, 3L, 16L, 1L),  // 5th bucket-16 doc: new shelf
+      (6L, 17L, 32L, 0L), (7L, 30L, 32L, 0L),
+      (8L, 20L, 32L, 1L),                     // 3rd bucket-32 doc: cap 2
+      (9L, 100L, 128L, 0L)))                  // oversize: singleton pack
+    // invariants on a partition-spanning frame: every (bucket, shelf)
+    // holds at most max(1, budget div bucket) docs, shelves below the
+    // last are exactly full, and every member fits its bucket
+    val big = (1L to 3000L).map(i => (i, ((i * 131) % 97 + 1).toInt))
+      .map { case (i, n) => doc(i, n) }.toDF("doc_id", "text")
+    val bp = Packing.shelfPacks(big, "text", "doc_id", budget = 256L)
+    val byPack = bp.groupBy("bucket", "shelf_id")
+      .agg(count(lit(1)).as("n"), max("n_tok").as("mx"))
+      .as[(Long, Long, Long, Long)].collect()
+    byPack.foreach { case (bucket, _, n, mx) =>
+      assert(n <= math.max(1L, 256L / bucket) && mx <= bucket)
+    }
+    byPack.groupBy(_._1).foreach { case (bucket, shelves) =>
+      val cap = math.max(1L, 256L / bucket)
+      val lastShelf = shelves.map(_._2).max
+      shelves.filter(_._2 < lastShelf).foreach { case (_, _, n, _) =>
+        assert(n == cap, s"interior shelf of bucket $bucket not full")
+      }
+    }
+    // scale shape: the rank comes from the prefix sum — no window may be
+    // partition-less (a plain row_number over bucket would funnel the
+    // Zipf-headed buckets through single tasks)
+    val windows = bp.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      windows.mkString("\n"))
+  }
+
   test("k-means recovers well-separated clusters deterministically") {
     // three orthogonal bundles of 10 vectors each; k-means with k=3 must
     // put each bundle in one cell, and rerunning must give the same cells
