@@ -433,8 +433,27 @@ object Dedup {
     val dfreq = sh.groupBy("word").agg(count(lit(1)).as("_df")).staged
     val rare = sh.join(dfreq.filter(col("_df") <= maxDf).select("word"),
       Seq("word"))
-    val common = sh.join(dfreq.filter(col("_df") > maxDf).select("word"),
-      Seq("word"))
+    // Common (df > cap) shingles ride the QUADRATIC fan-out frame below
+    // (candidate pairs × common shingles per doc), so their join key must
+    // be narrow: an injective LONG id from a dictionary, not the ~25-byte
+    // shingle string — measured 2× off the suite's largest exchange
+    // (SCALING.md §7g follow-up) with identical results (any injective
+    // mapping preserves the intersection counts exactly; no hash-collision
+    // caveat, unlike xxhash64 ids). The dictionary is the df>cap
+    // vocabulary HEAD — Zipf-small relative to the corpus — and ids are
+    // (hash-bucket, rank-within-bucket) from a PARTITIONED window, so no
+    // partition-less window and no broadcast theta-join appears in a plan
+    // PlanSpec pins cartesian-free. The sh⋈dict join replaces the
+    // previous sh⋈(df-filter) join one-for-one: zero added shuffle.
+    val DictBuckets = 1024L
+    val dict = dfreq.filter(col("_df") > maxDf).select("word")
+      .withColumn("_b", pmod(xxhash64(col("word")), lit(DictBuckets)))
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_b").orderBy("word")).cast("long"))
+      .select(col("word"), (col("_r") * DictBuckets + col("_b")).as("wid"))
+    val common = sh.join(dict.hint("shuffle_hash"), Seq("word"))
+      .select(col("id"), col("wid"))
     // Candidate generation IS the rare-intersection count: the same
     // Σ df² co-occurrence rows that used to feed a distinct() now feed a
     // groupBy count (one shuffle either way), so the expensive wide join
@@ -454,10 +473,10 @@ object Dedup {
     // shuffle-partitioned (no broadcast of corpus-sized state, unlike a
     // broadcast hint)
     val commonInter = rareCo.select("doc_a", "doc_b")
-      .join(common.select(col("id").as("doc_a"), col("word"))
+      .join(common.select(col("id").as("doc_a"), col("wid"))
         .hint("shuffle_hash"), Seq("doc_a"))
-      .join(common.select(col("id").as("doc_b"), col("word"))
-        .hint("shuffle_hash"), Seq("doc_b", "word"))
+      .join(common.select(col("id").as("doc_b"), col("wid"))
+        .hint("shuffle_hash"), Seq("doc_b", "wid"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common_inter"))
     rareCo
       // both count frames leave their groupBys partitioned by the pair
