@@ -372,7 +372,7 @@ object Bench {
       * recorded five sub-second queries "valid":false because the fork's
       * median-of-3 couldn't get under a ~0.5 s cold floor that the warm
       * suite JVM beat easily). Scale the child's iteration count so the
-      * measured window covers ~6 s of warm work and the median lands past
+      * measured window covers ~8 s of warm work and the median lands past
       * the warmup knee; long queries keep the suite's iters. */
     def freshJvmRun(name: String, suiteMedian: Double): Option[(Double, Double)] =
       try {
