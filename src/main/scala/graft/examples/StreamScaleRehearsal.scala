@@ -48,12 +48,16 @@ object StreamScaleRehearsal {
   private def writeSingle(ev: DataFrame, dir: String): Unit = {
     val tmp = dir + "_tmp"
     ev.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-      .findFirst().orElseThrow()
+    def listing[T](f: java.util.stream.Stream[java.nio.file.Path] => T): T = {
+      val s = Files.list(Paths.get(tmp))
+      try f(s) finally s.close()
+    }
+    val part = listing(_.filter(_.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow())
     Files.createDirectories(Paths.get(dir))
     Files.move(part, Paths.get(dir, "events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Files.list(Paths.get(tmp)).forEach(p => Files.deleteIfExists(p): Unit)
+    listing(_.forEach(p => Files.deleteIfExists(p): Unit))
     Files.deleteIfExists(Paths.get(tmp)): Unit
   }
 
