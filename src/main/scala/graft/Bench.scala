@@ -200,7 +200,13 @@ object Bench {
     * Caveats, by construction: covers only the plan the query RETURNS
     * (a streaming query that materializes to scratch and returns a read
     * fingerprints as that read), and tracking starts at r11 — earlier
-    * changes are seeded from VERDICT r10's findings in bench_defs.json. */
+    * changes are seeded from VERDICT r10's findings in bench_defs.json.
+    * Known residual instability: x_nb_classify and x_text_stats toggle
+    * between two values across FULL-SUITE runs while isolated fresh JVMs
+    * (local[8] and local[32] both) are deterministic — suite-order
+    * dependent, diagnosable with examples.FpDump. The failure mode is
+    * conservative: a spurious definition_changed=true widens scrutiny on
+    * those entries, it never hides a change. */
   private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): Option[String] =
     try {
       val norm = df.queryExecution.analyzed.canonicalized.toString
