@@ -35,6 +35,27 @@ object Dedup {
     tok.groupBy(col("id")).agg(hashes.head, hashes.tail: _*)
   }
 
+  /** [[minhashFromTokens]] on the production hash: the i-th function is
+    * xxhash64(i, word) — same seeded-family design as the md5 kernel,
+    * one-for-one, but each digest is a single 64-bit XXH64 pass instead
+    * of a full md5 block schedule, and signatures are 8-byte LONGs
+    * instead of 32-char hex strings (4× narrower signature frame, and
+    * min() compares longs, not strings). The minhash order is Long's
+    * signed total order — any fixed total order over a uniform hash
+    * family yields Broder's estimator, so E[agreement] is unchanged.
+    *
+    * The md5 kernel stays the default because DuckDB can restate it
+    * bit-for-bit (the oracle portability note on this object); this
+    * kernel is the 100-TB path, gated by flagged-set agreement against
+    * the md5 pipeline (x_dedup_pipeline_fast) exactly like the rolling
+    * winnowing kernel — hash choice only moves LSH *candidate* recall
+    * at the margin; every emitted pair is still exact-Jaccard-verified. */
+  def minhashFromTokensFast(tok: DataFrame, k: Int = 8): DataFrame = {
+    val hashes = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("word"))).as(s"h$i"))
+    tok.groupBy(col("id")).agg(hashes.head, hashes.tail: _*)
+  }
+
   /** MinHash signatures over word 3-shingles. k independent hash functions
     * are simulated by seeding md5 with the function index; the minhash is
     * the lexicographic min of the hex digests (a valid uniform min-hash —
@@ -506,13 +527,14 @@ object Dedup {
     * shingles, costing one extra (also single) scan. */
   def lshVerifiedPairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, bands: Int = 2, threshold: Double = 0.5,
-      ngram: Int = 3): DataFrame = {
+      ngram: Int = 3, fast: Boolean = false): DataFrame = {
     val tok3 = shingleTokens(docs, textCol, idCol, 3).staged
     val vTok = if (ngram == 3) tok3
       else shingleTokens(docs, textCol, idCol, ngram).staged
+    val sig = if (fast) minhashFromTokensFast(tok3, k)
+      else minhashFromTokens(tok3, k)
     val cand = lshCandidatePairs(
-      minhashFromTokens(tok3, k).withColumnRenamed("id", idCol),
-      idCol, k, bands)
+      sig.withColumnRenamed("id", idCol), idCol, k, bands)
     jaccardOnTokens(vTok, cand, threshold)
   }
 
@@ -532,9 +554,9 @@ object Dedup {
     * buckets, diameter-bounded label propagation. */
   def dedupCorpus(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, bands: Int = 2, threshold: Double = 0.5,
-      ngram: Int = 3): DataFrame = {
+      ngram: Int = 3, fast: Boolean = false): DataFrame = {
     val verified = lshVerifiedPairs(docs, textCol, idCol, k, bands,
-      threshold, ngram)
+      threshold, ngram, fast)
     val comps = connectedComponents(docs, idCol, verified)
     val clusterSizes = comps.groupBy("component")
       .agg(count(lit(1)).as("cluster_size"))

@@ -306,6 +306,51 @@ object ExtOps {
             FROM comp JOIN cs USING (component)
             ORDER BY doc_id"""))
 
+  /** The dedup pipeline on the production minhash kernel
+    * ([[Dedup.minhashFromTokensFast]]: one 64-bit xxhash64 per
+    * (function, shingle) instead of a full md5 — 8-byte LONG signatures
+    * instead of 32-char hex). DuckDB has no XXH64, so the gate follows
+    * the rolling-winnowing recipe (x_decontaminate_rolling): run BOTH
+    * kernels, emit the md5 pipeline's SQL-restatable rows, and fold in a
+    * measured-margin boolean — Jaccard of the two VERIFIED pair sets
+    * ≥ 0.9 (integer-exact arithmetic; provenance: examples.MinhashFastProbe
+    * prints the measured agreement at sf0.01/sf0.1 — kernel choice only
+    * moves LSH *candidate* recall at the banding margin, and every
+    * emitted pair on either side is exact-Jaccard-verified, so precision
+    * is 1.0 by construction). Kernel speed is measured in SCALING.md §8. */
+  val xDedupPipelineFast = OpQuery(
+    "x_dedup_pipeline_fast",
+    "dedup pipeline on the xxhash64 minhash kernel, pair-set agreement-gated vs md5",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val md5P = Dedup.lshVerifiedPairs(docs, "text", "doc_id",
+        k = 8, bands = 2, threshold = 0.5).select("doc_a", "doc_b").staged
+      val fastP = Dedup.lshVerifiedPairs(docs, "text", "doc_id",
+        k = 8, bands = 2, threshold = 0.5, fast = true)
+        .select("doc_a", "doc_b").staged
+      val inter = md5P.join(fastP, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("_ni"))
+      // 1-row frames: broadcast crossJoins, integer-exact gate arithmetic
+      val gate = md5P.agg(count(lit(1)).as("_nm"))
+        .crossJoin(broadcast(fastP.agg(count(lit(1)).as("_nf"))))
+        .crossJoin(broadcast(inter))
+        .select((col("_ni") * 10L >=
+          (col("_nm") + col("_nf") - col("_ni")) * 9L).as("fast_ok"))
+      // components over the staged md5 pair set — the same frame the
+      // gate consumed, so the md5 LSH+verify pass runs exactly once
+      val comps = Dedup.connectedComponents(docs, "doc_id", md5P)
+      val sizes = comps.groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"))
+      comps.join(sizes, Seq("component"))
+        .select(col("id").as("doc_id"), col("component"),
+          col("cluster_size"),
+          (col("id") === col("component")).cast("long").as("is_kept"))
+        .crossJoin(broadcast(gate))
+        .orderBy("doc_id")
+    },
+    xDedupPipeline.oracle.map(_.replace("AS is_kept",
+      "AS is_kept, TRUE AS fast_ok")))
+
   private val simhashBitsSql = (0 until 16).map(b =>
     s"sum(${Dedup.simhashBitSql("hh", b)}) AS b$b").mkString(", ")
 
@@ -3523,7 +3568,7 @@ object ExtOps {
     xNeardupJaccard, xLineDedup, xChunkWindows, xChunkDedup, xGopherRules, xCollocations,
     xSimhash, xSimhashNeardup, xNeardupJaccard3, xContainment,
     xDedupComponents,
-    xDedupPipeline,
+    xDedupPipeline, xDedupPipelineFast,
     xDedupIncremental, stDedupIncremental, stLineDedup, xDedupKeepbest,
     xSubstringDedup,
     xSubstringCut,

@@ -38,6 +38,28 @@ class ExtSpec extends SparkTestBase {
     assert(jac((1L, 2L)) == 0.7777) // 7/9 union, floor-truncated to 4 dp
   }
 
+  test("fast minhash kernel: long signatures, dup-invariance, verified pairs stay sound") {
+    val tok = Dedup.shingleTokens(docs, "text", "doc_id", 3)
+    val sig = Dedup.minhashFromTokensFast(tok, k = 8)
+    assert(sig.count() == 4)
+    // the narrow production frame: 8-byte LONG signature columns, not hex
+    assert((0 until 8).forall(i => sig.schema(s"h$i").dataType ==
+      org.apache.spark.sql.types.LongType))
+    val rows = sig.collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(rows(1L) == rows(3L), "exact dups must share the signature")
+    assert(rows(1L) != rows(4L), "distinct content must diverge")
+    // end-to-end soundness: exact dups always collide in some band and
+    // verify at 1.0; every emitted pair is exact-Jaccard-verified, so the
+    // fast pair set is a subset of the true >= 0.5 pairs. (Whether the
+    // BORDERLINE (1,2)/(2,3) near-dups collide is a per-kernel coin flip
+    // by LSH design, so the test pins the sound envelope, not equality.)
+    val fastPairs = Dedup.lshVerifiedPairs(docs, "text", "doc_id", fast = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(fastPairs.contains((1L, 3L)))
+    assert(fastPairs.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
+  }
+
   test("lshVerifiedPairs shingles the corpus exactly once (single materialized scan)") {
     val vp = Dedup.lshVerifiedPairs(docs, "text", "doc_id")
     val plan = vp.queryExecution.optimizedPlan
