@@ -510,9 +510,62 @@ object AggOps {
                      AS revenue
             FROM c GROUP BY channel, d ORDER BY channel, dt"""))
 
+  /** A18 (beyond ref) — exponentially time-decayed trending items: the
+    * burst-detection extension of the reference's KeywordStats (A4 counts
+    * forever; a trend board must forget). Each event contributes
+    * 2^-age_days of weight toward its item (daily half-life), so a burst
+    * of recent activity outranks a steady historical drip.
+    *
+    * Engine-parity design: the decay is INTEGER-exact, never float pow —
+    * weight = 10^12 >> age_days (age in whole days below the corpus
+    * horizon, integer division over epoch micros, capped at 40 where the
+    * shift underflows to 0), summed as BIGINT. Summation is therefore
+    * order-independent and bit-identical across engines — the same reason
+    * the money columns ride DECIMAL. The horizon is max(ts) over the
+    * corpus (a 1-row broadcast), making the query deterministic for a
+    * frozen table; a production trend board passes `now()` instead.
+    *
+    * Scale shape: one scan, one 1-row broadcast crossJoin, one groupBy
+    * over the item key — map-side partial sums do the heavy lifting, the
+    * exchange carries one row per (partition, item). The decayed/raw
+    * contrast (trend_w vs ct) is what a curation dashboard plots. */
+  val a18TrendDecay = OpQuery(
+    "a18_trend_decay",
+    "time-decayed trending items: 2^-age_days weights (integer-exact), decayed vs raw",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+          col("ts"))
+        .filter(col("item").isNotNull)
+      val hor = e.agg(max(col("ts")).as("_h"))
+      e.crossJoin(broadcast(hor))
+        .withColumn("_bkt", least(
+          expr("(unix_micros(_h) - unix_micros(ts)) div 86400000000"),
+          lit(40L)))
+        .withColumn("_w", expr("shiftright(1000000000000L, cast(_bkt as int))"))
+        .groupBy(col("item"))
+        .agg(sum(col("_w")).as("trend_w"), count(lit(1)).as("ct"))
+        .orderBy("item")
+    },
+    Some("""WITH e AS (SELECT TRY_CAST(json_extract_string(props, '$.k')
+                         AS BIGINT) AS item, ts
+                       FROM events
+                       WHERE TRY_CAST(json_extract_string(props, '$.k')
+                         AS BIGINT) IS NOT NULL),
+            h AS (SELECT max(ts) AS mh FROM events
+                  WHERE TRY_CAST(json_extract_string(props, '$.k')
+                    AS BIGINT) IS NOT NULL),
+            w AS (SELECT item,
+                    least((epoch_us(mh) - epoch_us(ts)) // 86400000000, 40)
+                      AS bkt
+                  FROM e, h)
+            SELECT item, CAST(sum(1000000000000 >> bkt) AS BIGINT) AS trend_w,
+                   CAST(count(*) AS BIGINT) AS ct
+            FROM w GROUP BY item ORDER BY item"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
     a12SessionPaths, a13ConversionLag, a14GroupingSets, a15Pivot,
-    a16RollingWindow, a17Attribution, k5LatestVersion)
+    a16RollingWindow, a17Attribution, a18TrendDecay, k5LatestVersion)
 }
