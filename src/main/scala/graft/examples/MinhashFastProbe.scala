@@ -4,12 +4,17 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.Dedup
+import graft.core.Materialize.StageSyntax
 
 /** Bound provenance + kernel measurement for x_dedup_pipeline_fast
   * (WinnowRollingProbe pattern): wall-clock for the signature stage and
   * the full LSH dedup pipeline on each minhash kernel (seeded md5 vs
   * xxhash64), plus the verified-pair-set agreement behind the query's
   * fast_ok gate — the measurement behind SCALING.md §8.
+  *
+  * Args: corpus dirs (default sf0.01 + sf0.1). Pass
+  * `target/rehearsal/sfS target/rehearsal/sfL` for the 10× open-vocab
+  * step (gen_scale_rehearsal.py) — the agreement-at-scale law.
   */
 object MinhashFastProbe {
   def main(args: Array[String]): Unit = {
@@ -21,7 +26,9 @@ object MinhashFastProbe {
       val t = System.nanoTime(); val r = f
       println(f"[mhprobe] $n%-32s ${(System.nanoTime() - t) / 1e9}%.2f s"); r
     }
-    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    for (dir <- dirs) {
       val docs = Tables.load(spark, dir, "documents")
       // isolate the signature stage: tokens staged once outside the clock
       val tok = Dedup.shingleTokens(docs, "text", "doc_id", 3)
@@ -46,14 +53,38 @@ object MinhashFastProbe {
       }
       // the gate's provenance: verified-pair-set agreement across kernels
       val m = Dedup.lshVerifiedPairs(docs, "text", "doc_id")
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b").staged
       val f = Dedup.lshVerifiedPairs(docs, "text", "doc_id", fast = true)
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b").staged
       val nm = m.count(); val nf = f.count()
       val ni = m.join(f, Seq("doc_a", "doc_b"), "left_semi").count()
       val jac = ni.toDouble / (nm + nf - ni)
       println(f"[mhprobe] $dir pairs md5=$nm fast=$nf inter=$ni " +
         f"agreement=$jac%.4f")
+      // per-kernel RECALL vs ground truth — the scale-honest metric:
+      // pair-level agreement is a CORPUS property (it collapses when the
+      // dup mass sits at the banding margin, where collision is a
+      // per-kernel coin flip by LSH design); what must hold for the
+      // kernel swap is that each kernel retrieves the same FRACTION of
+      // the true >= 0.5 pairs. Ground truth: rare-shingle-blocked exact
+      // Jaccard (a true 0.5-Jaccard pair on these doc lengths shares
+      // rare shingles overwhelmingly — the same blocking argument the
+      // containment family measures in SCALING §2/§3).
+      val tok2 = Dedup.shingleTokens(docs, "text", "doc_id", 3).staged
+      val dfreq = tok2.groupBy("word").agg(count(lit(1)).as("_d"))
+      val rare = tok2.join(dfreq.filter(col("_d") <= 10).select("word"),
+        Seq("word"))
+      val cand = rare.select(col("id").as("doc_a"), col("word"))
+        .join(rare.select(col("id").as("doc_b"), col("word")), Seq("word"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val gt = Dedup.jaccardOnTokens(tok2, cand, 0.5)
+        .select("doc_a", "doc_b").staged
+      val ngt = gt.count()
+      val rm = gt.join(m, Seq("doc_a", "doc_b"), "left_semi").count()
+      val rf = gt.join(f, Seq("doc_a", "doc_b"), "left_semi").count()
+      println(f"[mhprobe] $dir gt=$ngt recall_md5=${rm.toDouble / ngt}%.4f " +
+        f"recall_fast=${rf.toDouble / ngt}%.4f")
     }
     spark.stop()
   }
