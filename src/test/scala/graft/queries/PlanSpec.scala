@@ -470,4 +470,26 @@ class PlanSpec extends SparkTestBase {
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!readSchema.contains("props"), s"scan reads pruned columns: $readSchema")
   }
+
+  test("fast-dedup gate: pair-keyed joins only, 1-row agreement gate broadcast") {
+    val p = planOf("x_dedup_pipeline_fast")
+    // both kernels' pipelines are band/pair equi-joins; the agreement
+    // gate rides 1-row broadcast frames (the x_decontaminate_rolling
+    // shape) — no cartesian over anything corpus-sized, no global window
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("trend decay: horizon is a 1-row broadcast, weights fold map-side, one exchange") {
+    val p = planOf("a18_trend_decay")
+    // the horizon max(ts) joins back as a 1-row broadcast; the weighted
+    // sum must partially aggregate BELOW the item exchange (map-side
+    // partial sums are what bound the shuffle to one row per
+    // (partition, item) at 100 TB)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val ex = p.linesIterator.count(_.contains("hashpartitioning(item"))
+    assert(ex == 1, s"expected exactly one hash exchange (item groupBy):\n$p")
+    assert(p.contains("partial_sum"), p)
+  }
 }
