@@ -95,12 +95,24 @@ object CurationProfile {
           Seq("doc_id")))
     time("pack force")(force(packed))
 
-    time("FULL curate()")(force(
-      Curation.curate(docs, "text", "doc_id", "lang", "n_chars",
-        qualityMin = 0.45, dupFracMax = 0.1, ceMax = 3.45,
-        benchMod = 7, weights = Map("en" -> 0.4, "zh" -> 0.15,
-          "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15),
-        packBudget = 512, minSharedPct = 20).orderBy("doc_id")))
+    // default (md5, oracle-parity) vs production kernels (xxhash64
+    // minhash + Karp-Rabin winnowing) — twice each, alternating, so both
+    // see the same warmth; the gap is the §8d pipeline-level kernel win
+    for (i <- 1 to 2) {
+      time(s"FULL curate() md5 #$i")(force(
+        Curation.curate(docs, "text", "doc_id", "lang", "n_chars",
+          qualityMin = 0.45, dupFracMax = 0.1, ceMax = 3.45,
+          benchMod = 7, weights = Map("en" -> 0.4, "zh" -> 0.15,
+            "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15),
+          packBudget = 512, minSharedPct = 20).orderBy("doc_id")))
+      time(s"FULL curate() fast #$i")(force(
+        Curation.curate(docs, "text", "doc_id", "lang", "n_chars",
+          qualityMin = 0.45, dupFracMax = 0.1, ceMax = 3.45,
+          benchMod = 7, weights = Map("en" -> 0.4, "zh" -> 0.15,
+            "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15),
+          packBudget = 512, minSharedPct = 20,
+          fastKernels = true).orderBy("doc_id")))
+    }
     spark.stop()
   }
 }

@@ -109,12 +109,23 @@ object Curation {
 
   /** Curate `docs` end to end. `idCol` must be unique LONG ids (packing
     * order + dedup canonical keeper are id-based). Output id column is
-    * always named `doc_id`. */
+    * always named `doc_id`.
+    *
+    * `fastKernels = true` is the production configuration: the dedup
+    * stage signs with the xxhash64 minhash kernel
+    * ([[Dedup.minhashFromTokensFast]]) and decontamination fingerprints
+    * with the Karp-Rabin rolling kernel — the two scan-bound hash loops
+    * that dominate at corpus scale. Each kernel is independently gated
+    * (x_dedup_pipeline_fast's pair-set agreement + recall parity,
+    * SCALING §8a; x_decontaminate_rolling's flagged-set agreement +
+    * x_winnow_rolling_bounds' density band, §7b); the md5 default stays
+    * because the e2e oracle restates it bit-for-bit. */
   def curate(docs: DataFrame, textCol: String, idCol: String,
       langCol: String, nCharsCol: String,
       qualityMin: Double, dupFracMax: Double, ceMax: Double,
       benchMod: Int, weights: Map[String, Double],
-      packBudget: Long, minSharedPct: Int = 20): DataFrame = {
+      packBudget: Long, minSharedPct: Int = 20,
+      fastKernels: Boolean = false): DataFrame = {
     require(benchMod > 1, s"benchMod must be > 1, got $benchMod")
     require(minSharedPct >= 1 && minSharedPct <= 100,
       s"minSharedPct must be in [1, 100], got $minSharedPct")
@@ -157,7 +168,7 @@ object Curation {
 
     // 4. near-dup dedup over the scrubbed survivors; keep canonical docs
     val keepers = Dedup.dedupCorpus(survivors, "scrubbed", "doc_id",
-        k = 8, bands = 2, threshold = 0.5)
+        k = 8, bands = 2, threshold = 0.5, fast = fastKernels)
       .filter(col("is_kept")).select("doc_id")
 
     // 5. decontamination: fps over the PRE-dedup survivors (see scaladoc);
@@ -166,7 +177,8 @@ object Curation {
     // (only probable hits shuffle); output is bit-identical, so the
     // e2e oracle is untouched
     val contaminated = TextAnalysis.contaminationWithinStatsBloom(survivors,
-        "scrubbed", "doc_id", isBench = col("doc_id") % benchMod === 0)
+        "scrubbed", "doc_id", isBench = col("doc_id") % benchMod === 0,
+        rolling = fastKernels)
       .filter(col("n_shared_fps") * 100 >= col("n_fps") * minSharedPct)
       .select("doc_id")
 

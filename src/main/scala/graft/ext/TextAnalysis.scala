@@ -314,8 +314,8 @@ object TextAnalysis {
     * checkpointed fps frame). */
   def contaminationWithinStats(corpus: DataFrame, textCol: String,
       idCol: String, isBench: org.apache.spark.sql.Column,
-      k: Int = 16, w: Int = 4): DataFrame = {
-    val fps = winnowFingerprints(corpus, textCol, idCol, k, w).staged
+      k: Int = 16, w: Int = 4, rolling: Boolean = false): DataFrame = {
+    val fps = fpsOf(corpus, textCol, idCol, k, w, rolling).staged
     val totals = fps.groupBy(col(idCol)).agg(count(lit(1)).as("n_fps"))
     contaminationOnFps(fps, fps.filter(isBench), idCol)
       .join(totals, Seq(idCol))
@@ -353,8 +353,9 @@ object TextAnalysis {
     * bit-identical to the exact variant. */
   def contaminationWithinStatsBloom(corpus: DataFrame, textCol: String,
       idCol: String, isBench: org.apache.spark.sql.Column,
-      k: Int = 16, w: Int = 4, fpp: Double = 0.01): DataFrame = {
-    val fps = winnowFingerprints(corpus, textCol, idCol, k, w).staged
+      k: Int = 16, w: Int = 4, fpp: Double = 0.01,
+      rolling: Boolean = false): DataFrame = {
+    val fps = fpsOf(corpus, textCol, idCol, k, w, rolling).staged
     val totals = fps.groupBy(col(idCol)).agg(count(lit(1)).as("n_fps"))
     val bench = fps.filter(isBench)
     contaminationOnFps(fps.filter(benchFpProbe(bench, fpp)), bench, idCol)

@@ -1545,4 +1545,41 @@ class ExtSpec extends SparkTestBase {
     // invariant: lines are conserved
     assert(got.map(t => t._3 + t._4).sum == 8L)
   }
+
+  test("curate(fastKernels) routes both production kernels and matches md5 on exact dups") {
+    // corpus designed so the kernel swap is DECISION-FREE: the only dups
+    // are exact copies (identical signatures under any minhash family)
+    // and the only contamination is an exact bench copy (100% shared
+    // fingerprints under any winnowing hash) — so md5 and fast outputs
+    // must be row-identical, proving the fastKernels wiring changes the
+    // kernels and nothing else. Borderline-pair divergence is the
+    // measured §8a territory, deliberately absent here.
+    def sentence(seed: Int): String =
+      (0 until 30).map(j => s"w${seed}x$j").mkString(" ")
+    val rows = Seq(
+      (1L, sentence(1), "en"), (2L, sentence(2), "en"),
+      (3L, sentence(3), "de"), (4L, sentence(2), "en"), // exact dup of 2
+      (5L, sentence(5), "en"), (6L, sentence(6), "de"),
+      (7L, sentence(5), "en"), // exact copy of bench doc 5 → contaminated
+      (8L, sentence(8), "en"), (9L, sentence(9), "de"),
+      (10L, sentence(10), "en"))
+    val df = rows.toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length($"text"))
+    def run(fast: Boolean) =
+      Curation.curate(df, "text", "doc_id", "lang", "n_chars",
+        qualityMin = 0.0, dupFracMax = 1.0, ceMax = 100.0,
+        benchMod = 5, weights = Map("en" -> 0.6, "de" -> 0.4),
+        packBudget = 64, minSharedPct = 20, fastKernels = fast)
+        .orderBy("doc_id")
+        .as[(Long, String, Double, Double, Long, Long, Long)]
+        .collect().toSeq
+    val md5Out = run(fast = false)
+    val fastOut = run(fast = true)
+    assert(md5Out == fastOut)
+    val ids = md5Out.map(_._1).toSet
+    assert(!ids.contains(5L) && !ids.contains(10L), "bench docs must drop")
+    assert(!ids.contains(7L), "the exact bench copy must be decontaminated")
+    assert(!ids.contains(4L) && ids.contains(2L),
+      "exact dup keeps the min-id canonical")
+  }
 }
