@@ -754,9 +754,40 @@ object StreamingOps {
     },
     StatefulOps.c5CepOptional.oracle)
 
+  /** Streaming twin of a18_trend_decay. The horizon is FROZEN before the
+    * stream starts (one metadata-cheap batch max over the table — the
+    * production trend board passes `now()` the same way), which makes
+    * each event's decay weight row-local: weight = 10^12 >> age_days
+    * depends only on (ts, frozen horizon). A complete-mode grouped sum of
+    * row-local integer weights is batching-invariant, so the streamed run
+    * equals the batch run for ANY micro-batch split — a18's oracle gates
+    * this query verbatim (the same frozen-reference argument as
+    * st_er_match_stream / st_decontaminate_stream). */
+  val stTrendDecay = OpQuery(
+    "st_trend_decay_stream",
+    "streaming decayed trending items vs a frozen horizon (complete-mode grouped sum)",
+    (s, dir) => withStatePartitions(s, 8) {
+      val itemOf = get_json_object(col("props"), "$.k").cast("long")
+      val horUs = graft.core.Tables.load(s, dir, "events")
+        .filter(itemOf.isNotNull)
+        .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val agg = eventStream(s, dir)
+        .select(itemOf.as("item"), col("ts"))
+        .filter(col("item").isNotNull)
+        .withColumn("_bkt",
+          least(expr(s"(${horUs}L - unix_micros(ts)) div 86400000000"),
+            lit(40L)))
+        .withColumn("_w",
+          expr("shiftright(1000000000000L, cast(_bkt as int))"))
+        .groupBy(col("item"))
+        .agg(sum(col("_w")).as("trend_w"), count(lit(1)).as("ct"))
+      drain(agg, "st_trend_out", mode = "complete").orderBy("item")
+    },
+    AggOps.a18TrendDecay.oracle)
+
   val all: Seq[OpQuery] =
     Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
       stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream,
       stCepTimes, stAttribution, stCmsHeavyHitters, stSketchRollup,
-      stCepNegation, stCepOptional)
+      stCepNegation, stCepOptional, stTrendDecay)
 }
