@@ -599,16 +599,22 @@ object Dedup {
     * of incoming shards/micro-batches pays the corpus-side scan a single
     * time, not once per batch. */
   final case class CorpusIndex(hashes: DataFrame, tokens: DataFrame,
-      bands: DataFrame, k: Int, nBands: Int)
+      bands: DataFrame, k: Int, nBands: Int, fast: Boolean = false)
 
-  /** Build the frozen corpus-side index for [[incrementalDedupAgainst]]. */
+  /** Build the frozen corpus-side index for [[incrementalDedupAgainst]].
+    * `fast` selects the xxhash64 minhash kernel (§8a) — recorded in the
+    * index so every incoming batch bands with the SAME kernel (band keys
+    * from different hash families never collide, which would silently
+    * zero near-dup recall). */
   def buildCorpusIndex(existing: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, bands: Int = 2): CorpusIndex = {
+      k: Int = 8, bands: Int = 2, fast: Boolean = false): CorpusIndex = {
     val hashes = existing.select(md5(col(textCol)).as("_h")).distinct().staged
     val tokEx = shingleTokens(existing, textCol, idCol, 3).staged
-    val bEx = bandKeys(minhashFromTokens(tokEx, k), "id", k, bands)
+    val sig = if (fast) minhashFromTokensFast(tokEx, k)
+      else minhashFromTokens(tokEx, k)
+    val bEx = bandKeys(sig, "id", k, bands)
       .select(col("id").as("_old"), col("band")).staged
-    CorpusIndex(hashes, tokEx, bEx, k, bands)
+    CorpusIndex(hashes, tokEx, bEx, k, bands, fast)
   }
 
   /** Incremental (cross-corpus) dedup: filter an INCOMING batch against an
@@ -629,9 +635,9 @@ object Dedup {
     * O(shard + matched-corpus-slice), independent of corpus size. */
   def incrementalDedup(existing: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, k: Int = 8, bands: Int = 2,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5, fast: Boolean = false): DataFrame =
     incrementalDedupAgainst(
-      buildCorpusIndex(existing, textCol, idCol, k, bands),
+      buildCorpusIndex(existing, textCol, idCol, k, bands, fast),
       incoming, textCol, idCol, threshold)
 
   /** [[incrementalDedup]] against a pre-built [[CorpusIndex]] — the
@@ -654,8 +660,9 @@ object Dedup {
     // (b) near: band keys on both sides, incoming × existing (never
     // existing × existing), then exact 3-shingle Jaccard on candidates
     val tokIn = shingleTokens(incoming, textCol, idCol, 3).staged
-    val bIn = bandKeys(minhashFromTokens(tokIn, index.k), "id",
-        index.k, index.nBands)
+    val sigIn = if (index.fast) minhashFromTokensFast(tokIn, index.k)
+      else minhashFromTokens(tokIn, index.k)
+    val bIn = bandKeys(sigIn, "id", index.k, index.nBands)
       .select(col("id").as("_new"), col("band"))
     val cand = bIn.join(index.bands, Seq("band"))
       .select(col("_new").as("doc_a"), col("_old").as("doc_b")).distinct()

@@ -1546,6 +1546,25 @@ class ExtSpec extends SparkTestBase {
     assert(got.map(t => t._3 + t._4).sum == 8L)
   }
 
+  test("fast corpus index bands incoming batches with the matching kernel") {
+    // the index records its kernel so incoming batches band identically;
+    // decision-free corpus (exact copy + disjoint doc), so md5 and fast
+    // indexes must produce the same flags
+    val incoming = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog"), // copy of doc 1
+      (12L, "entirely new material nothing shared at all here"))
+      .toDF("doc_id", "text")
+    for (fast <- Seq(false, true)) {
+      val idx = Dedup.buildCorpusIndex(docs, "text", "doc_id", fast = fast)
+      assert(idx.fast == fast)
+      val got = Dedup.incrementalDedupAgainst(idx, incoming, "text", "doc_id")
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == Seq((11L, 1L, 1L, 0L), (12L, 0L, 0L, 1L)),
+        s"fast=$fast: $got")
+    }
+  }
+
   test("curate(fastKernels) routes both production kernels and matches md5 on exact dups") {
     // corpus designed so the kernel swap is DECISION-FREE: the only dups
     // are exact copies (identical signatures under any minhash family)
