@@ -563,9 +563,88 @@ object AggOps {
                    CAST(count(*) AS BIGINT) AS ct
             FROM w GROUP BY item ORDER BY item"""))
 
+  /** A19 (beyond ref) — gap-filled resampling: per-user event counts on a
+    * regular 6-hour grid with explicit ZEROS for silent buckets — the
+    * time-series op every monitoring/trend consumer needs (a groupBy
+    * alone emits nothing for silent periods, so downstream
+    * moving-averages and anomaly rules silently skip them).
+    *
+    * Scale shape: the grid is SPAN-BOUNDED per user (sequence(min,max)
+    * per key, never the global calendar × every user — a user active two
+    * days does not pay a year of zeros). Output rows = Σ user spans;
+    * the explode is map-side after one groupBy, the count join is
+    * grid-keyed. Buckets are integer epoch-6h — no timestamp formatting
+    * in the compare. */
+  val a19ResampleZerofill = OpQuery(
+    "a19_resample_zerofill",
+    "gap-filled per-user 6h-grid event counts: sequence-exploded span, zeros explicit",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 21600000000").as("bkt"))
+      val perBkt = e.groupBy(col("user_id"), col("bkt"))
+        .agg(count(lit(1)).as("ct"))
+      val grid = e.groupBy(col("user_id"))
+        .agg(min(col("bkt")).as("b0"), max(col("bkt")).as("b1"))
+        .select(col("user_id"),
+          explode(sequence(col("b0"), col("b1"))).as("bkt"))
+      grid.join(perBkt, Seq("user_id", "bkt"), "left")
+        .select(col("user_id"), col("bkt"),
+          coalesce(col("ct"), lit(0L)).as("ct"))
+        .orderBy("user_id", "bkt")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 21600000000 AS bkt
+                       FROM events),
+            per AS (SELECT user_id, bkt, count(*) AS ct
+                    FROM e GROUP BY user_id, bkt),
+            spans AS (SELECT user_id, min(bkt) AS b0, max(bkt) AS b1
+                      FROM e GROUP BY user_id),
+            grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bkt
+                     FROM spans)
+            SELECT grid.user_id, grid.bkt,
+                   CAST(coalesce(per.ct, 0) AS BIGINT) AS ct
+            FROM grid LEFT JOIN per
+              ON per.user_id = grid.user_id AND per.bkt = grid.bkt
+            ORDER BY grid.user_id, grid.bkt"""))
+
+  /** A20 (beyond ref) — min-gap (debounce) filter: drop an event arriving
+    * within `gap` of the PREVIOUS event of the same (user, type) — the
+    * standard duplicate-fire suppressor for noisy clients. Deliberately
+    * lag-against-previous-EVENT semantics (one window pass, stateless
+    * beyond the frame) rather than previous-KEPT (which is a running
+    * fold — sessionization territory, a8's session_window covers it):
+    * both engines state the lag rule identically, so the query is
+    * directly hash-gated. Window partition key = (user, type) —
+    * bounded by a single key's event count, never a global sort. */
+  val a20Debounce = OpQuery(
+    "a20_debounce",
+    "min-gap debounce: drop events within 60s of the previous same-(user,type) event",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("_prev", lag(col("us"), 1).over(w))
+        .filter(col("_prev").isNull || col("us") - col("_prev") >= 60000000L)
+        .select("event_id", "user_id", "event_type", "us")
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+                         epoch_us(ts) AS us,
+                         lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY epoch_us(ts), event_id) AS prev
+                       FROM events)
+            SELECT event_id, user_id, event_type, us
+            FROM e WHERE prev IS NULL OR us - prev >= 60000000
+            ORDER BY event_id"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
     a12SessionPaths, a13ConversionLag, a14GroupingSets, a15Pivot,
-    a16RollingWindow, a17Attribution, a18TrendDecay, k5LatestVersion)
+    a16RollingWindow, a17Attribution, a18TrendDecay, a19ResampleZerofill,
+    a20Debounce, k5LatestVersion)
 }
