@@ -480,6 +480,28 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("resample zero-fill: span-bounded sequence explode, no cartesian grid") {
+    val p = planOf("a19_resample_zerofill")
+    // the grid must be generated per-user from the span aggregate (one
+    // Generate over sequence()), never a calendar × users cross product
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate\s*""")) == 1, p)
+    assert(p.contains("sequence("), p)
+  }
+
+  test("debounce: lag window keyed by (user, type), never a global sort") {
+    val p = planOf("a20_debounce")
+    val windowDefs =
+      p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowDefs.nonEmpty, p)
+    assert(windowDefs.forall(w =>
+      w.contains("user_id") && w.contains("event_type")),
+      s"a20_debounce has a window not keyed by (user_id, event_type):\n" +
+        windowDefs.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("trend decay: horizon is a 1-row broadcast, weights fold map-side, one exchange") {
     val p = planOf("a18_trend_decay")
     // the horizon max(ts) joins back as a 1-row broadcast; the weighted
