@@ -85,6 +85,23 @@ object MinhashFastProbe {
       val rf = gt.join(f, Seq("doc_a", "doc_b"), "left_semi").count()
       println(f"[mhprobe] $dir gt=$ngt recall_md5=${rm.toDouble / ngt}%.4f " +
         f"recall_fast=${rf.toDouble / ngt}%.4f")
+      // simhash kernels (§8f): signature wall + banded-hamming agreement
+      for (i <- 1 to 2) {
+        time(s"$dir simhash md5 #$i") {
+          Dedup.simhash(docs, "text", "doc_id")
+            .write.format("noop").mode("overwrite").save() }
+        time(s"$dir simhash fast #$i") {
+          Dedup.simhashFast(docs, "text", "doc_id")
+            .write.format("noop").mode("overwrite").save() }
+      }
+      val smM = Dedup.simhashNeardupPairs(docs, "text", "doc_id")
+        .select("doc_a", "doc_b").staged
+      val smF = Dedup.simhashNeardupPairs(docs, "text", "doc_id", fast = true)
+        .select("doc_a", "doc_b").staged
+      val snm = smM.count(); val snf = smF.count()
+      val sni = smM.join(smF, Seq("doc_a", "doc_b"), "left_semi").count()
+      println(f"[mhprobe] $dir simhash pairs md5=$snm fast=$snf inter=$sni " +
+        f"agreement=${sni.toDouble / (snm + snf - sni)}%.4f")
     }
     spark.stop()
   }

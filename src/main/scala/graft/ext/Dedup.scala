@@ -942,6 +942,28 @@ object Dedup {
         expr(simhashAssembleSql(bits)).cast("long").as("simhash"))
   }
 
+  /** [[simhash]] on the production hash: one xxhash64 per token and each
+    * sketch bit extracted with `shiftright & 1` — integer bit arithmetic
+    * instead of the md5 + 16 hex-substring CASE chains the oracle-parity
+    * kernel pays (the third and last md5 hot loop after winnowing §7b and
+    * minhash §8a). Same Charikar majority vote, same assembly. Gated like
+    * the other kernel swaps: x_simhash_fast's pair-set agreement boolean
+    * vs the md5 banded-hamming pairs (borderline hamming distances are
+    * per-kernel coin flips; exact dups collide under ANY hash). */
+  def simhashFast(docs: DataFrame, textCol: String, idCol: String,
+      bits: Int = 16): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("hh", xxhash64(col("word")))
+    val bitAggs = (0 until bits).map(b =>
+      sum(expr(s"shiftright(hh, $b) & 1").cast("long")).as(s"b$b"))
+    tok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), bitAggs: _*)
+      .select(col(idCol),
+        expr(simhashAssembleSql(bits)).cast("long").as("simhash"))
+  }
+
   /** SimHash near-duplicate pairs — the banded hamming join of Manku,
     * Jain & Sarma (WWW'07, "Detecting Near-Duplicates for Web
     * Crawling"; public method). Pigeonhole: two hashes within hamming
@@ -954,12 +976,13 @@ object Dedup {
     * token sets aren't needed. One signature pass (materialized) feeds
     * both join sides and the verification. */
   def simhashNeardupPairs(docs: DataFrame, textCol: String, idCol: String,
-      bits: Int = 16, maxHam: Int = 1): DataFrame = {
+      bits: Int = 16, maxHam: Int = 1, fast: Boolean = false): DataFrame = {
     val bands = maxHam + 1
     require(bits % bands == 0, s"bits=$bits not divisible by ${bands} bands")
     val width = bits / bands
     val mask = (1L << width) - 1
-    val sh = simhash(docs, textCol, idCol, bits).staged
+    val sh = (if (fast) simhashFast(docs, textCol, idCol, bits)
+      else simhash(docs, textCol, idCol, bits)).staged
     val banded = sh.select(col(idCol), col("simhash"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("b"),

@@ -762,7 +762,14 @@ object StreamingOps {
     * row-local integer weights is batching-invariant, so the streamed run
     * equals the batch run for ANY micro-batch split — a18's oracle gates
     * this query verbatim (the same frozen-reference argument as
-    * st_er_match_stream / st_decontaminate_stream). */
+    * st_er_match_stream / st_decontaminate_stream).
+    *
+    * State caveat: complete-mode grouped state is one row per DISTINCT
+    * item — bounded here (the fixture's item space is ~100 keys) but
+    * unbounded over an open item space. A production trend board over
+    * unbounded keys uses the sketch route instead
+    * (st_cms_heavy_hitters_stream: O(d·w) state independent of key
+    * cardinality) and keeps this exact form for bounded dashboards. */
   val stTrendDecay = OpQuery(
     "st_trend_decay_stream",
     "streaming decayed trending items vs a frozen horizon (complete-mode grouped sum)",

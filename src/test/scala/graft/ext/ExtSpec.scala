@@ -1546,6 +1546,34 @@ class ExtSpec extends SparkTestBase {
     assert(got.map(t => t._3 + t._4).sum == 8L)
   }
 
+  test("fast simhash: assembly matches a re-derivation, dups collide at hamming 0") {
+    // the fast kernel's majority-vote assembly cross-checked against an
+    // independent re-derivation (explode → xxhash64 → collect → vote in
+    // Scala — same hash, independent aggregation path), the same
+    // structural gate the SRP bits test uses
+    val sig = Dedup.simhashFast(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = docs
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .select($"doc_id", xxhash64($"w").as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    for ((id, hs) <- toks) {
+      val n = hs.length
+      val expected = (0 until 16).map { b =>
+        val ones = hs.count(t => ((t._2 >> b) & 1L) == 1L)
+        if (ones * 2 >= n) 1L << b else 0L
+      }.sum
+      assert(sig(id) == expected, s"doc $id")
+    }
+    assert(sig(1L) == sig(3L), "exact dups must share the sketch")
+    val pairs = Dedup.simhashNeardupPairs(docs, "text", "doc_id", fast = true)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 3L)) == 0L)
+  }
+
   test("fast corpus index bands incoming batches with the matching kernel") {
     // the index records its kernel so incoming batches band identically;
     // decision-free corpus (exact copy + disjoint doc), so md5 and fast
