@@ -529,6 +529,21 @@ object AggOps {
     * over the item key — map-side partial sums do the heavy lifting, the
     * exchange carries one row per (partition, item). The decayed/raw
     * contrast (trend_w vs ct) is what a curation dashboard plots. */
+  /** The decayed-weight aggregation shared by a18_trend_decay, its
+    * streaming twin, and StateBoundednessSpec (which drives THIS def, not
+    * a spec-local copy): buckets each (item, ts) row's age below
+    * `horizonUs` into whole days (integer epoch-micro division, capped at
+    * 40 where the shift underflows), weights it 10^12 >> days, and sums
+    * per item with a parallel raw count. */
+  private[graft] def trendDecayAgg(items: org.apache.spark.sql.DataFrame,
+      horizonUs: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    items
+      .withColumn("_ageus", horizonUs - unix_micros(col("ts")))
+      .withColumn("_bkt", least(expr("_ageus div 86400000000"), lit(40L)))
+      .withColumn("_w", expr("shiftright(1000000000000L, cast(_bkt as int))"))
+      .groupBy(col("item"))
+      .agg(sum(col("_w")).as("trend_w"), count(lit(1)).as("ct"))
+
   val a18TrendDecay = OpQuery(
     "a18_trend_decay",
     "time-decayed trending items: 2^-age_days weights (integer-exact), decayed vs raw",
@@ -538,13 +553,7 @@ object AggOps {
           col("ts"))
         .filter(col("item").isNotNull)
       val hor = e.agg(max(col("ts")).as("_h"))
-      e.crossJoin(broadcast(hor))
-        .withColumn("_bkt", least(
-          expr("(unix_micros(_h) - unix_micros(ts)) div 86400000000"),
-          lit(40L)))
-        .withColumn("_w", expr("shiftright(1000000000000L, cast(_bkt as int))"))
-        .groupBy(col("item"))
-        .agg(sum(col("_w")).as("trend_w"), count(lit(1)).as("ct"))
+      trendDecayAgg(e.crossJoin(broadcast(hor)), unix_micros(col("_h")))
         .orderBy("item")
     },
     Some("""WITH e AS (SELECT TRY_CAST(json_extract_string(props, '$.k')

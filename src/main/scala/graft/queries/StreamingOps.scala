@@ -778,16 +778,11 @@ object StreamingOps {
       val horUs = graft.core.Tables.load(s, dir, "events")
         .filter(itemOf.isNotNull)
         .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
-      val agg = eventStream(s, dir)
-        .select(itemOf.as("item"), col("ts"))
-        .filter(col("item").isNotNull)
-        .withColumn("_bkt",
-          least(expr(s"(${horUs}L - unix_micros(ts)) div 86400000000"),
-            lit(40L)))
-        .withColumn("_w",
-          expr("shiftright(1000000000000L, cast(_bkt as int))"))
-        .groupBy(col("item"))
-        .agg(sum(col("_w")).as("trend_w"), count(lit(1)).as("ct"))
+      val agg = AggOps.trendDecayAgg(
+        eventStream(s, dir)
+          .select(itemOf.as("item"), col("ts"))
+          .filter(col("item").isNotNull),
+        lit(horUs))
       drain(agg, "st_trend_out", mode = "complete").orderBy("item")
     },
     AggOps.a18TrendDecay.oracle)

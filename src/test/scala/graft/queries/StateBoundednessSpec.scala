@@ -153,4 +153,34 @@ class StateBoundednessSpec extends SparkTestBase {
     }
     assertPlateau(sizes, perBatchKeys = 10L, totalKeys = 40L)
   }
+
+  test("trend-decay complete-mode state is key-bounded, not input-bounded") {
+    // the new stateful shape of round 12: a complete-mode grouped sum
+    // holds one state row per DISTINCT item, CONSTANT while keys repeat —
+    // 4 batches × the same 10 items (40 input rows) must hold exactly 10
+    // state rows throughout, driving the REAL AggOps.trendDecayAgg (the
+    // scaladoc's bounded-key contract; unbounded key spaces route to
+    // st_cms_heavy_hitters_stream instead)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = AggOps.trendDecayAgg(
+      ms.toDF().toDF("item", "ts"), lit(5000L * 1000000L))
+    val name = s"sb_trend_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    val sizes = try (0 until 4).map { i =>
+      ms.addData((0L until 10L).map(k => (k, ts((i + 1) * 1000L))): _*)
+      q.processAllAvailable()
+      q.recentProgress.reverse.collectFirst {
+        case p if p.stateOperators.nonEmpty =>
+          p.stateOperators.map(_.numRowsTotal).sum
+      }.getOrElse(0L)
+    } finally q.stop()
+    assert(sizes == Seq(10L, 10L, 10L, 10L), s"state rows: $sizes")
+    // and the final answer matches the batch run over the union
+    val out = spark.table(name)
+    assert(out.count() == 10L)
+    assert(out.agg(sum($"ct")).as[Long].head() == 40L)
+  }
 }
