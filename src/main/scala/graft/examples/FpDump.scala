@@ -8,9 +8,17 @@ import org.apache.spark.sql.SparkSession
   * FPDUMP_CPUS (local[8]) / FPDUMP_SP (8). Round-11 findings: isolated
   * JVMs are deterministic at local[8] AND local[32] for the two queries
   * that toggle across FULL-SUITE runs (x_nb_classify, x_text_stats) —
-  * the residual instability is suite-order-dependent and flips only
-  * their definition_changed metadata, which is conservative (a spurious
-  * `true` widens scrutiny, never hides a change). */
+  * the instability flips only definition_changed metadata, which is
+  * conservative (a spurious `true` widens scrutiny, never hides a
+  * change). Round-12 narrows it further: FPDUMP_WARM (comma list)
+  * executes predecessor queries in the same JVM before dumping, and
+  * replaying x_ann_bruteforce's ENTIRE alphabetical suite prefix at the
+  * exact suite config (local[32], sp=32) still reproduces the isolated
+  * fingerprint byte-for-byte — so the toggle is RUN-to-run, not
+  * order-within-run: some element of the canonicalized string varies
+  * across a minority of JVM launches (suspects: generated class-name
+  * counters the @obj/$Lambda$ normalizers don't cover). Remains
+  * conservative; next flip, diff the two FPDUMP_OUT dumps directly. */
 object FpDump {
   def main(args: Array[String]): Unit = {
     val q = sys.env("FPDUMP_QUERY"); val out = sys.env("FPDUMP_OUT")
@@ -20,6 +28,14 @@ object FpDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional: execute other queries first (FPDUMP_WARM, comma list) to
+    // reproduce the suite-order mode — the toggling fingerprints are
+    // stable isolated but flip after certain predecessors run
+    sys.env.get("FPDUMP_WARM").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { w =>
+        graft.SparkEntry.queries(w)(spark, "/root/testdata/sf0.1")
+          .write.format("noop").mode("overwrite").save()
+      })
     val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
     val norm = df.queryExecution.analyzed.canonicalized.toString
       .replaceAll("/tmp/\\S*", "<tmp>")
