@@ -213,4 +213,43 @@ class RestartResilienceSpec extends SparkTestBase {
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
     }
   }
+
+  test("trend_decay: complete-mode sums resume from the checkpoint, not restart") {
+    // the round-12 stateful shape: a complete-mode grouped sum snapshot
+    // (foreachBatch overwrite — the production trend-board sink). The
+    // kill/restart must resume the per-item SUMS from checkpointed state:
+    // a state loss would under-count item 1 (seen in both batches) while
+    // still producing rows — exactly the silent failure rowsOf equality
+    // catches against the uninterrupted baseline.
+    val root = tmpDir()
+    val batches = Seq(
+      () => Seq((1L, ts(1000L)), (2L, ts(2000L))).toDF("item", "ts"),
+      () => Seq((1L, ts(3000L)), (3L, ts(1000L))).toDF("item", "ts"))
+    val staged = stage(root, batches)
+    def build(in: String) = AggOps.trendDecayAgg(
+      beanStream(in, "item LONG, ts TIMESTAMP"), lit(5000L * 1000000L))
+    def runOnce(in: String, out: String, ck: String): Unit = {
+      val q = build(in).writeStream
+        .outputMode(OutputMode.Complete)
+        .option("checkpointLocation", ck)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(out) }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    staged.foreach(copyIn(_, s"$root/inA"))
+    runOnce(s"$root/inA", s"$root/outA", s"$root/ckA")
+    copyIn(staged.head, s"$root/inB")
+    runOnce(s"$root/inB", s"$root/outB", s"$root/ckB")
+    staged.tail.foreach(copyIn(_, s"$root/inB"))
+    runOnce(s"$root/inB", s"$root/outB", s"$root/ckB")
+    val a = rowsOf(s"$root/outA")
+    val b = rowsOf(s"$root/outB")
+    assert(a.nonEmpty && a == b, s"trend restart diverged\nA=$a\nB=$b")
+    // the cross-restart accumulation, explicitly: item 1's count spans
+    // the pre-kill and post-restart batches
+    val ct1 = spark.read.parquet(s"$root/outB")
+      .filter(col("item") === 1L).select("ct").collect()(0).getLong(0)
+    assert(ct1 == 2L, s"item 1 counted $ct1 (state lost on restart?)")
+  }
 }
