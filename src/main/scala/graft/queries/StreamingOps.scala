@@ -754,6 +754,60 @@ object StreamingOps {
     },
     StatefulOps.c5CepOptional.oracle)
 
+  case class DebEv(event_id: Long, user_id: Long, event_type: String,
+      us: Long)
+  case class DebState(lastUs: Long)
+
+  /** The st_debounce_stream state machine, factored out so
+    * RestartResilienceSpec drives the REAL transform: keyed state is the
+    * last-seen event time per (user, type) — ONE long per key, the
+    * smallest state shape in the registry — and each batch's events fold
+    * through it in (event-time, id) order. Same
+    * previous-EVENT (not previous-kept) contract as a20_debounce: `last`
+    * advances on every event, kept or dropped. */
+  private[graft] def debounceTransform(
+      typed: org.apache.spark.sql.Dataset[DebEv], gapUs: Long): DataFrame = {
+    val s = typed.sparkSession
+    import s.implicits._
+    typed.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Long, String), rows: Iterator[DebEv],
+            state: GroupState[DebState]) => {
+          var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(e => (e.us, e.event_id)).flatMap { e =>
+            val keep = last == Long.MinValue || e.us - last >= gapUs
+            last = e.us
+            if (keep) Some((e.event_id, e.user_id, e.event_type, e.us))
+            else None
+          }
+          state.update(DebState(last))
+          out.iterator
+        })
+      .toDF("event_id", "user_id", "event_type", "us")
+  }
+
+  /** Streaming twin of a20_debounce — the PRODUCTION debounce shape: the
+    * batch form's lag() window needs the full history per key; this one
+    * carries a single long of state per (user, type) across micro-batches
+    * forever. Equality with the batch run needs per-key event-time-
+    * ordered arrival across batches (within a batch the transform sorts);
+    * the corpus arrives as one file batch here, so the oracle gate is
+    * exact, and RestartResilienceSpec drives the genuinely incremental
+    * multi-batch + kill/restart paths. */
+  val stDebounce = OpQuery(
+    "st_debounce_stream",
+    "streaming min-gap debounce: one long of keyed state per (user, type)",
+    (s, dir) => withStatePartitions(s, 8) {
+      import s.implicits._
+      val typed = eventStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .as[DebEv]
+      drain(debounceTransform(typed, gapUs = 60000000L), "st_deb_out")
+        .orderBy("event_id")
+    },
+    AggOps.a20Debounce.oracle)
+
   /** Streaming twin of a18_trend_decay. The horizon is FROZEN before the
     * stream starts (one metadata-cheap batch max over the table — the
     * production trend board passes `now()` the same way), which makes
@@ -791,5 +845,5 @@ object StreamingOps {
     Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
       stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream,
       stCepTimes, stAttribution, stCmsHeavyHitters, stSketchRollup,
-      stCepNegation, stCepOptional, stTrendDecay)
+      stCepNegation, stCepOptional, stTrendDecay, stDebounce)
 }

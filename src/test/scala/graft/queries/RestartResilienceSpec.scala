@@ -160,6 +160,21 @@ class RestartResilienceSpec extends SparkTestBase {
               86400L * 1000000L) _)
           .toDF("uid", "stage_idx")
       }),
+    RCase("debounce",
+      Seq(
+        // batch 1: u1/click at t=100s — kept, state lastUs=100s
+        () => Seq((1L, 1L, "click", 100000000L))
+          .toDF("event_id", "user_id", "event_type", "us"),
+        // batch 2 (post-restart): t=130s within the 60s gap of the
+        // PRE-KILL event (must drop — state loss would keep it), then
+        // t=200s clears the gap (kept)
+        () => Seq((2L, 1L, "click", 130000000L),
+          (3L, 1L, "click", 200000000L))
+          .toDF("event_id", "user_id", "event_type", "us")),
+      in => StreamingOps.debounceTransform(
+        beanStream(in,
+          "event_id LONG, user_id LONG, event_type STRING, us LONG")
+          .as[StreamingOps.DebEv], gapUs = 60000000L)),
     RCase("retention",
       Seq(
         () => Seq((1L, 100L)).toDF("user_id", "epochDay"),
