@@ -572,6 +572,41 @@ object AggOps {
                    CAST(count(*) AS BIGINT) AS ct
             FROM w GROUP BY item ORDER BY item"""))
 
+  /** A21 (beyond ref) — the serving arrangement of A18: the trend BOARD,
+    * top-10 decayed items with a deterministic tie-break (integer weights
+    * make ties exact, `item` breaks them identically in both engines).
+    * orderBy+limit plans as TakeOrderedAndProject — a per-partition
+    * bounded heap then a 10-row merge, never a global sort
+    * (PlanSpec-pinned); the reference's ProductStatsMapper top-N is the
+    * analog (a7's shape over the decayed measure). */
+  val a21TrendTopk = OpQuery(
+    "a21_trend_topk",
+    "serving trend board: top-10 decayed items (TakeOrdered, no global sort)",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+          col("ts"))
+        .filter(col("item").isNotNull)
+      val hor = e.agg(max(col("ts")).as("_h"))
+      trendDecayAgg(e.crossJoin(broadcast(hor)), unix_micros(col("_h")))
+        .orderBy(col("trend_w").desc, col("item"))
+        .limit(10)
+    },
+    Some("""WITH e AS (SELECT TRY_CAST(json_extract_string(props, '$.k')
+                         AS BIGINT) AS item, ts
+                       FROM events
+                       WHERE TRY_CAST(json_extract_string(props, '$.k')
+                         AS BIGINT) IS NOT NULL),
+            h AS (SELECT max(ts) AS mh FROM e),
+            w AS (SELECT item,
+                    least((epoch_us(mh) - epoch_us(ts)) // 86400000000, 40)
+                      AS bkt
+                  FROM e, h)
+            SELECT item, CAST(sum(1000000000000 >> bkt) AS BIGINT) AS trend_w,
+                   CAST(count(*) AS BIGINT) AS ct
+            FROM w GROUP BY item
+            ORDER BY trend_w DESC, item LIMIT 10"""))
+
   /** A19 (beyond ref) — gap-filled resampling: per-user event counts on a
     * regular 6-hour grid with explicit ZEROS for silent buckets — the
     * time-series op every monitoring/trend consumer needs (a groupBy
@@ -655,5 +690,5 @@ object AggOps {
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
     a12SessionPaths, a13ConversionLag, a14GroupingSets, a15Pivot,
     a16RollingWindow, a17Attribution, a18TrendDecay, a19ResampleZerofill,
-    a20Debounce, k5LatestVersion)
+    a20Debounce, a21TrendTopk, k5LatestVersion)
 }

@@ -480,6 +480,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("trend top-k plans as TakeOrdered, never a global sort") {
+    val p = planOf("a21_trend_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // a global Sort before the limit would pay a full range exchange for
+    // a 10-row answer
+    assert(!p.linesIterator.exists(_.matches("""\(\d+\) Sort\s*""")), p)
+  }
+
   test("resample zero-fill: span-bounded sequence explode, no cartesian grid") {
     val p = planOf("a19_resample_zerofill")
     // the grid must be generated per-user from the span aggregate (one
