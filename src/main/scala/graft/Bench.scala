@@ -515,11 +515,23 @@ object Bench {
     // snapshot said "160 queries, 226.3 s" against a shipped 165/280.8)
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"registry_at_run":${SparkEntry.queries.size},"failed":$failedJson,"load_pre":"$loadPre","load_post":"$loadPost","io_probe_pre_mbps":$ioPre%.1f,"io_probe_post_mbps":$ioPost%.1f,"io_floor_mbps":$ioFloor%.1f,"io_wait_sec":$ioWaitSec%.1f,"quiet_wait_sec":$quietWaitSec%.1f,"load_hot":$loadHotJson,"adjudication":$adjJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // also write the bare JSON to a file: the stdout line is buried in the
+    // the full record goes to a file: the stdout line is buried in the
     // sbt log tail, which left the driver's artifact with "parsed": null
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     spark.stop()
+    // VERDICT r12 "lossy bench artifact" fix: the driver keeps only the
+    // LAST 2000 chars of stdout and parses a JSON line out of them; the
+    // full record above is ~5 KB, so its head fell outside the window and
+    // the round artifact recorded "parsed": null. Emit a compact summary
+    // as the FINAL stdout line, sized to survive the window together with
+    // sbt's ~80-char epilogue: headline numbers, gate evidence, the 10
+    // slowest queries, and a pointer to the committed full record.
+    val slow = results.collect { case (k, Some(v)) => (k, v) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"registry_at_run":${SparkEntry.queries.size},"n_failed":${failed.size},"n_adjudicated":${adjudicated.size},"n_load_hot":${loadHot.size},"io_floor_mbps":$ioFloor%.1f,"quiet_wait_sec":$quietWaitSec%.1f,"slowest10":$slow,"full_record":"$outFile (committed)","sf":"$sfDir"}"""
+    println(compact)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -102,6 +102,29 @@ object MinhashFastProbe {
       val sni = smM.join(smF, Seq("doc_a", "doc_b"), "left_semi").count()
       println(f"[mhprobe] $dir simhash pairs md5=$snm fast=$snf inter=$sni " +
         f"agreement=${sni.toDouble / (snm + snf - sni)}%.4f")
+      // the PRODUCTION simhash width (x_simhash64_neardup's gate
+      // provenance): 64-bit fast sketch, Manku 4x16 bands, hamming <= 3,
+      // recall vs the SAME rare-blocked exact-Jaccard ground truth the
+      // minhash recall rows use — plus the >= 0.8 high-similarity slice,
+      // where the sketch's cosine contract actually lives
+      for (i <- 1 to 2) {
+        time(s"$dir simhash64 fast #$i") {
+          Dedup.simhashNeardupPairs(docs, "text", "doc_id",
+              bits = 64, maxHam = 3, fast = true)
+            .write.format("noop").mode("overwrite").save() }
+      }
+      val sm64 = Dedup.simhashNeardupPairs(docs, "text", "doc_id",
+        bits = 64, maxHam = 3, fast = true)
+        .select("doc_a", "doc_b").staged
+      val n64 = sm64.count()
+      val r64 = gt.join(sm64, Seq("doc_a", "doc_b"), "left_semi").count()
+      val gtHi = Dedup.jaccardOnTokens(tok2, cand, 0.8)
+        .select("doc_a", "doc_b").staged
+      val nHi = gtHi.count()
+      val rHi = gtHi.join(sm64, Seq("doc_a", "doc_b"), "left_semi").count()
+      println(f"[mhprobe] $dir simhash64 pairs=$n64 " +
+        f"recall_gt05=${r64.toDouble / math.max(ngt, 1)}%.4f (n=$ngt) " +
+        f"recall_gt08=${rHi.toDouble / math.max(nHi, 1)}%.4f (n=$nHi)")
     }
     spark.stop()
   }

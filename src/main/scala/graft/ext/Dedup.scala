@@ -946,22 +946,39 @@ object Dedup {
     * sketch bit extracted with `shiftright & 1` — integer bit arithmetic
     * instead of the md5 + 16 hex-substring CASE chains the oracle-parity
     * kernel pays (the third and last md5 hot loop after winnowing §7b and
-    * minhash §8a). Same Charikar majority vote, same assembly. Gated like
-    * the other kernel swaps: x_simhash_fast's pair-set agreement boolean
-    * vs the md5 banded-hamming pairs (borderline hamming distances are
-    * per-kernel coin flips; exact dups collide under ANY hash). */
+    * minhash §8a). Same Charikar majority vote, same assembly.
+    *
+    * Gating (SCALING §8f): at the oracle-parity 16-bit width, pair-set
+    * agreement across hash families is margin-dominated noise (a 16-bit
+    * sketch at hamming ≤ 1 over 50+-token docs is mostly collisions whose
+    * membership is a per-kernel coin flip), so the 16-bit kernel is
+    * STRUCTURALLY gated (ExtSpec: assembly bit-exact vs an independent
+    * majority-vote re-derivation; exact dups collide at hamming 0). The
+    * PRODUCTION width is 64 bits, where the sketch is no longer
+    * margin-dominated — x_simhash64_neardup gates that configuration on
+    * RECALL against rare-blocked exact-Jaccard ground truth (the §8a
+    * minhash recipe), Manku 4×16-bit bands at hamming ≤ 3.
+    *
+    * Supports bits up to 64: assembly is Column-level shiftleft/OR rather
+    * than [[simhashAssembleSql]]'s summed `1L << b` literals (whose bit-63
+    * term, Long.MinValue, does not survive a round-trip through the SQL
+    * parser as a literal). */
   def simhashFast(docs: DataFrame, textCol: String, idCol: String,
       bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"simhashFast bits=$bits not in [1,64]")
     val tok = docs.select(col(idCol),
       explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .withColumn("hh", xxhash64(col("word")))
     val bitAggs = (0 until bits).map(b =>
       sum(expr(s"shiftright(hh, $b) & 1").cast("long")).as(s"b$b"))
+    val assembled = (0 until bits).map(b =>
+        shiftleft(when(col(s"b$b") * 2 >= col("n"), lit(1L))
+          .otherwise(lit(0L)), b))
+      .reduce(_ bitwiseOR _)
     tok.groupBy(col(idCol))
       .agg(count(lit(1)).as("n"), bitAggs: _*)
-      .select(col(idCol),
-        expr(simhashAssembleSql(bits)).cast("long").as("simhash"))
+      .select(col(idCol), assembled.as("simhash"))
   }
 
   /** SimHash near-duplicate pairs — the banded hamming join of Manku,

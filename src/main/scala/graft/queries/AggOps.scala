@@ -534,12 +534,23 @@ object AggOps {
     * a spec-local copy): buckets each (item, ts) row's age below
     * `horizonUs` into whole days (integer epoch-micro division, capped at
     * 40 where the shift underflows), weights it 10^12 >> days, and sums
-    * per item with a parallel raw count. */
+    * per item with a parallel raw count.
+    *
+    * The bucket is clamped to [0, 40]: an event NEWER than the horizon
+    * (the production `now()` path under clock skew) counts at full weight
+    * (bucket 0) instead of feeding a negative shift count into
+    * shiftright — Spark masks a negative shift to `count & 63` (-1 → 63 →
+    * weight 0, silently zeroing the NEWEST events) and DuckDB's `>>`
+    * treats it differently again, so without the clamp the two engines
+    * diverge exactly where the data is hottest. The committed queries
+    * freeze horizon = max(ts) and never hit the clamp; the oracles mirror
+    * it anyway (greatest(..., 0)) so both engines state one rule. */
   private[graft] def trendDecayAgg(items: org.apache.spark.sql.DataFrame,
       horizonUs: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
     items
       .withColumn("_ageus", horizonUs - unix_micros(col("ts")))
-      .withColumn("_bkt", least(expr("_ageus div 86400000000"), lit(40L)))
+      .withColumn("_bkt",
+        greatest(least(expr("_ageus div 86400000000"), lit(40L)), lit(0L)))
       .withColumn("_w", expr("shiftright(1000000000000L, cast(_bkt as int))"))
       .groupBy(col("item"))
       .agg(sum(col("_w")).as("trend_w"), count(lit(1)).as("ct"))
@@ -565,8 +576,8 @@ object AggOps {
                   WHERE TRY_CAST(json_extract_string(props, '$.k')
                     AS BIGINT) IS NOT NULL),
             w AS (SELECT item,
-                    least((epoch_us(mh) - epoch_us(ts)) // 86400000000, 40)
-                      AS bkt
+                    greatest(least((epoch_us(mh) - epoch_us(ts))
+                      // 86400000000, 40), 0) AS bkt
                   FROM e, h)
             SELECT item, CAST(sum(1000000000000 >> bkt) AS BIGINT) AS trend_w,
                    CAST(count(*) AS BIGINT) AS ct
@@ -599,8 +610,8 @@ object AggOps {
                          AS BIGINT) IS NOT NULL),
             h AS (SELECT max(ts) AS mh FROM e),
             w AS (SELECT item,
-                    least((epoch_us(mh) - epoch_us(ts)) // 86400000000, 40)
-                      AS bkt
+                    greatest(least((epoch_us(mh) - epoch_us(ts))
+                      // 86400000000, 40), 0) AS bkt
                   FROM e, h)
             SELECT item, CAST(sum(1000000000000 >> bkt) AS BIGINT) AS trend_w,
                    CAST(count(*) AS BIGINT) AS ct
@@ -656,7 +667,7 @@ object AggOps {
     * standard duplicate-fire suppressor for noisy clients. Deliberately
     * lag-against-previous-EVENT semantics (one window pass, stateless
     * beyond the frame) rather than previous-KEPT (which is a running
-    * fold — sessionization territory, a8's session_window covers it):
+    * fold — [[a22RateLimit]] ships that contract):
     * both engines state the lag rule identically, so the query is
     * directly hash-gated. Window partition key = (user, type) —
     * bounded by a single key's event count, never a global sort. */
@@ -685,10 +696,124 @@ object AggOps {
             FROM e WHERE prev IS NULL OR us - prev >= 60000000
             ORDER BY event_id"""))
 
+  /** A22 (beyond ref) — the TRUE rate limiter: previous-KEPT min-gap.
+    * a20's debounce drops an event within 60s of the previous EVENT (a
+    * stateless lag); the production rate limiter advances its reference
+    * point only on events it KEEPS, so a sustained burst emits one event
+    * per 60s instead of suppressing everything after the first (under
+    * a20, events at t=0,30,60,90 keep only t=0 — each is within 60s of
+    * its predecessor; under a22 they keep t=0,60 — a trickle, which is
+    * the rate-limiting contract).
+    *
+    * The fold is data-dependent (keep decisions feed the state that
+    * decides later keeps), so no fixed-depth window expresses it: the
+    * Spark side is a per-key sorted fold (groupByKey + flatMapGroups —
+    * one keyed shuffle, per-key memory bounded by that key's event count,
+    * the same bound a20's lag window already accepts); the oracle is a
+    * recursive CTE stepping row_number order per key (depth = max
+    * per-key count, ≤ 29 on these fixtures). Both engines state
+    * identical (event-time, id) ordering, so the query hash-gates. */
+  val a22RateLimit = OpQuery(
+    "a22_ratelimit",
+    "previous-KEPT min-gap rate limiter: 60s per (user, type), fold not lag",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .as[(Long, Long, String, Long)]
+        .groupByKey { case (_, u, ty, _) => (u, ty) }
+        .flatMapGroups { (_: (Long, String), rows) =>
+          var lastKept = Long.MinValue
+          rows.toSeq.sortBy(r => (r._4, r._1)).flatMap {
+            case (id, u, ty, us) =>
+              if (lastKept == Long.MinValue || us - lastKept >= 60000000L) {
+                lastKept = us
+                Some((id, u, ty, us))
+              } else None
+          }.iterator
+        }
+        .toDF("event_id", "user_id", "event_type", "us")
+        .orderBy("event_id")
+    },
+    Some("""WITH RECURSIVE e AS (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events),
+            r AS (
+              SELECT user_id, event_type, rn, event_id, us,
+                     us AS last_kept, TRUE AS keep
+              FROM e WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.event_type, e.rn, e.event_id, e.us,
+                     CASE WHEN e.us - r.last_kept >= 60000000
+                          THEN e.us ELSE r.last_kept END,
+                     e.us - r.last_kept >= 60000000
+              FROM r JOIN e ON e.user_id = r.user_id
+                AND e.event_type = r.event_type AND e.rn = r.rn + 1)
+            SELECT event_id, user_id, event_type, us
+            FROM r WHERE keep ORDER BY event_id"""))
+
+  /** A23 (beyond ref) — forward-fill resampling: a19 zero-fills COUNTS
+    * (absence of events means zero events); a gauge reading carries
+    * forward instead (absence of a reading means the last reading still
+    * stands — last observation carried forward). Same span-bounded
+    * per-user 6h grid as a19 (never global-calendar × users), plus ONE
+    * running last_value(ignore nulls) window per user — the grid join's
+    * user-keyed shuffle already co-locates the window partition, so the
+    * fill adds no exchange (same-key window rides the existing
+    * partitioning). Per-bucket gauge = max(value) as DECIMAL (exact,
+    * order-independent in both engines), cast to DOUBLE at the end. The
+    * grid starts at each user's first observed bucket, so row 1 of every
+    * partition is non-null and no leading-null policy is needed. */
+  val a23ResampleFfill = OpQuery(
+    "a23_resample_ffill",
+    "forward-fill per-user 6h-grid gauge: last observation carried forward",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 21600000000").as("bkt"),
+          col("value").cast("decimal(18,2)").as("v"))
+      val perBkt = e.groupBy(col("user_id"), col("bkt"))
+        .agg(max(col("v")).as("g"))
+      val grid = e.groupBy(col("user_id"))
+        .agg(min(col("bkt")).as("b0"), max(col("bkt")).as("b1"))
+        .select(col("user_id"),
+          explode(sequence(col("b0"), col("b1"))).as("bkt"))
+      val w = Window.partitionBy("user_id").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(perBkt, Seq("user_id", "bkt"), "left")
+        .withColumn("gauge",
+          last(col("g"), ignoreNulls = true).over(w).cast("double"))
+        .select(col("user_id"), col("bkt"), col("gauge"))
+        .orderBy("user_id", "bkt")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 21600000000 AS bkt,
+                         CAST(value AS DECIMAL(18,2)) AS v
+                       FROM events),
+            per AS (SELECT user_id, bkt, max(v) AS g
+                    FROM e GROUP BY user_id, bkt),
+            spans AS (SELECT user_id, min(bkt) AS b0, max(bkt) AS b1
+                      FROM e GROUP BY user_id),
+            grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bkt
+                     FROM spans),
+            j AS (SELECT grid.user_id, grid.bkt, per.g
+                  FROM grid LEFT JOIN per
+                    ON per.user_id = grid.user_id AND per.bkt = grid.bkt)
+            SELECT user_id, bkt,
+                   CAST(last_value(g IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY bkt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) AS gauge
+            FROM j ORDER BY user_id, bkt"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
     a12SessionPaths, a13ConversionLag, a14GroupingSets, a15Pivot,
     a16RollingWindow, a17Attribution, a18TrendDecay, a19ResampleZerofill,
-    a20Debounce, a21TrendTopk, k5LatestVersion)
+    a20Debounce, a21TrendTopk, a22RateLimit, a23ResampleFfill,
+    k5LatestVersion)
 }

@@ -317,7 +317,17 @@ object ExtOps {
     * prints the measured agreement at sf0.01/sf0.1 — kernel choice only
     * moves LSH *candidate* recall at the banding margin, and every
     * emitted pair on either side is exact-Jaccard-verified, so precision
-    * is 1.0 by construction). Kernel speed is measured in SCALING.md §8. */
+    * is 1.0 by construction). Kernel speed is measured in SCALING.md §8.
+    *
+    * CORPUS-SENSITIVITY CAVEAT (SCALING §8a): the 0.9 pair-set-agreement
+    * threshold passes at 0.96 on this fixture but is NOT corpus-robust —
+    * §8a measured agreement collapsing to ~0.50 on an open-vocab corpus
+    * whose dup mass sits at the banding margin, while per-kernel RECALL
+    * parity vs the rare-blocked ground truth stayed at 0.96-0.98. On a
+    * regenerated or different-distribution fixture, re-gate on that
+    * recall-parity metric (the §8a table's recipe) rather than raw
+    * pair-set Jaccard; the hardcoded TRUE oracle encodes a property of
+    * THIS fixture, not of the kernel. */
   val xDedupPipelineFast = OpQuery(
     "x_dedup_pipeline_fast",
     "dedup pipeline on the xxhash64 minhash kernel, pair-set agreement-gated vs md5",
@@ -394,6 +404,91 @@ object ExtOps {
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+            ORDER BY doc_a, doc_b"""))
+
+  /** The PRODUCTION simhash configuration, recall-gated — SCALING §8f's
+    * own prescription executed: 64-bit xxhash64 sketch
+    * ([[Dedup.simhashFast]]), Manku 4×16-bit bands at hamming ≤ 3
+    * (WWW'07's exact parameterization), gated on RECALL against
+    * rare-shingle-blocked exact-Jaccard ground truth — the §8a minhash
+    * recipe, NOT pair-set agreement (at 16 bits agreement is
+    * margin-dominated noise; at 64 bits the sketch is selective enough
+    * that recall vs verified near-dups is a stable, corpus-robust
+    * property). DuckDB has no xxhash64, so the emitted rows are the
+    * SQL-restatable ground-truth pairs (the same rare-blocked exact
+    * Jaccard both engines can state) and the sketch's quality folds in as
+    * a measured-margin boolean.
+    *
+    * The gate's denominator is the Jaccard ≥ 0.8 SLICE of the truth, not
+    * the full ≥ 0.5 frame the query emits, because that is the metric
+    * that is corpus-robust (examples.MinhashFastProbe, SCALING §9a):
+    * recall vs the ≥ 0.8 truth measured 0.720 / 0.734 / 0.750 / 0.748
+    * across sf0.01, sf0.1, and the open-vocab 5k/50k rehearsal corpora —
+    * stable through a 10× step — while recall vs the full ≥ 0.5 truth
+    * collapses from 0.73 to 0.49 on the open-vocab corpora, for the
+    * structural reason that hamming ≤ 3 of 64 ≈ cosine ≥ 0.989: the
+    * sketch's contract is the near-identical band (exactly Manku's
+    * web-crawl use case), and a 0.5-Jaccard borderline pair is outside
+    * any simhash's promise. Floor 0.60 vs the ~0.73 measured plateau. */
+  val xSimhash64Neardup = OpQuery(
+    "x_simhash64_neardup",
+    "64-bit fast simhash (4x16 bands, hamming<=3), recall-gated vs exact-Jaccard truth",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      // ground truth: rare-shingle-blocked (df <= 10) exact 3-shingle
+      // Jaccard >= 0.5 — one staged shingle scan feeds blocking, sizes,
+      // and both sides of the verification join
+      val tok = Dedup.shingleTokens(docs, "text", "doc_id", 3).staged
+      val dfreq = tok.groupBy("word").agg(count(lit(1)).as("_d"))
+      val rare = tok.join(dfreq.filter(col("_d") <= 10).select("word"),
+        Seq("word"))
+      val cand = rare.select(col("id").as("doc_a"), col("word"))
+        .join(rare.select(col("id").as("doc_b"), col("word")), Seq("word"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val gt = Dedup.jaccardOnTokens(tok, cand, 0.5)
+        .withColumn("jaccard", col("jaccard").cast("double")).staged
+      val sim = Dedup.simhashNeardupPairs(docs, "text", "doc_id",
+        bits = 64, maxHam = 3, fast = true).select("doc_a", "doc_b")
+      // gate slice: the >= 0.8 band of the already-staged truth frame
+      val hi = gt.filter(col("jaccard") >= 0.8)
+      val hit = hi.join(sim, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("_nh"))
+      // 1-row frames: broadcast crossJoins, integer-exact gate arithmetic
+      val gate = hi.agg(count(lit(1)).as("_ng"))
+        .crossJoin(broadcast(hit))
+        .select((col("_nh") * 100L >= col("_ng") * 60L)
+          .as("sim64_recall_ok"))
+      gt.crossJoin(broadcast(gate)).orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                           FROM documents),
+            pos AS (SELECT doc_id, w,
+                unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+              FROM words),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+                   FROM pos),
+            dfreq AS (SELECT s, count(*) AS d FROM sh GROUP BY s),
+            rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s)
+                     WHERE d <= 10),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM rare a JOIN rare b
+                       ON a.s = b.s AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT doc_a, doc_b, count(*) AS i
+                      FROM cand
+                      JOIN sh ta ON ta.doc_id = doc_a
+                      JOIN sh tb ON tb.doc_id = doc_b AND tb.s = ta.s
+                      GROUP BY doc_a, doc_b)
+            SELECT doc_a, doc_b,
+              CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0)
+                / 10000.0 AS DOUBLE) AS jaccard,
+              TRUE AS sim64_recall_ok
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0)
+              / 10000.0 >= 0.5
             ORDER BY doc_a, doc_b"""))
 
   // ---------- similarity search ----------
@@ -3566,7 +3661,8 @@ object ExtOps {
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xMinhashEst,
     xNeardupJaccard, xLineDedup, xChunkWindows, xChunkDedup, xGopherRules, xCollocations,
-    xSimhash, xSimhashNeardup, xNeardupJaccard3, xContainment,
+    xSimhash, xSimhashNeardup, xSimhash64Neardup, xNeardupJaccard3,
+    xContainment,
     xDedupComponents,
     xDedupPipeline, xDedupPipelineFast,
     xDedupIncremental, stDedupIncremental, stLineDedup, xDedupKeepbest,

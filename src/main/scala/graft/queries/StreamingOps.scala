@@ -758,15 +758,21 @@ object StreamingOps {
       us: Long)
   case class DebState(lastUs: Long)
 
-  /** The st_debounce_stream state machine, factored out so
-    * RestartResilienceSpec drives the REAL transform: keyed state is the
-    * last-seen event time per (user, type) — ONE long per key, the
+  /** The st_debounce_stream / st_ratelimit_stream state machine, factored
+    * out so RestartResilienceSpec drives the REAL transform: keyed state
+    * is one reference time per (user, type) — ONE long per key, the
     * smallest state shape in the registry — and each batch's events fold
-    * through it in (event-time, id) order. Same
-    * previous-EVENT (not previous-kept) contract as a20_debounce: `last`
-    * advances on every event, kept or dropped. */
+    * through it in (event-time, id) order.
+    *
+    * `keptOnly = false` (default) is a20_debounce's previous-EVENT
+    * contract: `last` advances on every event, kept or dropped.
+    * `keptOnly = true` is a22_ratelimit's previous-KEPT contract — the
+    * true rate limiter: `last` advances only on KEPT events, so a
+    * sustained burst trickles one event per gap instead of going silent
+    * after its first event. */
   private[graft] def debounceTransform(
-      typed: org.apache.spark.sql.Dataset[DebEv], gapUs: Long): DataFrame = {
+      typed: org.apache.spark.sql.Dataset[DebEv], gapUs: Long,
+      keptOnly: Boolean = false): DataFrame = {
     val s = typed.sparkSession
     import s.implicits._
     typed.groupByKey(e => (e.user_id, e.event_type))
@@ -776,7 +782,7 @@ object StreamingOps {
           var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
           val out = rows.toSeq.sortBy(e => (e.us, e.event_id)).flatMap { e =>
             val keep = last == Long.MinValue || e.us - last >= gapUs
-            last = e.us
+            if (keep || !keptOnly) last = e.us
             if (keep) Some((e.event_id, e.user_id, e.event_type, e.us))
             else None
           }
@@ -808,6 +814,28 @@ object StreamingOps {
     },
     AggOps.a20Debounce.oracle)
 
+  /** Streaming twin of a22_ratelimit — the same single-long-per-key state
+    * machine as st_debounce_stream with `keptOnly = true`: the reference
+    * time advances only on KEPT events, making this the production
+    * rate-limiter shape (one emitted event per gap under a sustained
+    * burst). Same batch-equality caveat as st_debounce_stream (per-key
+    * event-time-ordered arrival across batches; exact here because the
+    * corpus arrives as one file batch), same oracle as a22_ratelimit. */
+  val stRateLimit = OpQuery(
+    "st_ratelimit_stream",
+    "streaming previous-KEPT rate limiter: one long of keyed state per (user, type)",
+    (s, dir) => withStatePartitions(s, 8) {
+      import s.implicits._
+      val typed = eventStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .as[DebEv]
+      drain(debounceTransform(typed, gapUs = 60000000L, keptOnly = true),
+        "st_rate_out")
+        .orderBy("event_id")
+    },
+    AggOps.a22RateLimit.oracle)
+
   /** Streaming twin of a18_trend_decay. The horizon is FROZEN before the
     * stream starts (one metadata-cheap batch max over the table — the
     * production trend board passes `now()` the same way), which makes
@@ -829,9 +857,13 @@ object StreamingOps {
     "streaming decayed trending items vs a frozen horizon (complete-mode grouped sum)",
     (s, dir) => withStatePartitions(s, 8) {
       val itemOf = get_json_object(col("props"), "$.k").cast("long")
-      val horUs = graft.core.Tables.load(s, dir, "events")
+      // max over an empty/all-null-item table is NULL — default the frozen
+      // horizon to 0 so the query degrades to an empty result like its
+      // batch twin instead of NPE-ing on getLong
+      val horRow = graft.core.Tables.load(s, dir, "events")
         .filter(itemOf.isNotNull)
-        .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+        .agg(max(unix_micros(col("ts")))).collect()(0)
+      val horUs = if (horRow.isNullAt(0)) 0L else horRow.getLong(0)
       val agg = AggOps.trendDecayAgg(
         eventStream(s, dir)
           .select(itemOf.as("item"), col("ts"))
@@ -845,5 +877,5 @@ object StreamingOps {
     Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
       stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream,
       stCepTimes, stAttribution, stCmsHeavyHitters, stSketchRollup,
-      stCepNegation, stCepOptional, stTrendDecay, stDebounce)
+      stCepNegation, stCepOptional, stTrendDecay, stDebounce, stRateLimit)
 }

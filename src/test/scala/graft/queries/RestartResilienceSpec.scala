@@ -175,6 +175,25 @@ class RestartResilienceSpec extends SparkTestBase {
         beanStream(in,
           "event_id LONG, user_id LONG, event_type STRING, us LONG")
           .as[StreamingOps.DebEv], gapUs = 60000000L)),
+    RCase("ratelimit",
+      Seq(
+        // batch 1: u1/click at t=0 — kept, state lastKept=0
+        () => Seq((1L, 1L, "click", 0L))
+          .toDF("event_id", "user_id", "event_type", "us"),
+        // batch 2 (post-restart): t=30s drops against the PRE-KILL kept
+        // event (state loss would keep it as a first event); t=60s keeps
+        // against lastKept=0 — under previous-EVENT state (the debounce
+        // contract) the reference would be t=30s and 60s would DROP, so
+        // this batch also discriminates the keptOnly state machine across
+        // the restart; t=90s drops against the new lastKept=60s
+        () => Seq((2L, 1L, "click", 30000000L),
+          (3L, 1L, "click", 60000000L),
+          (4L, 1L, "click", 90000000L))
+          .toDF("event_id", "user_id", "event_type", "us")),
+      in => StreamingOps.debounceTransform(
+        beanStream(in,
+          "event_id LONG, user_id LONG, event_type STRING, us LONG")
+          .as[StreamingOps.DebEv], gapUs = 60000000L, keptOnly = true)),
     RCase("retention",
       Seq(
         () => Seq((1L, 100L)).toDF("user_id", "epochDay"),
