@@ -22,7 +22,8 @@ final case class OpQuery(
 object Registry {
   lazy val all: Seq[OpQuery] =
     CoreOps.all ++ JoinOps.all ++ AggOps.all ++ StatefulOps.all ++
-      MiscOps.all ++ StreamingOps.all ++ ExtOps.all ++ ScaleOps.all
+      MiscOps.all ++ StreamingOps.all ++ WarehouseOps.all ++ ExtOps.all ++
+      ScaleOps.all
 
   lazy val byName: Map[String, OpQuery] = {
     val m = all.map(q => q.name -> q).toMap

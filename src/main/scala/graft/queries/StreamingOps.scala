@@ -51,7 +51,7 @@ object StreamingOps {
     * per-store open/commit overhead dominates toy-sized state, and a
     * production deploy makes the same call in the other direction
     * (state partitions ≈ cluster cores). */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+  private[queries] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)

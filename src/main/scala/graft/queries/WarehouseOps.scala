@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Warehouse
+
+/** The warehouse run AS a warehouse — the reference's defining deployment
+  * shape, executed and gated (SURVEY §2 topology; VERDICT r12 top-next).
+  *
+  * Every other st_* query proves ONE layer's streaming semantics in
+  * isolation; this query starts ALL TEN layer queries of the reference
+  * topology concurrently in one session (BaseLogApp fan-out, BaseDBApp
+  * dynamic routing + dim upsert, UniqueVisit, UserJumpDetail, OrderWide,
+  * PaymentWide, VisitorStats, ProvinceStats, KeywordStats, ProductStats),
+  * chained through the KafkaTopology file-topic graph, and gates the
+  * composition:
+  *   - the terminal VisitorStats frame hash-matches a1_visitor_window's
+  *     DuckDB oracle VERBATIM (the ODS generator encodes each events row
+  *     as one page-log line with ch = event_type and during_time = value
+  *     in exact cents);
+  *   - seven stream≡batch booleans (uv/uj/order/payment/province/keyword/
+  *     product) pin every other layer's chained output against the same
+  *     shaping code composed in batch mode — the compositions whose
+  *     external parity the per-layer oracle rows already prove.
+  * Steady-state throughput/latency/state under concurrency is measured
+  * separately (examples.WarehouseRehearsal → SCALING §9).
+  */
+object WarehouseOps {
+
+  /** st_warehouse_e2e wall budget note: the chain ingests the full events
+    * table (the a1 gate needs every row) and a deterministic 10% orders
+    * subset through 10 concurrent checkpointed queries — the most
+    * expensive registry entry by design; it is one query standing for the
+    * whole deployment. */
+  val stWarehouseE2e = OpQuery(
+    "st_warehouse_e2e",
+    "all 10 warehouse layers live at once, file-topic chained; a1 oracle + 7 layer booleans",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_wh").toString
+      val lay = Warehouse.Layout(root)
+      Warehouse.genBaseLog(s, dir, lay)
+      Warehouse.genBaseDb(s, dir, lay)
+      val qs = Warehouse.start(s, lay)
+      try Warehouse.drainAll(s, dir, lay, qs)
+      finally qs.values.foreach(_.stop())
+      val gate = Warehouse.equivalenceGate(s, lay)
+      Warehouse.visitorResult(s, gate)
+    },
+    Some("""WITH w AS (
+              SELECT to_timestamp(CAST(floor(epoch(ts) / 10) * 10 AS BIGINT)) AS ws,
+                     event_type, value
+              FROM events)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt,
+                   strftime(ws + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS pv_ct,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum,
+                   TRUE AS uv_ok, TRUE AS uj_ok, TRUE AS order_ok,
+                   TRUE AS payment_ok, TRUE AS province_ok,
+                   TRUE AS keyword_ok, TRUE AS product_ok
+            FROM w GROUP BY ws, event_type
+            ORDER BY stt, event_type"""))
+
+  val all: Seq[OpQuery] = Seq(stWarehouseE2e)
+}

@@ -1,0 +1,673 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.apps.Apps
+import graft.io.KafkaTopology
+import graft.streaming.dwd.{BaseLog, DbRouting}
+import graft.streaming.dwm.{Bounce, OrderWide, PaymentWide, UniqueVisit}
+import graft.streaming.dws.{ProductStatsShaping, WindowStats}
+
+/** The reference deployment SHAPE, executed: all warehouse layers as
+  * CONCURRENT checkpointed StreamingQueries chained through the
+  * [[KafkaTopology.Topics]] topic graph, with file directories standing in
+  * for brokers (one dir per topic, parquet files of a single `value`
+  * string column — the wire is still "JSON strings on a named topic",
+  * exactly what each layer's decode edge expects).
+  *
+  * The reference's defining property is ELEVEN SIMULTANEOUS JVMs glued by
+  * Kafka (RT/app/dwd/BaseLogApp.java:19-20 chain comments; topic graph
+  * RT/utils/MyKafkaUtil.java:40-53): ods_base_log → BaseLogApp →
+  * dwd_page_log → {UniqueVisitApp, UserJumpDetailApp, VisitorStatsApp,
+  * KeywordStatsApp}; ods_base_db → BaseDBApp → dwd_order_info/_detail →
+  * OrderWideApp → dwm_order_wide → {PaymentWideApp, ProvinceStatsSqlApp,
+  * ProductStatsApp}. Every layer here is individually oracle-green as an
+  * st_* twin; THIS module proves they compose under shared resources —
+  * one JVM, ten live queries, checkpoints interleaving, upstream batches
+  * feeding downstream file sources while both run.
+  *
+  * Input is derived deterministically from the driver fixtures so the
+  * chain's terminal output is externally gated: each `events` row becomes
+  * one ods_base_log page-log line with ch = event_type and during_time =
+  * the event's value in CENTS (exact integer transport; the gate divides
+  * back to DECIMAL), so the live chain's VisitorStats output must
+  * hash-match a1_visitor_window's DuckDB oracle verbatim. The db side
+  * feeds a deterministic orders subset through CDC envelopes; its outputs
+  * are gated by stream≡batch equivalence (same shaping code, engine mode
+  * the only variable — the batch composition being what the a2/a3 oracle
+  * family already proves externally).
+  *
+  * Determinism precondition (same contract as a20/a22's (ts, id)
+  * ordering): per-mid event times are unique — Bounce sorts each key's
+  * rows by ts alone, so a same-(mid, ts) pair could fold in either order.
+  * The driver fixtures satisfy this at sf0.01 AND sf0.1 (checked: zero
+  * duplicate (user_id, ts) pairs); the generator would need a tiebreak
+  * field before feeding a corpus that does not.
+  */
+object Warehouse {
+
+  import KafkaTopology.Topics._
+
+  /** File-topic + checkpoint layout for one chain run. */
+  final case class Layout(root: String) {
+    def topic(name: String): String = s"$root/topics/$name"
+    /** db-router output partition dir for one dynamic sink table. */
+    def dbTopic(name: String): String = s"$root/topics/db/sinkTable=$name"
+    def dbRoot: String = s"$root/topics/db"
+    def ck(name: String): String = s"$root/ck/$name"
+    def dimProvince: String = s"$root/dim/dim_base_province"
+  }
+
+  val SentinelMid = "__sentinel"
+
+  // ------------------------------------------------------------------
+  // input generation: driver fixtures → ODS wire lines (batch writes)
+  // ------------------------------------------------------------------
+
+  /** events → ods_base_log page-log JSON. Deterministic per-event shape:
+    *   - ch = event_type (the a1 gate key), mid = "u<user_id>", is_new=0;
+    *   - branch on event_id % 3: entry page (UV/bounce fuel) / search
+    *     page with an item (keyword fuel) / good_detail sku click
+    *     (product-stats fuel) — every branch is still one pv row;
+    *   - during_time = value as DECIMAL(18,2) cents (exact transport);
+    *   - ba carries the event_id (an opaque client field on the wire)
+    *     so chain outputs stay joinable in diagnostics.
+    */
+  def genBaseLog(spark: SparkSession, sfDir: String, lay: Layout): Unit = {
+    val e = graft.core.Tables.load(spark, sfDir, "events")
+    val b = pmod(col("event_id"), lit(3))
+    val nullS = lit(null).cast("string")
+    val line = to_json(struct(
+      struct(
+        lit("1").as("ar"), col("event_id").cast("string").as("ba"),
+        col("event_type").as("ch"), lit("0").as("is_new"), lit("md").as("md"),
+        concat(lit("u"), col("user_id")).as("mid"), lit("os").as("os"),
+        col("user_id").cast("string").as("uid"), lit("v1").as("vc")).as("common"),
+      struct(
+        when(b === 2, lit("good_detail")).when(b === 1, lit("good_list"))
+          .otherwise(lit("home")).as("page_id"),
+        when(b === 1, lit("search")).otherwise(nullS).as("last_page_id"),
+        when(b === 1, concat(lit("kw"), pmod(col("event_id"), lit(7))))
+          .when(b === 2, (pmod(col("event_id"), lit(20)) + 1).cast("string"))
+          .otherwise(nullS).as("item"),
+        when(b === 2, lit("sku_id")).otherwise(nullS).as("item_type"),
+        nullS.as("source_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("during_time")).as("page"),
+      unix_millis(col("ts")).as("ts")))
+    e.select(line.as("value")).write.mode("append").parquet(topicDir(lay, OdsBaseLog))
+  }
+
+  /** The far-future watermark driver: one page line for [[SentinelMid]] an
+    * hour past the corpus horizon. Written AFTER the real data has flowed
+    * through the DWM layers so the bounce timers fire exactly once — the
+    * operational analog of the reference's forever-running clock. */
+  def genSentinel(spark: SparkSession, sfDir: String, lay: Layout): Unit = {
+    import spark.implicits._
+    val horizon = graft.core.Tables.load(spark, sfDir, "events")
+      .agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
+    val line =
+      s"""{"common":{"ar":"1","ba":"-1","ch":"$SentinelMid","is_new":"0","md":"md","mid":"$SentinelMid","os":"os","uid":"-1","vc":"v1"},"page":{"page_id":"home","during_time":0},"ts":${horizon + 3600000L}}"""
+    Seq(line).toDF("value").coalesce(1)
+      .write.mode("append").parquet(topicDir(lay, OdsBaseLog))
+  }
+
+  /** The CDC fact subset: every 10th order (deterministic by key), joined
+    * to its customer's nation for the province id. One row per order. */
+  def orderSeed(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = graft.core.Tables.load(spark, sfDir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val c = graft.core.Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_nationkey")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("oid"), col("c_nationkey").as("pid"),
+        col("o_custkey").as("uid"),
+        col("o_totalprice").cast("decimal(16,2)").as("amt"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("ct"),
+        // o_orderdate ships as TIMESTAMP_NTZ; sessions are pinned UTC, so
+        // the cast is value-preserving (same contract as Tables.normalizeTs)
+        unix_millis(col("o_orderdate").cast("timestamp")).as("tms"))
+  }
+
+  private def cdcLine(table: String, after: org.apache.spark.sql.Column) =
+    to_json(struct(lit("gmall").as("database"), lit(table).as("tableName"),
+      map().cast("map<string,string>").as("before"), after.as("after"),
+      lit("insert").as("type")))
+
+  /** orders/customer/nation → ods_base_db CDC envelopes: order_info,
+    * order_detail (one per order, same create_time → inside the ±5s join
+    * bound), payment_info (+60s → inside −15min), favor/cart/comment/
+    * refund rows (sku-keyed one-hot fuel), and the base_province dim
+    * (hbase-routed → DimStore, the K3 path orderWide re-reads per batch).
+    * Dims are written as a SEPARATE earlier file so the file source's
+    * mtime order replays them first — the reference's "dims preloaded in
+    * HBase before facts flow" bootstrap. */
+  def genBaseDb(spark: SparkSession, sfDir: String, lay: Layout): Unit = {
+    val dim = graft.core.Tables.load(spark, sfDir, "nation")
+      .select(cdcLine("base_province", map(
+        lit("id"), col("n_nationkey").cast("string"),
+        lit("name"), col("n_name"),
+        lit("area_code"), (col("n_nationkey") + 100).cast("string"),
+        lit("iso_code"), concat(lit("ISO-"), col("n_nationkey")),
+        lit("ver"), lit("1"))).as("value"))
+    val dimDir = new java.io.File(topicDir(lay, OdsBaseDb))
+    dim.coalesce(1).write.mode("append").parquet(dimDir.toString)
+    // facts land as a second file with a later mtime than the dim file
+    val t0 = System.currentTimeMillis()
+    dimDir.listFiles().foreach(_.setLastModified(t0 - 60000L))
+
+    val s = orderSeed(spark, sfDir)
+    val sku = (pmod(col("oid"), lit(20)) + 1).cast("string")
+    val facts = Seq(
+      cdcLine("order_info", map(
+        lit("id"), col("oid").cast("string"),
+        lit("province_id"), col("pid").cast("string"),
+        lit("user_id"), col("uid").cast("string"),
+        lit("order_status"), lit("1001"),
+        lit("total_amount"), col("amt").cast("string"),
+        lit("create_time"), col("ct"))),
+      cdcLine("order_detail", map(
+        lit("id"), col("oid").cast("string"),
+        lit("order_id"), col("oid").cast("string"),
+        lit("sku_id"), sku,
+        lit("sku_num"), lit("1"),
+        lit("sku_name"), concat(lit("sku-"), sku),
+        lit("order_price"), col("amt").cast("string"),
+        lit("split_total_amount"), col("amt").cast("string"),
+        lit("create_time"), col("ct"))),
+      cdcLine("payment_info", map(
+        lit("id"), col("oid").cast("string"),
+        lit("order_id"), col("oid").cast("string"),
+        lit("user_id"), col("uid").cast("string"),
+        lit("total_amount"), col("amt").cast("string"),
+        lit("subject"), lit("order"),
+        lit("payment_type"), lit("1102"),
+        lit("create_time"), date_format(
+          timestamp_millis(col("tms") + 60000L), "yyyy-MM-dd HH:mm:ss"))),
+      cdcLine("favor_info", map(
+        lit("id"), col("oid").cast("string"), lit("sku_id"), sku,
+        lit("ts"), col("tms").cast("string"))),
+      cdcLine("cart_info", map(
+        lit("id"), col("oid").cast("string"), lit("sku_id"), sku,
+        lit("ts"), col("tms").cast("string"))),
+      cdcLine("comment_info", map(
+        lit("id"), col("oid").cast("string"), lit("sku_id"), sku,
+        lit("appraise"),
+          when(pmod(col("oid"), lit(2)) === 0, "1201").otherwise("1202"),
+        lit("ts"), col("tms").cast("string"))),
+      cdcLine("refund_payment", map(
+        lit("id"), col("oid").cast("string"),
+        lit("order_id"), col("oid").cast("string"), lit("sku_id"), sku,
+        lit("refund_amount"), col("amt").cast("string"),
+        lit("ts"), col("tms").cast("string"))))
+      .map(c => s.select(c.as("value"))).reduce(_.unionByName(_))
+    facts.write.mode("append").parquet(topicDir(lay, OdsBaseDb))
+  }
+
+  /** The table_process config rows routing the CDC families (J4):
+    * facts → kafka dwd_* topics, base_province → hbase dim store. */
+  def config(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("order_info", "insert", "kafka", DwdOrderInfo,
+        "id,province_id,user_id,order_status,total_amount,create_time", "id", ""),
+      ("order_detail", "insert", "kafka", DwdOrderDetail,
+        "id,order_id,sku_id,sku_num,sku_name,order_price,split_total_amount,create_time", "id", ""),
+      ("payment_info", "insert", "kafka", DwdPaymentInfo,
+        "id,order_id,user_id,total_amount,subject,payment_type,create_time", "id", ""),
+      ("favor_info", "insert", "kafka", "dwd_favor_info", "id,sku_id,ts", "id", ""),
+      ("cart_info", "insert", "kafka", "dwd_cart_info", "id,sku_id,ts", "id", ""),
+      ("comment_info", "insert", "kafka", "dwd_comment_info",
+        "id,sku_id,appraise,ts", "id", ""),
+      ("refund_payment", "insert", "kafka", "dwd_refund_payment",
+        "id,order_id,sku_id,refund_amount,ts", "id", ""),
+      ("base_province", "insert", "hbase", "dim_base_province",
+        "id,name,area_code,iso_code,ver", "id", ""))
+      .toDF("sourceTable", "operateType", "sinkType", "sinkTable",
+        "sinkColumns", "sinkPk", "sinkExtend")
+  }
+
+  // ------------------------------------------------------------------
+  // shared wire decode + shaping (identical code on stream AND batch
+  // frames — engine mode is the only variable the equivalence gate sees)
+  // ------------------------------------------------------------------
+
+  private def topicDir(lay: Layout, name: String): String = lay.topic(name)
+
+  private def valueStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema("value STRING").parquet(dir)
+
+  private def valueBatch(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema("value STRING").parquet(dir)
+
+  /** Flat string-map decode of a routed dwd_* value (Schemas.cdcValue). */
+  private def mapOf(values: DataFrame): org.apache.spark.sql.Column =
+    from_json(col("value"), Schemas.cdcValue)
+
+  private def skuTsFrame(values: DataFrame, extra: (String, String)*): DataFrame =
+    values.select(mapOf(values).as("m"))
+      .select(col("m")("sku_id").cast("long").as("sku_id") +:
+        col("m")("ts").cast("long").as("ts") +:
+        extra.map { case (k, t) => col("m")(k).cast(t).as(k) }: _*)
+
+  /** dwm_order_wide wire row → the fields the DWS consumers key on. */
+  private def orderWideView(values: DataFrame): DataFrame =
+    values.select(mapOf(values).as("m")).select(
+      col("m")("o_id").cast("long").as("order_id"),
+      col("m")("o_create_ts").cast("long").as("create_ts"),
+      col("m")("o_user_id").cast("long").as("user_id"),
+      col("m")("o_province_id").cast("long").as("province_id"),
+      col("m")("province_name").as("province_name"),
+      col("m")("province_area_code").as("province_area_code"),
+      col("m")("province_iso_code").as("province_iso_code"),
+      col("m")("d_sku_id").cast("long").as("sku_id"),
+      col("m")("d_split_total_amount").cast("decimal(16,2)")
+        .as("split_total_amount"))
+
+  private def paymentWideView(values: DataFrame): DataFrame =
+    values.select(mapOf(values).as("m")).select(
+      col("m")("p_id").cast("long").as("payment_id"),
+      col("m")("ow_order_id").cast("long").as("order_id"),
+      col("m")("p_create_ts").cast("long").as("ts"),
+      col("m")("ow_sku_id").cast("long").as("sku_id"),
+      col("m")("ow_split_total_amount").cast("decimal(16,2)")
+        .as("split_total_amount"))
+
+  /** VisitorStats one-hot shaping (P7) — the three measure streams the
+    * reference unions (VisitorStatsApp.java:60-95). `parsed` frames carry
+    * Schemas.pageLog columns. */
+  private def pvRows(parsed: DataFrame): DataFrame =
+    parsed.select(
+      col("common.vc").as("vc"), col("common.ch").as("ch"),
+      col("common.ar").as("ar"), col("common.is_new").as("is_new"),
+      lit(0L).as("uv_ct"), lit(1L).as("pv_ct"),
+      when(col("page.last_page_id").isNull ||
+        col("page.last_page_id") === "", 1L).otherwise(0L).as("sv_ct"),
+      lit(0L).as("uj_ct"),
+      coalesce(col("page.during_time"), lit(0L)).as("dur_sum"), col("ts"))
+
+  private def oneHot(parsed: DataFrame, measure: String): DataFrame =
+    parsed.select(
+      col("common.vc").as("vc"), col("common.ch").as("ch"),
+      col("common.ar").as("ar"), col("common.is_new").as("is_new"),
+      lit(if (measure == "uv") 1L else 0L).as("uv_ct"), lit(0L).as("pv_ct"),
+      lit(0L).as("sv_ct"),
+      lit(if (measure == "uj") 1L else 0L).as("uj_ct"),
+      lit(0L).as("dur_sum"), col("ts"))
+
+  private def productInputs(page: DataFrame, favor: DataFrame,
+      cart: DataFrame, ow: DataFrame, pw: DataFrame, refund: DataFrame,
+      comment: DataFrame): DataFrame =
+    ProductStatsShaping.unionAll(Seq(
+      ProductStatsShaping.fromPageClicks(page),
+      ProductStatsShaping.fromDisplays(page),
+      ProductStatsShaping.fromFavor(favor),
+      ProductStatsShaping.fromCart(cart),
+      ProductStatsShaping.fromOrders(
+        ow.withColumnRenamed("create_ts", "ts")),
+      ProductStatsShaping.fromPayments(pw),
+      ProductStatsShaping.fromRefunds(refund),
+      ProductStatsShaping.fromComments(comment)))
+
+  private def provinceInput(ow: DataFrame): DataFrame =
+    ow.select(col("province_id"), col("province_name"),
+      col("province_area_code"), col("province_iso_code"),
+      col("order_id"), col("split_total_amount"),
+      col("create_ts").as("ts"))
+
+  // ------------------------------------------------------------------
+  // the concurrent chain
+  // ------------------------------------------------------------------
+
+  /** Start every layer as a live checkpointed StreamingQuery. Memory-sink
+    * DWS tables: wh_visitor / wh_province / wh_keyword / wh_product
+    * (complete mode — every window emitted every batch, the same contract
+    * the individual st_* DWS twins gate on). Returns name → query. */
+  def start(spark: SparkSession, lay: Layout): Map[String, StreamingQuery] = {
+    // every topic dir must exist before a consumer's file source starts
+    Seq(OdsBaseLog, OdsBaseDb, DwdStartLog, DwdDisplayLog, DwdPageLog,
+      DwmUniqueVisit, DwmUserJumpDetail, DwmOrderWide, DwmPaymentWide)
+      .foreach(t => new java.io.File(lay.topic(t)).mkdirs())
+    Seq(DwdOrderInfo, DwdOrderDetail, DwdPaymentInfo, "dwd_favor_info",
+      "dwd_cart_info", "dwd_comment_info", "dwd_refund_payment")
+      .foreach(t => new java.io.File(lay.dbTopic(t)).mkdirs())
+    val cfg = config(spark)
+
+    def writeValues(df: DataFrame, dir: String): Unit =
+      df.write.mode("append").parquet(dir)
+
+    // --- BaseLogApp: one consumer, three topic sinks (deployBaseLog shape)
+    val repaired = BaseLog.repairIsNew(BaseLog.clean(BaseLog.parse(
+      valueStream(spark, lay.topic(OdsBaseLog)))))
+    val baseLogQ = repaired.writeStream
+      .option("checkpointLocation", lay.ck("base_log"))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          val asJson = (df: DataFrame) =>
+            df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+          writeValues(asJson(BaseLog.pageLog(batch)), lay.topic(DwdPageLog))
+          writeValues(asJson(BaseLog.startLog(batch)), lay.topic(DwdStartLog))
+          writeValues(BaseLog.displayLog(batch)
+            .select(to_json(struct(col("ts"), col("mid"), col("page_id"),
+              col("display_type"), col("item"), col("item_type"),
+              col("pos_id"), col("order"))).as("value")),
+            lay.topic(DwdDisplayLog))
+        } finally batch.unpersist()
+      }.start()
+
+    // --- BaseDBApp: dynamic kafka routing + hbase dim upsert (K2 + K3)
+    val routed = DbRouting.route(DbRouting.dropDeletes(DbRouting.parseCdc(
+      valueStream(spark, lay.topic(OdsBaseDb)))), cfg)
+    val baseDbQ = routed.writeStream
+      .option("checkpointLocation", lay.ck("base_db"))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          // dims COMMIT BEFORE facts publish: a downstream fact consumer
+          // must never see a fact file whose batch's dim rows are not yet
+          // readable (the reference's HBase write happens in the same
+          // routing operator for the same reason)
+          val dims = DbRouting.hbaseRoute(batch)
+            .filter(col("sinkTable") === "dim_base_province")
+            .select(col("after")("id").as("id"), col("after")("name").as("name"),
+              col("after")("area_code").as("area_code"),
+              col("after")("iso_code").as("iso_code"),
+              col("after")("ver").as("ver"))
+          if (!dims.isEmpty)
+            DbRouting.upsertDim(spark, dims, lay.dimProvince, "id", "ver",
+              nBuckets = 8)
+          DbRouting.kafkaRoute(batch)
+            .select(col("sinkTable"), to_json(col("after")).as("value"))
+            .write.mode("append").partitionBy("sinkTable").parquet(lay.dbRoot)
+        } finally batch.unpersist()
+      }.start()
+
+    // --- DWM over dwd_page_log
+    val pageStream = KafkaTopology.parsePageLog(
+      valueStream(spark, lay.topic(DwdPageLog)))
+    val uvQ = Runner.toParquet(
+      Apps.uniqueVisit(pageStream, ttlMs = 0L),
+      lay.topic(DwmUniqueVisit), lay.ck("unique_visit"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    val ujQ = Runner.toParquet(
+      Bounce.detect(pageStream),
+      lay.topic(DwmUserJumpDetail), lay.ck("user_jump"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+
+    // --- OrderWideApp: stream-stream ±5s join + per-batch dim re-read (K3)
+    val joined = OrderWide.intervalJoin(
+      OrderWide.prefixed(KafkaTopology.parseOrderInfo(
+        valueStream(spark, lay.dbTopic(DwdOrderInfo))), "o_"),
+      OrderWide.prefixed(KafkaTopology.parseOrderDetail(
+        valueStream(spark, lay.dbTopic(DwdOrderDetail))), "d_"))
+    val orderWideQ = joined.writeStream
+      .option("checkpointLocation", lay.ck("order_wide"))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dim =
+          if (graft.io.DimStore.exists(spark, lay.dimProvince))
+            DbRouting.readDim(spark, lay.dimProvince)
+              .select("id", "name", "area_code", "iso_code")
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq("id", "name", "area_code", "iso_code")
+              .map(StructField(_, StringType))))
+        val enriched = OrderWide.enrich(batch,
+          Seq(("province_", dim, "o_province_id", "id")))
+        writeValues(enriched.select(to_json(struct(
+          enriched.columns.map(col): _*)).as("value")),
+          lay.topic(DwmOrderWide))
+      }.start()
+
+    // --- PaymentWideApp: −15min/+5s stream-stream join over the re-entrant
+    // order-wide topic (the wire re-parse is the reference's re-consume)
+    val owBack = orderWideView(valueStream(spark, lay.topic(DwmOrderWide)))
+      .select(col("order_id"), col("create_ts"), col("sku_id"),
+        col("split_total_amount"))
+    val pw = Apps.paymentWide(KafkaTopology.parsePaymentInfo(
+      valueStream(spark, lay.dbTopic(DwdPaymentInfo))), owBack)
+    val paymentWideQ = pw.writeStream
+      .option("checkpointLocation", lay.ck("payment_wide"))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeValues(batch.select(to_json(struct(
+          batch.columns.map(col): _*)).as("value")),
+          lay.topic(DwmPaymentWide))
+      }.start()
+
+    // --- DWS: the four summary apps, complete-mode memory sinks
+    val pv = pvRows(pageStream)
+    val uv = oneHot(KafkaTopology.parsePageLog(
+      valueStream(spark, lay.topic(DwmUniqueVisit))), "uv")
+    val uj = oneHot(KafkaTopology.parsePageLog(
+      valueStream(spark, lay.topic(DwmUserJumpDetail))), "uj")
+    val visitorQ = WindowStats.visitorStats(pv.unionByName(uv).unionByName(uj))
+      .writeStream.format("memory").queryName("wh_visitor")
+      .option("checkpointLocation", lay.ck("visitor"))
+      .outputMode("complete").start()
+
+    val provinceQ = WindowStats.provinceStats(provinceInput(
+      orderWideView(valueStream(spark, lay.topic(DwmOrderWide)))))
+      .writeStream.format("memory").queryName("wh_province")
+      .option("checkpointLocation", lay.ck("province"))
+      .outputMode("complete").start()
+
+    implicit val s: SparkSession = spark
+    val keywordQ = WindowStats.keywordStats(pageStream)
+      .writeStream.format("memory").queryName("wh_keyword")
+      .option("checkpointLocation", lay.ck("keyword"))
+      .outputMode("complete").start()
+
+    val productQ = WindowStats.productStats(productInputs(
+      pageStream,
+      skuTsFrame(valueStream(spark, lay.dbTopic("dwd_favor_info"))),
+      skuTsFrame(valueStream(spark, lay.dbTopic("dwd_cart_info"))),
+      orderWideView(valueStream(spark, lay.topic(DwmOrderWide))),
+      paymentWideView(valueStream(spark, lay.topic(DwmPaymentWide))),
+      skuTsFrame(valueStream(spark, lay.dbTopic("dwd_refund_payment")),
+        "order_id" -> "long", "refund_amount" -> "decimal(16,2)"),
+      skuTsFrame(valueStream(spark, lay.dbTopic("dwd_comment_info")),
+        "appraise" -> "string")))
+      .writeStream.format("memory").queryName("wh_product")
+      .option("checkpointLocation", lay.ck("product"))
+      .outputMode("complete").start()
+
+    Map(
+      "base_log" -> baseLogQ, "base_db" -> baseDbQ,
+      "unique_visit" -> uvQ, "user_jump" -> ujQ,
+      "order_wide" -> orderWideQ, "payment_wide" -> paymentWideQ,
+      "visitor" -> visitorQ, "province" -> provinceQ,
+      "keyword" -> keywordQ, "product" -> productQ)
+  }
+
+  /** Drain the chain topologically: upstream processAllAvailable barriers
+    * release downstream file sources batch by batch, while every query
+    * stays live (the barriers are observation points, not lifecycle —
+    * all ten queries hold their checkpoints and state across them). The
+    * sentinel written between the two DWM drains advances the page-stream
+    * watermark so bounce timers fire exactly once. */
+  def drainAll(spark: SparkSession, sfDir: String, lay: Layout,
+      qs: Map[String, StreamingQuery]): Unit = {
+    qs("base_log").processAllAvailable()
+    qs("base_db").processAllAvailable()
+    Seq("unique_visit", "order_wide").foreach(qs(_).processAllAvailable())
+    qs("payment_wide").processAllAvailable()
+    genSentinel(spark, sfDir, lay)
+    qs("base_log").processAllAvailable()
+    qs("unique_visit").processAllAvailable()
+    qs("user_jump").processAllAvailable() // sentinel batch + timer batches
+    Seq("visitor", "province", "keyword", "product")
+      .foreach(qs(_).processAllAvailable())
+  }
+
+  // ------------------------------------------------------------------
+  // the gate: the chain's terminal visitor frame (externally oracle-
+  // gated) + stream≡batch equivalence booleans for every other layer
+  // ------------------------------------------------------------------
+
+  /** 1-row frame of TRUE iff `a` and `b` are multiset-equal. */
+  private def same(a: DataFrame, b: DataFrame, name: String): DataFrame =
+    a.exceptAll(b).agg(count(lit(1)).as("_x"))
+      .crossJoin(broadcast(b.exceptAll(a).agg(count(lit(1)).as("_y"))))
+      .select((col("_x") === 0 && col("_y") === 0).as(name))
+
+  /** The seven per-layer equivalence booleans, one 1-row broadcastable
+    * frame. Each compares the LIVE chain's committed wire/memory output
+    * against the same shaping code run as a batch composition over the
+    * same upstream inputs — engine mode (keyed state machines, stream-
+    * stream joins, complete-mode window state, checkpointed fan-out
+    * under concurrency) is the only variable. The batch compositions'
+    * own external parity is what the a1-a5/c1/j1/j2 oracle rows already
+    * pin, so TRUE here extends those proofs to the concurrent chain. */
+  def equivalenceGate(spark: SparkSession, lay: Layout): DataFrame = {
+    val uvStream = KafkaTopology.parsePageLog(
+      valueBatch(spark, lay.topic(DwmUniqueVisit)))
+      .filter(col("common.mid") =!= SentinelMid)
+      .select(col("common.mid").as("mid"), col("ts"))
+    val ujStream = KafkaTopology.parsePageLog(
+      valueBatch(spark, lay.topic(DwmUserJumpDetail)))
+      .select(col("common.mid").as("mid"), col("ts"))
+    val owStream = orderWideView(valueBatch(spark, lay.topic(DwmOrderWide)))
+      .select("order_id", "sku_id", "province_name", "split_total_amount",
+        "create_ts")
+    val owBatch = batchOrderWide(spark, lay)
+      .select(col("o_id").as("order_id"), col("d_sku_id").as("sku_id"),
+        col("province_name"),
+        col("d_split_total_amount").as("split_total_amount"),
+        col("o_create_ts").as("create_ts"))
+    val pwStream = paymentWideView(valueBatch(spark, lay.topic(DwmPaymentWide)))
+    val pwBatch = batchPaymentWide(spark, lay)
+      .select(col("p_id").as("payment_id"), col("ow_order_id").as("order_id"),
+        col("p_create_ts").as("ts"), col("ow_sku_id").as("sku_id"),
+        col("ow_split_total_amount").as("split_total_amount"))
+    // DWS batch twins: ow/pw consumed from the committed wire (their own
+    // wire≡batch proof is order_ok/payment_ok) — provenance stays layered
+    val owWire = orderWideView(valueBatch(spark, lay.topic(DwmOrderWide)))
+    val pwWire = paymentWideView(valueBatch(spark, lay.topic(DwmPaymentWide)))
+    val pg = batchPage(spark, lay)
+    implicit val s: SparkSession = spark
+    val provinceBatch = WindowStats.provinceStats(provinceInput(owWire))
+    val keywordBatch = WindowStats.keywordStats(pg)
+    val productBatch = WindowStats.productStats(productInputs(
+      pg,
+      skuTsFrame(valueBatch(spark, lay.dbTopic("dwd_favor_info"))),
+      skuTsFrame(valueBatch(spark, lay.dbTopic("dwd_cart_info"))),
+      owWire, pwWire,
+      skuTsFrame(valueBatch(spark, lay.dbTopic("dwd_refund_payment")),
+        "order_id" -> "long", "refund_amount" -> "decimal(16,2)"),
+      skuTsFrame(valueBatch(spark, lay.dbTopic("dwd_comment_info")),
+        "appraise" -> "string")))
+    Seq(
+      same(uvStream, batchUv(spark, lay), "uv_ok"),
+      same(ujStream, batchUj(spark, lay), "uj_ok"),
+      same(owStream, owBatch, "order_ok"),
+      same(pwStream, pwBatch, "payment_ok"),
+      same(spark.table("wh_province"), provinceBatch, "province_ok"),
+      same(spark.table("wh_keyword"), keywordBatch, "keyword_ok"),
+      same(spark.table("wh_product"), productBatch, "product_ok"))
+      .reduce((a, b) => a.crossJoin(broadcast(b)))
+  }
+
+  /** The chain's terminal frame in a1_visitor_window's oracle shape: the
+    * sentinel's own group dropped, cents divided back to DECIMAL and cast
+    * DOUBLE exactly like the oracle's sum(CAST(value AS DECIMAL(18,2))).
+    * pv_ct/dur_sum come from the pv one-hot rows; the uv/uj rows merged
+    * into the same groups contribute zeros to both (their own measures
+    * are proven by uv_ok/uj_ok). */
+  def visitorResult(spark: SparkSession, gate: DataFrame): DataFrame =
+    spark.table("wh_visitor")
+      .filter(col("ch") =!= SentinelMid)
+      .select(col("stt"), col("edt"), col("ch").as("event_type"),
+        col("pv_ct"),
+        (col("dur_sum").cast("decimal(22,2)") / 100).cast("double")
+          .as("dur_sum"))
+      .crossJoin(broadcast(gate))
+      .orderBy("stt", "event_type")
+
+  // ------------------------------------------------------------------
+  // batch twins (the equivalence side of the gate): the SAME shaping
+  // code over batch reads of the same wire dirs' UPSTREAM inputs —
+  // stream-specific state machines restated as batch folds/windows
+  // ------------------------------------------------------------------
+
+  /** Batch page frame from the ODS dir: parse + clean (is_new repair is a
+    * no-op by construction — every generated line says is_new=0), minus
+    * the sentinel. */
+  def batchPage(spark: SparkSession, lay: Layout): DataFrame =
+    BaseLog.pageLog(BaseLog.clean(BaseLog.parse(
+      valueBatch(spark, lay.topic(OdsBaseLog)))))
+      .filter(col("common.mid") =!= SentinelMid)
+
+  /** Batch UV twin: first entry-page per (mid, day) by (ts, event order);
+    * ties cannot occur (unique per-mid ts — module precondition). */
+  def batchUv(spark: SparkSession, lay: Layout): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val entries = batchPage(spark, lay)
+      .filter(col("page.last_page_id").isNull || col("page.last_page_id") === "")
+    entries
+      // date_format renders in the session time zone — the same zone
+      // UniqueVisit.dedup buckets its per-mid day state by
+      .withColumn("_day",
+        date_format(timestamp_millis(col("ts")), "yyyy-MM-dd"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("common.mid"), col("_day")).orderBy(col("ts"))))
+      .filter(col("_rn") === 1)
+      .select(col("common.mid").as("mid"), col("ts"))
+  }
+
+  /** Batch bounce twin: the SHIPPED pure transition ([[Bounce.advance]])
+    * folded per mid in ts order, trailing pendings flushed — exactly what
+    * the streaming timers emit once the sentinel advances the watermark
+    * past every pending's window. */
+  def batchUj(spark: SparkSession, lay: Layout): DataFrame = {
+    import spark.implicits._
+    batchPage(spark, lay)
+      .select(col("common.mid").as("mid"), col("ts"),
+        coalesce(col("page.last_page_id"), lit("")).as("lastPageId"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (mid: String, rows: Iterator[(String, Long, String)]) =>
+        val sorted = rows.toSeq.sortBy(_._2)
+          .map { case (_, ts, lp) => (ts, lp.isEmpty, ts.toString) }
+        val (out, pending) = Bounce.advance(None, sorted)
+        (out ++ pending.map(_.json)).map(p => (mid, p.toLong)).iterator
+      }
+      .toDF("mid", "ts")
+  }
+
+  /** Batch order-wide twin: routed CDC re-parsed, equi-join with the ±5s
+    * bound as a plain predicate, broadcast dim enrichment from the SAME
+    * DimStore snapshot the live chain committed. */
+  def batchOrderWide(spark: SparkSession, lay: Layout): DataFrame = {
+    val oi = OrderWide.prefixed(KafkaTopology.parseOrderInfo(
+      valueBatch(spark, lay.dbTopic(DwdOrderInfo))), "o_")
+    val od = OrderWide.prefixed(KafkaTopology.parseOrderDetail(
+      valueBatch(spark, lay.dbTopic(DwdOrderDetail))), "d_")
+    val joined = oi.join(od, col("o_id") === col("d_order_id") &&
+      abs(col("d_create_ts") - col("o_create_ts")) <=
+        OrderWide.JoinBoundSec * 1000L)
+    val dim = DbRouting.readDim(spark, lay.dimProvince)
+      .select("id", "name", "area_code", "iso_code")
+    OrderWide.enrich(joined, Seq(("province_", dim, "o_province_id", "id")))
+  }
+
+  def batchPaymentWide(spark: SparkSession, lay: Layout): DataFrame = {
+    val pay = OrderWide.prefixed(KafkaTopology.parsePaymentInfo(
+      valueBatch(spark, lay.dbTopic(DwdPaymentInfo))), "p_")
+    val ow = OrderWide.prefixed(batchOrderWide(spark, lay)
+      .select(col("o_id").as("order_id"), col("o_create_ts").as("create_ts"),
+        col("d_sku_id").as("sku_id"),
+        col("d_split_total_amount").as("split_total_amount")), "ow_")
+    PaymentWide.mergedView(
+      pay.join(ow, col("p_order_id") === col("ow_order_id") &&
+        col("ow_create_ts").between(
+          col("p_create_ts") - 15L * 60000L, col("p_create_ts") + 5000L)))
+  }
+
+}
