@@ -75,7 +75,8 @@ object Warehouse {
     *   - ba carries the event_id (an opaque client field on the wire)
     *     so chain outputs stay joinable in diagnostics.
     */
-  def genBaseLog(spark: SparkSession, sfDir: String, lay: Layout): Unit = {
+  def genBaseLog(spark: SparkSession, sfDir: String, lay: Layout,
+      chunks: Int = 1): Unit = {
     val e = graft.core.Tables.load(spark, sfDir, "events")
     val b = pmod(col("event_id"), lit(3))
     val nullS = lit(null).cast("string")
@@ -97,7 +98,39 @@ object Warehouse {
         (col("value").cast("decimal(18,2)") * 100).cast("long")
           .as("during_time")).as("page"),
       unix_millis(col("ts")).as("ts")))
-    e.select(line.as("value")).write.mode("append").parquet(topicDir(lay, OdsBaseLog))
+    val lines = e.select(line.as("value"), unix_millis(col("ts")).as("_t"))
+    if (chunks <= 1)
+      lines.select("value").write.mode("append")
+        .parquet(topicDir(lay, OdsBaseLog))
+    else {
+      // time-sliced chunks with staggered mtimes: the file source replays
+      // them as ordered micro-batches (maxFilesPerTrigger=1), preserving
+      // the per-mid event-time arrival order the keyed folds assume —
+      // hash-chunking would scatter a mid's events across batches out of
+      // order and the bounce/UV state machines would legitimately diverge
+      // from their batch twins
+      val mm = lines.agg(min(col("_t")), max(col("_t"))).collect()(0)
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val span = math.max(hi - lo + 1L, 1L)
+      val bucketed = lines.withColumn("_b",
+        ((col("_t") - lo) * chunks / span).cast("int")).persist()
+      bucketed.count()
+      val t0 = System.currentTimeMillis() - 3600000L
+      new java.io.File(topicDir(lay, OdsBaseLog)).mkdirs()
+      try (0 until chunks).foreach { i =>
+        // single flat files in the topic dir (the source does not walk
+        // non-partition subdirs): write-to-stage, move the part file in
+        val stage = s"${lay.root}/_stage/chunk$i"
+        bucketed.filter(col("_b") === i).select("value")
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(
+          topicDir(lay, OdsBaseLog), f"chunk$i%04d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(t0 + i * 1000L)
+      } finally bucketed.unpersist()
+    }
   }
 
   /** The far-future watermark driver: one page line for [[SentinelMid]] an
@@ -237,8 +270,9 @@ object Warehouse {
 
   private def topicDir(lay: Layout, name: String): String = lay.topic(name)
 
-  private def valueStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema("value STRING").parquet(dir)
+  private def valueStream(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema("value STRING").options(options).parquet(dir)
 
   private def valueBatch(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema("value STRING").parquet(dir)
@@ -326,7 +360,8 @@ object Warehouse {
     * DWS tables: wh_visitor / wh_province / wh_keyword / wh_product
     * (complete mode — every window emitted every batch, the same contract
     * the individual st_* DWS twins gate on). Returns name → query. */
-  def start(spark: SparkSession, lay: Layout): Map[String, StreamingQuery] = {
+  def start(spark: SparkSession, lay: Layout,
+      odsOptions: Map[String, String] = Map.empty): Map[String, StreamingQuery] = {
     // every topic dir must exist before a consumer's file source starts
     Seq(OdsBaseLog, OdsBaseDb, DwdStartLog, DwdDisplayLog, DwdPageLog,
       DwmUniqueVisit, DwmUserJumpDetail, DwmOrderWide, DwmPaymentWide)
@@ -336,12 +371,21 @@ object Warehouse {
       .foreach(t => new java.io.File(lay.dbTopic(t)).mkdirs())
     val cfg = config(spark)
 
+    // ONE file per topic per batch: a multi-part commit is not atomic (the
+    // job committer renames task files one by one), so a concurrent
+    // downstream listing can catch HALF a batch — the missed parts then
+    // arrive as late, out-of-order rows in the consumer's next batch,
+    // breaking the per-key ordered-arrival contract the keyed folds
+    // document (observed as bounce timers landing behind the watermark).
+    // A single rename is atomic: a batch's file is visible entirely or
+    // not at all — the file-topic analog of Kafka's per-partition order
+    // (which a mid/id-keyed producer gives the real deployment).
     def writeValues(df: DataFrame, dir: String): Unit =
-      df.write.mode("append").parquet(dir)
+      df.coalesce(1).write.mode("append").parquet(dir)
 
     // --- BaseLogApp: one consumer, three topic sinks (deployBaseLog shape)
     val repaired = BaseLog.repairIsNew(BaseLog.clean(BaseLog.parse(
-      valueStream(spark, lay.topic(OdsBaseLog)))))
+      valueStream(spark, lay.topic(OdsBaseLog), odsOptions))))
     val baseLogQ = repaired.writeStream
       .option("checkpointLocation", lay.ck("base_log"))
       .outputMode("append")
@@ -362,7 +406,7 @@ object Warehouse {
 
     // --- BaseDBApp: dynamic kafka routing + hbase dim upsert (K2 + K3)
     val routed = DbRouting.route(DbRouting.dropDeletes(DbRouting.parseCdc(
-      valueStream(spark, lay.topic(OdsBaseDb)))), cfg)
+      valueStream(spark, lay.topic(OdsBaseDb), odsOptions))), cfg)
     val baseDbQ = routed.writeStream
       .option("checkpointLocation", lay.ck("base_db"))
       .outputMode("append")
@@ -384,6 +428,7 @@ object Warehouse {
               nBuckets = 8)
           DbRouting.kafkaRoute(batch)
             .select(col("sinkTable"), to_json(col("after")).as("value"))
+            .coalesce(1) // one file per sink table per batch (atomic rename)
             .write.mode("append").partitionBy("sinkTable").parquet(lay.dbRoot)
         } finally batch.unpersist()
       }.start()

@@ -91,8 +91,15 @@ object Bounce extends Serializable {
         next match {
           case Some(p) =>
             state.update(p)
-            // arm the event-time timeout for the pending entry
-            state.setTimeoutTimestamp(p.ts + WindowMs)
+            // arm the event-time timeout for the pending entry, clamped
+            // above the watermark: flatMapGroupsWithState does NOT filter
+            // late data, so a disordered edge (multi-partition Kafka, a
+            // non-atomic file commit) can hand us an entry already past
+            // its window — the clamp fires its timeout in the next batch
+            // (Flink's fire-at-watermark-passage semantics) instead of
+            // crashing the query on an in-the-past timer
+            state.setTimeoutTimestamp(
+              math.max(p.ts + WindowMs, state.getCurrentWatermarkMs() + 1L))
           case None => if (state.exists) state.remove()
         }
       }
