@@ -46,7 +46,10 @@ object AnnScaleRehearsal {
 
     val out = new StringBuilder
     out.append(s"""{"iters":$iters""")
-    for (size <- Seq("sfS", "sfL")) {
+    // extra args select the size labels (e.g. `sfS sfL sfXL` for the
+    // 1×/10×/100× law over gen_ann_rehearsal.py's third decade)
+    val sizes = if (args.length > 1) args.drop(1).toSeq else Seq("sfS", "sfL")
+    for (size <- sizes) {
       val e = spark.read.parquet(s"$base/$size/embeddings.parquet")
         .cache()
       val n = e.count()

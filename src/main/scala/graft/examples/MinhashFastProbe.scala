@@ -85,8 +85,14 @@ object MinhashFastProbe {
       val rf = gt.join(f, Seq("doc_a", "doc_b"), "left_semi").count()
       println(f"[mhprobe] $dir gt=$ngt recall_md5=${rm.toDouble / ngt}%.4f " +
         f"recall_fast=${rf.toDouble / ngt}%.4f")
-      // simhash kernels (§8f): signature wall + banded-hamming agreement
-      for (i <- 1 to 2) {
+      // simhash kernels (§8f): signature wall + banded-hamming agreement.
+      // Skipped past 100k docs: a 16-bit sketch banded at 8 bits has 256
+      // buckets per band, so Σ bucket² goes quadratic in corpus size
+      // (≈7.6G candidate pairs at 500k docs) — §8f already adjudicated
+      // the 16-bit width as margin-dominated; only the 64-bit rows below
+      // carry meaning at the third decade
+      val nDocs = docs.count()
+      if (nDocs <= 100000) for (i <- 1 to 2) {
         time(s"$dir simhash md5 #$i") {
           Dedup.simhash(docs, "text", "doc_id")
             .write.format("noop").mode("overwrite").save() }
@@ -94,14 +100,16 @@ object MinhashFastProbe {
           Dedup.simhashFast(docs, "text", "doc_id")
             .write.format("noop").mode("overwrite").save() }
       }
-      val smM = Dedup.simhashNeardupPairs(docs, "text", "doc_id")
-        .select("doc_a", "doc_b").staged
-      val smF = Dedup.simhashNeardupPairs(docs, "text", "doc_id", fast = true)
-        .select("doc_a", "doc_b").staged
-      val snm = smM.count(); val snf = smF.count()
-      val sni = smM.join(smF, Seq("doc_a", "doc_b"), "left_semi").count()
-      println(f"[mhprobe] $dir simhash pairs md5=$snm fast=$snf inter=$sni " +
-        f"agreement=${sni.toDouble / (snm + snf - sni)}%.4f")
+      if (nDocs <= 100000) {
+        val smM = Dedup.simhashNeardupPairs(docs, "text", "doc_id")
+          .select("doc_a", "doc_b").staged
+        val smF = Dedup.simhashNeardupPairs(docs, "text", "doc_id", fast = true)
+          .select("doc_a", "doc_b").staged
+        val snm = smM.count(); val snf = smF.count()
+        val sni = smM.join(smF, Seq("doc_a", "doc_b"), "left_semi").count()
+        println(f"[mhprobe] $dir simhash pairs md5=$snm fast=$snf inter=$sni " +
+          f"agreement=${sni.toDouble / (snm + snf - sni)}%.4f")
+      }
       // the PRODUCTION simhash width (x_simhash64_neardup's gate
       // provenance): 64-bit fast sketch, Manku 4x16 bands, hamming <= 3,
       // recall vs the SAME rare-blocked exact-Jaccard ground truth the

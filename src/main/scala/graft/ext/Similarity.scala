@@ -906,6 +906,54 @@ object Similarity {
         .staged,
       dim, nBits, bandBits, threshold)
 
+  /** Fold newly-ACCEPTED vectors into an existing index, so the next
+    * micro-batch dedups against the frozen corpus AND batches 1..N−1 —
+    * the vector-modality analog of [[Dedup.extendLineIndex]] (the SRP
+    * refresh cadence a production ingest needs: without it, two near-dup
+    * vectors arriving in different batches both pass the gate). Band
+    * keys are recomputed map-only for the delta; both frames stage so
+    * downstream batches reuse the exchange. The caller owns durability —
+    * persist the delta per batch and rebuild on restart (the
+    * st_srp_dedup_stream recipe: idempotent per-batch parquet dirs). */
+  def extendSrpIndex(index: SrpIndex, accepted: DataFrame, idCol: String,
+      vecCol: String): SrpIndex =
+    SrpIndex(
+      index.bandKeys.unionByName(
+        srpBandKeys(accepted, idCol, vecCol, index.dim, index.nBits,
+          index.bandBits).withColumnRenamed(idCol, "_idx_id")).staged,
+      index.vecs.unionByName(
+        accepted.select(col(idCol).as("_idx_id"), col(vecCol).as("_idx_e")))
+        .staged,
+      index.dim, index.nBits, index.bandBits, index.threshold)
+
+  /** One micro-batch of the durable incremental SRP gate — the
+    * st_srp_dedup_stream step, factored so IncrementalDedupStreamSpec
+    * drives the SHIPPED recipe (not a spec-local copy): the effective
+    * index is the frozen corpus extended with the persisted survivors of
+    * every strictly-earlier batch; the gated batch's own survivors
+    * persist to `seenRoot/b<batchId>` with overwrite semantics (a
+    * replayed batch rewrites its own dir and never extends anyone
+    * else's — idempotent under at-least-once delivery). `project` shapes
+    * the rows written to `out` (default: all columns). */
+  def srpDedupStep(index: SrpIndex, seenRoot: String, out: String,
+      batchId: Long, batch: DataFrame, idCol: String, vecCol: String,
+      project: DataFrame => DataFrame = identity): Unit = {
+    val spark = batch.sparkSession
+    val priorDirs = Option(new java.io.File(seenRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.matches("b\\d+") &&
+        f.getName.drop(1).toLong < batchId)
+      .map(_.getAbsolutePath).sorted.toIndexedSeq
+    val eff =
+      if (priorDirs.isEmpty) index
+      else extendSrpIndex(index, spark.read.parquet(priorDirs: _*),
+        idCol, vecCol)
+    val kept = srpDedupAgainst(eff, batch, idCol, vecCol)
+    project(kept).write.mode("append").parquet(out)
+    kept.select(col(idCol), col(vecCol))
+      .write.mode("overwrite").parquet(s"$seenRoot/b$batchId")
+  }
+
   /** Incremental embedding-dedup gate: drop batch rows with a verified
     * cosine near-dup in the frozen index, pass novel rows through with
     * every column intact. Per micro-batch the band keys are map-only and

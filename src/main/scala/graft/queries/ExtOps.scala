@@ -1434,10 +1434,22 @@ object ExtOps {
     * index over the accepted corpus (even vec_ids), incoming vectors (odd
     * vec_ids) gated per micro-batch through the checkpointed foreachBatch
     * topology. Kept = no verified cosine ≥0.3 against any band-colliding
-    * index vector. */
+    * index vector.
+    *
+    * The index is NOT frozen for the stream's lifetime (VERDICT r12 #6):
+    * each batch's ACCEPTED vectors persist to a durable per-batch parquet
+    * dir (`seen/b<batchId>`, overwrite = idempotent under at-least-once
+    * replay — the st_line_dedup_stream recipe), and batch N's effective
+    * index is the frozen corpus extended with every strictly-earlier
+    * batch's survivors ([[Similarity.extendSrpIndex]]), so a near-dup of
+    * a batch-1 vector arriving in batch 2 is flagged, restart-safe. The
+    * registry corpus arrives as one file batch (prior state empty — zero
+    * overhead in the verify/bench shape, oracle equivalence exact);
+    * IncrementalDedupStreamSpec drives the multi-batch + kill/restart
+    * paths where the extension actually bites. */
   val stSrpDedup = OpQuery(
     "st_srp_dedup_stream",
-    "streaming embedding dedup gate against a frozen SRP index (foreachBatch)",
+    "streaming embedding dedup: SRP index extended with each batch's survivors (durable state)",
     (s, dir) => {
       import org.apache.spark.sql.types._
       val emb = t(s, dir, "embeddings")
@@ -1446,6 +1458,7 @@ object ExtOps {
         dim = 64, nBits = 16, bandBits = 4, threshold = 0.3)
       val scratch = graft.core.Scratch.tempDir("graft_srp_stream_")
       val out = s"$scratch/out"; val ck = s"$scratch/ckpt"
+      val seenRoot = s"$scratch/seen"
       val embSchema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),
@@ -1453,10 +1466,11 @@ object ExtOps {
       val stream = s.readStream.schema(embSchema)
         .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
         .filter(col("vec_id") % 2 === 1)
-      val q = graft.streaming.Runner.toBatchSink(stream, ck) { (batch, _) =>
-        Similarity.srpDedupAgainst(index, batch, "vec_id", "embedding")
-          .select(col("vec_id"), col("label").cast("long").as("label"))
-          .write.mode("append").parquet(out)
+      val q = graft.streaming.Runner.toBatchSink(stream, ck) { (batch, batchId) =>
+        Similarity.srpDedupStep(index, seenRoot, out, batchId, batch,
+          "vec_id", "embedding",
+          project = _.select(col("vec_id"),
+            col("label").cast("long").as("label")))
       }
       try q.processAllAvailable() finally q.stop()
       s.read.parquet(out).orderBy("vec_id")

@@ -128,4 +128,53 @@ class IncrementalDedupStreamSpec extends SparkTestBase {
       .select("vec_id").as[Long].collect().toSet
     assert(finalKept == Set(3L, 7L)) // 5 ∥ e0 (cosine 1.0) → gated
   }
+
+  private def runSrpIncrStream(inDir: String, outDir: String, ck: String,
+      seenRoot: String, index: Similarity.SrpIndex): Unit = {
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(s"$inDir/*")
+    val q = Runner.toBatchSink(stream, ck) { (batch, batchId) =>
+      Similarity.srpDedupStep(index, seenRoot, outDir, batchId, batch,
+        "vec_id", "embedding")
+    }
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("SRP index refresh: a batch-2 near-dup of a batch-1 SURVIVOR is " +
+      "gated, restart-safe (srpDedupStep durable state)") {
+    val dir = tmpDir()
+    val e0 = Array(1.0f, 0.0f, 0.0f, 0.0f)   // frozen corpus
+    val b = Array(0.0f, 1.0f, 0.0f, 0.0f)    // batch-1 survivor
+    val bDup = Array(0.0f, 2.0f, 0.0f, 0.0f) // ∥ b, ⊥ e0 — only the
+                                             // EXTENDED index can gate it
+    val novel = Array(0.0f, 0.0f, 0.0f, 4.0f)
+    val index = Similarity.buildSrpIndex(
+      Seq((0L, e0)).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dim = 4, nBits = 8, bandBits = 4, threshold = 0.9)
+    // staggered mtimes → maxFilesPerTrigger=1 replays b0 before b1
+    Seq((1L, b)).toDF("vec_id", "embedding").write.parquet(s"$dir/in/b0")
+    val t0 = System.currentTimeMillis() - 600000L
+    new java.io.File(s"$dir/in/b0").listFiles().foreach(_.setLastModified(t0))
+    Seq((3L, bDup), (5L, novel)).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/in/b1")
+    runSrpIncrStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", s"$dir/seen", index)
+    val kept = spark.read.parquet(s"$dir/out")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L),
+      s"batch-2 near-dup of the batch-1 survivor must be gated, got $kept")
+
+    // kill/restart: no re-emission, and a post-restart near-dup of the
+    // PRE-RESTART survivor is still gated (the durable seen/ dirs are the
+    // recovery source, not driver memory)
+    runSrpIncrStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", s"$dir/seen", index)
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+    Seq((7L, Array(0.0f, 3.0f, 0.0f, 0.0f)), (9L, Array(0.0f, 0.0f, 5.0f, 0.0f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/in/b2")
+    runSrpIncrStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", s"$dir/seen", index)
+    val finalKept = spark.read.parquet(s"$dir/out")
+      .select("vec_id").as[Long].collect().toSet
+    assert(finalKept == Set(1L, 5L, 9L),
+      s"post-restart near-dup of a pre-restart survivor must be gated, got $finalKept")
+  }
 }

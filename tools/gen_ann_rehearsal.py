@@ -58,8 +58,12 @@ def write(out_dir, v, labels):
 def main():
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     n_large = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    # optional third decade (e.g. 200000 -> sfXL) for the 1x/10x/100x law
+    n_xl = int(sys.argv[3]) if len(sys.argv) > 3 else None
     rng = np.random.default_rng(42)
-    for name, n in (("sfS", n_small), ("sfL", n_large)):
+    sizes = [("sfS", n_small), ("sfL", n_large)] + (
+        [("sfXL", n_xl)] if n_xl else [])
+    for name, n in sizes:
         v, labels = gen(rng, n)
         write(os.path.join("target/ann_rehearsal", name), v, labels)
         print(f"[ann-rehearsal] {name}: {n} vectors x {DIM} dims")

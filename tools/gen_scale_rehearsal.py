@@ -96,6 +96,8 @@ def write_corpus(out_dir, texts, langs, sources):
 def main():
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     n_large = int(sys.argv[2]) if len(sys.argv) > 2 else 50000
+    # optional third decade (e.g. 500000 -> sfXL) for the 1x/10x/100x law
+    n_xl = int(sys.argv[3]) if len(sys.argv) > 3 else None
     rng = random.Random(42)
     con = duckdb.connect()
     rows = con.sql(
@@ -104,7 +106,9 @@ def main():
     langsrc = [(l, s) for (_, l, s) in rows]
     draw = zipf_sampler(rng, VOCAB_POOL, ZIPF_S)
 
-    for label, n in (("sfS", n_small), ("sfL", n_large)):
+    sizes = [("sfS", n_small), ("sfL", n_large)] + (
+        [("sfXL", n_xl)] if n_xl else [])
+    for label, n in sizes:
         texts, langs, sources = gen_corpus(rng, n, lengths, langsrc, draw)
         out = f"{OUT_BASE}/{label}"
         write_corpus(out, texts, langs, sources)
