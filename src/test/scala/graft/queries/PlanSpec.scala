@@ -488,6 +488,32 @@ class PlanSpec extends SparkTestBase {
     assert(!p.linesIterator.exists(_.matches("""\(\d+\) Sort\s*""")), p)
   }
 
+  test("ratelimit: one keyed exchange feeds the fold — no window, no cartesian") {
+    val p = planOf("a22_ratelimit")
+    // previous-KEPT is a data-dependent fold (flatMapGroups), not a lag
+    // window: the plan must carry exactly one keyed hash exchange into
+    // the MapGroups and no Window operator at all
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("MapGroups"), p)
+    assert(p.linesIterator.count(_.contains("hashpartitioning")) == 1, p)
+  }
+
+  test("resample forward-fill: LOCF window rides the grid join's user key") {
+    val p = planOf("a23_resample_ffill")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // same span-bounded grid discipline as a19…
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate\s*""")) == 1, p)
+    assert(p.contains("sequence("), p)
+    // …and the carry-forward window is keyed by user_id (the partition
+    // the grid join already established — no ungrouped window anywhere)
+    val windowDefs =
+      p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowDefs.nonEmpty, p)
+    assert(windowDefs.forall(_.contains("user_id")), windowDefs.mkString("\n"))
+  }
+
   test("resample zero-fill: span-bounded sequence explode, no cartesian grid") {
     val p = planOf("a19_resample_zerofill")
     // the grid must be generated per-user from the span aggregate (one
