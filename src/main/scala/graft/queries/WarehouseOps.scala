@@ -30,11 +30,15 @@ object WarehouseOps {
     * table (the a1 gate needs every row) and a deterministic 10% orders
     * subset through 10 concurrent checkpointed queries — the most
     * expensive registry entry by design; it is one query standing for the
-    * whole deployment. */
+    * whole deployment. The wall is fixed-cost dominated (10 query
+    * startups × per-batch state-store open/commit), so state partitions
+    * are sized DOWN to 2 here (measured 28.6 → 22.3 s vs 8) — the same
+    * start-time sizing decision withStatePartitions documents, made in
+    * the other direction by a production deploy with real key volume. */
   val stWarehouseE2e = OpQuery(
     "st_warehouse_e2e",
     "all 10 warehouse layers live at once, file-topic chained; a1 oracle + 7 layer booleans",
-    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+    (s, dir) => StreamingOps.withStatePartitions(s, 2) {
       val root = java.nio.file.Files.createTempDirectory("graft_wh").toString
       val lay = Warehouse.Layout(root)
       Warehouse.genBaseLog(s, dir, lay)

@@ -571,6 +571,7 @@ object Warehouse {
     * own external parity is what the a1-a5/c1/j1/j2 oracle rows already
     * pin, so TRUE here extends those proofs to the concurrent chain. */
   def equivalenceGate(spark: SparkSession, lay: Layout): DataFrame = {
+    import graft.core.Materialize.StageSyntax
     val uvStream = KafkaTopology.parsePageLog(
       valueBatch(spark, lay.topic(DwmUniqueVisit)))
       .filter(col("common.mid") =!= SentinelMid)
@@ -578,24 +579,28 @@ object Warehouse {
     val ujStream = KafkaTopology.parsePageLog(
       valueBatch(spark, lay.topic(DwmUserJumpDetail)))
       .select(col("common.mid").as("mid"), col("ts"))
-    val owStream = orderWideView(valueBatch(spark, lay.topic(DwmOrderWide)))
+    // staged once: the ODS re-parse feeds uv/uj/keyword/product twins and
+    // the CDC re-parse + join feeds both the order_ok and payment_ok legs
+    val pg = batchPage(spark, lay).staged
+    val owFull = batchOrderWide(spark, lay).staged
+    val owWire = orderWideView(valueBatch(spark, lay.topic(DwmOrderWide)))
+      .staged
+    val owStream = owWire
       .select("order_id", "sku_id", "province_name", "split_total_amount",
         "create_ts")
-    val owBatch = batchOrderWide(spark, lay)
+    val owBatch = owFull
       .select(col("o_id").as("order_id"), col("d_sku_id").as("sku_id"),
         col("province_name"),
         col("d_split_total_amount").as("split_total_amount"),
         col("o_create_ts").as("create_ts"))
-    val pwStream = paymentWideView(valueBatch(spark, lay.topic(DwmPaymentWide)))
-    val pwBatch = batchPaymentWide(spark, lay)
+    val pwWire = paymentWideView(valueBatch(spark, lay.topic(DwmPaymentWide)))
+      .staged
+    val pwBatch = batchPaymentWide(spark, lay, owFull)
       .select(col("p_id").as("payment_id"), col("ow_order_id").as("order_id"),
         col("p_create_ts").as("ts"), col("ow_sku_id").as("sku_id"),
         col("ow_split_total_amount").as("split_total_amount"))
     // DWS batch twins: ow/pw consumed from the committed wire (their own
     // wire≡batch proof is order_ok/payment_ok) — provenance stays layered
-    val owWire = orderWideView(valueBatch(spark, lay.topic(DwmOrderWide)))
-    val pwWire = paymentWideView(valueBatch(spark, lay.topic(DwmPaymentWide)))
-    val pg = batchPage(spark, lay)
     implicit val s: SparkSession = spark
     val provinceBatch = WindowStats.provinceStats(provinceInput(owWire))
     val keywordBatch = WindowStats.keywordStats(pg)
@@ -609,10 +614,10 @@ object Warehouse {
       skuTsFrame(valueBatch(spark, lay.dbTopic("dwd_comment_info")),
         "appraise" -> "string")))
     Seq(
-      same(uvStream, batchUv(spark, lay), "uv_ok"),
-      same(ujStream, batchUj(spark, lay), "uj_ok"),
+      same(uvStream, batchUv(pg), "uv_ok"),
+      same(ujStream, batchUj(pg), "uj_ok"),
       same(owStream, owBatch, "order_ok"),
-      same(pwStream, pwBatch, "payment_ok"),
+      same(pwWire, pwBatch, "payment_ok"),
       same(spark.table("wh_province"), provinceBatch, "province_ok"),
       same(spark.table("wh_keyword"), keywordBatch, "keyword_ok"),
       same(spark.table("wh_product"), productBatch, "product_ok"))
@@ -650,10 +655,12 @@ object Warehouse {
       .filter(col("common.mid") =!= SentinelMid)
 
   /** Batch UV twin: first entry-page per (mid, day) by (ts, event order);
-    * ties cannot occur (unique per-mid ts — module precondition). */
-  def batchUv(spark: SparkSession, lay: Layout): DataFrame = {
+    * ties cannot occur (unique per-mid ts — module precondition). Takes
+    * the (staged) batch page frame so the four page consumers in the
+    * gate share one ODS re-parse. */
+  def batchUv(page: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val entries = batchPage(spark, lay)
+    val entries = page
       .filter(col("page.last_page_id").isNull || col("page.last_page_id") === "")
     entries
       // date_format renders in the session time zone — the same zone
@@ -670,9 +677,10 @@ object Warehouse {
     * folded per mid in ts order, trailing pendings flushed — exactly what
     * the streaming timers emit once the sentinel advances the watermark
     * past every pending's window. */
-  def batchUj(spark: SparkSession, lay: Layout): DataFrame = {
+  def batchUj(page: DataFrame): DataFrame = {
+    val spark = page.sparkSession
     import spark.implicits._
-    batchPage(spark, lay)
+    page
       .select(col("common.mid").as("mid"), col("ts"),
         coalesce(col("page.last_page_id"), lit("")).as("lastPageId"))
       .as[(String, Long, String)]
@@ -702,10 +710,11 @@ object Warehouse {
     OrderWide.enrich(joined, Seq(("province_", dim, "o_province_id", "id")))
   }
 
-  def batchPaymentWide(spark: SparkSession, lay: Layout): DataFrame = {
+  def batchPaymentWide(spark: SparkSession, lay: Layout,
+      orderWideFrame: DataFrame): DataFrame = {
     val pay = OrderWide.prefixed(KafkaTopology.parsePaymentInfo(
       valueBatch(spark, lay.dbTopic(DwdPaymentInfo))), "p_")
-    val ow = OrderWide.prefixed(batchOrderWide(spark, lay)
+    val ow = OrderWide.prefixed(orderWideFrame
       .select(col("o_id").as("order_id"), col("o_create_ts").as("create_ts"),
         col("d_sku_id").as("sku_id"),
         col("d_split_total_amount").as("split_total_amount")), "ow_")
