@@ -20,17 +20,22 @@ import graft.streaming.Warehouse
   * diverging chain can never be reported (batching-invariance of every
   * layer is part of what this measures).
   *
-  * Args: [sfDir] [chunks]  (default /root/testdata/sf0.1, 20)
+  * Args: [sfDir] [chunks] [backend]  (default /root/testdata/sf0.1, 20,
+  * hdfs; pass `rocksdb` to run the whole chain on the production state
+  * backend — RocksDB with changelog checkpointing — and prove the same
+  * conformance booleans hold there)
   */
 object WarehouseRehearsal {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val chunks = args.lift(1).map(_.toInt).getOrElse(20)
+    val rocks = args.lift(2).contains("rocksdb")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (rocks) graft.streaming.Runner.useRocksDBStateStore(spark)
 
     val root = java.nio.file.Files.createTempDirectory("graft_whr").toString
     val lay = Warehouse.Layout(root)
@@ -56,8 +61,9 @@ object WarehouseRehearsal {
           f"${if (durs.nonEmpty) durs.max else 0L}%5d  $state%9d")
       }
       val events = spark.read.parquet(s"$sfDir/events.parquet").count()
-      println(f"[whr] chunks=$chunks wall=$wall%.1f s  " +
-        f"end-to-end ${events / wall}%.0f events/s  totalStateRows=$totalState")
+      println(f"[whr] chunks=$chunks backend=${if (rocks) "rocksdb" else "hdfs"} " +
+        f"wall=$wall%.1f s  end-to-end ${events / wall}%.0f events/s  " +
+        f"totalStateRows=$totalState")
       // conformance under multi-batch flow: same booleans as the gate query
       val gate = Warehouse.equivalenceGate(spark, lay).collect()(0)
       val names = Seq("uv_ok", "uj_ok", "order_ok", "payment_ok",

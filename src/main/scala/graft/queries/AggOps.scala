@@ -809,11 +809,64 @@ object AggOps {
                      AS DOUBLE) AS gauge
             FROM j ORDER BY user_id, bkt"""))
 
+  /** A24 (beyond ref) — exponentially weighted moving average, the
+    * standard monitoring smoother next to a18's decayed sums: one
+    * smoothed reading per event, s_t = (c_t + s_{t-1}) / 2 (α = 1/2).
+    * Like a22 the recurrence is data-dependent (each output feeds the
+    * next), so no fixed-depth window expresses it — per-key sorted fold
+    * on the Spark side, recursive CTE on the oracle side.
+    *
+    * Engine-parity design: the reading is the event value in exact CENTS
+    * (DECIMAL(18,2) × 100 → BIGINT — integral-valued, so truncate-vs-
+    * round cast semantics cannot diverge) and each step floors the
+    * integer average — both engines state floor division over
+    * non-negative operands, so every intermediate s_t is bit-identical
+    * and the query hash-gates with no epsilon anywhere. α = 1/2
+    * specifically BECAUSE halving is exact in integers; a production
+    * α = 1/2^k chain composes the same halving k times. */
+  val a24Ewma = OpQuery(
+    "a24_ewma",
+    "integer-exact EWMA (alpha=1/2) of value cents per user, one reading per event",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._2)
+        .flatMapGroups { (_: Long, rows) =>
+          var sAcc = Long.MinValue
+          rows.toSeq.sortBy(r => (r._3, r._1)).map { case (id, u, us, c) =>
+            sAcc = if (sAcc == Long.MinValue) c
+              else Math.floorDiv(c + sAcc, 2L)
+            (id, u, us, sAcc)
+          }.iterator
+        }
+        .toDF("event_id", "user_id", "us", "ewma_c")
+        .orderBy("event_id")
+    },
+    Some("""WITH RECURSIVE e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events),
+            r AS (
+              SELECT user_id, rn, event_id, us, c AS ewma_c
+              FROM e WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.rn, e.event_id, e.us,
+                     (e.c + r.ewma_c) // 2
+              FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+            SELECT event_id, user_id, us, ewma_c
+            FROM r ORDER BY event_id"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
     a12SessionPaths, a13ConversionLag, a14GroupingSets, a15Pivot,
     a16RollingWindow, a17Attribution, a18TrendDecay, a19ResampleZerofill,
-    a20Debounce, a21TrendTopk, a22RateLimit, a23ResampleFfill,
+    a20Debounce, a21TrendTopk, a22RateLimit, a23ResampleFfill, a24Ewma,
     k5LatestVersion)
 }

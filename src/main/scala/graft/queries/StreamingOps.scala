@@ -836,6 +836,54 @@ object StreamingOps {
     },
     AggOps.a22RateLimit.oracle)
 
+  case class EwEv(event_id: Long, user_id: Long, us: Long, c: Long)
+  case class EwState(s: Long)
+
+  /** The st_ewma_stream state machine, factored out so
+    * RestartResilienceSpec drives the REAL transform: keyed state is the
+    * last smoothed reading per user — one long per key, like debounce —
+    * and each batch's events fold through it in (event-time, id) order
+    * with the same integer-exact halving as a24_ewma. */
+  private[graft] def ewmaTransform(
+      typed: org.apache.spark.sql.Dataset[EwEv]): DataFrame = {
+    val s = typed.sparkSession
+    import s.implicits._
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[EwEv], state: GroupState[EwState]) => {
+          var acc = state.getOption.map(_.s).getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(e => (e.us, e.event_id)).map { e =>
+            acc = if (acc == Long.MinValue) e.c
+              else Math.floorDiv(e.c + acc, 2L)
+            (e.event_id, e.user_id, e.us, acc)
+          }
+          state.update(EwState(acc))
+          out.iterator
+        })
+      .toDF("event_id", "user_id", "us", "ewma_c")
+  }
+
+  /** Streaming twin of a24_ewma — the monitoring smoother as it actually
+    * deploys: one long of keyed state per user carried across
+    * micro-batches forever. Same batch-equality caveat as
+    * st_debounce_stream (per-key event-time-ordered arrival across
+    * batches; exact here because the corpus arrives as one file batch);
+    * RestartResilienceSpec proves the smoothed reading resumes from the
+    * checkpoint, not from a cold start. */
+  val stEwma = OpQuery(
+    "st_ewma_stream",
+    "streaming integer-exact EWMA: one long of keyed state per user",
+    (s, dir) => withStatePartitions(s, 8) {
+      import s.implicits._
+      val typed = eventStream(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .as[EwEv]
+      drain(ewmaTransform(typed), "st_ewma_out").orderBy("event_id")
+    },
+    AggOps.a24Ewma.oracle)
+
   /** Streaming twin of a18_trend_decay. The horizon is FROZEN before the
     * stream starts (one metadata-cheap batch max over the table — the
     * production trend board passes `now()` the same way), which makes
@@ -877,5 +925,6 @@ object StreamingOps {
     Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
       stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream,
       stCepTimes, stAttribution, stCmsHeavyHitters, stSketchRollup,
-      stCepNegation, stCepOptional, stTrendDecay, stDebounce, stRateLimit)
+      stCepNegation, stCepOptional, stTrendDecay, stDebounce, stRateLimit,
+      stEwma)
 }

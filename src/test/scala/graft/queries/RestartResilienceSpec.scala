@@ -194,6 +194,19 @@ class RestartResilienceSpec extends SparkTestBase {
         beanStream(in,
           "event_id LONG, user_id LONG, event_type STRING, us LONG")
           .as[StreamingOps.DebEv], gapUs = 60000000L, keptOnly = true)),
+    RCase("ewma",
+      Seq(
+        // batch 1: u1 value 100 cents at t=1s — reading 100, state s=100
+        () => Seq((1L, 1L, 1000000L, 100L))
+          .toDF("event_id", "user_id", "us", "c"),
+        // batch 2 (post-restart): value 50 must smooth against the
+        // PRE-KILL state (floor((50+100)/2)=75); a cold start would
+        // emit 50, so the value itself discriminates state recovery
+        () => Seq((2L, 1L, 2000000L, 50L))
+          .toDF("event_id", "user_id", "us", "c")),
+      in => StreamingOps.ewmaTransform(
+        beanStream(in, "event_id LONG, user_id LONG, us LONG, c LONG")
+          .as[StreamingOps.EwEv])),
     RCase("retention",
       Seq(
         () => Seq((1L, 100L)).toDF("user_id", "epochDay"),
