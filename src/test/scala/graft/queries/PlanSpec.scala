@@ -471,6 +471,16 @@ class PlanSpec extends SparkTestBase {
     assert(!readSchema.contains("props"), s"scan reads pruned columns: $readSchema")
   }
 
+  test("simhash64 gate: band/pair equi-joins only, 1-row recall gate broadcast") {
+    val p = planOf("x_simhash64_neardup")
+    // truth side = rare-shingle-blocked candidates + token-keyed verify;
+    // sketch side = 4×16-bit band equi-joins; the recall gate rides
+    // 1-row broadcast frames — no cartesian, no global window anywhere
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the 1-row gate frames
+  }
+
   test("fast-dedup gate: pair-keyed joins only, 1-row agreement gate broadcast") {
     val p = planOf("x_dedup_pipeline_fast")
     // both kernels' pipelines are band/pair equi-joins; the agreement
