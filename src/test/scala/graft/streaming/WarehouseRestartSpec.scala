@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Restart resilience at the TOPOLOGY level: RestartResilienceSpec kills
+  * one state machine; this spec kills the WHOLE ten-query warehouse
+  * mid-corpus and restarts every layer from its checkpoint — the failure
+  * mode an operator actually faces (a node reboot takes all apps down,
+  * not one). Half the ODS log flows through the live chain, every query
+  * stops (graceful kill), the remaining chunks land, the chain restarts
+  * against the SAME checkpoints/topic dirs, and the drained result must
+  * be byte-identical to what an uninterrupted run is proven to produce:
+  *   - all seven stream≡batch conformance booleans hold (no layer lost
+  *     or duplicated rows across the restart boundary — the file sinks'
+  *     committed batch logs must suppress re-emission while the keyed
+  *     state resumes);
+  *   - the terminal VisitorStats frame equals the a1_visitor_window
+  *     batch query bit-for-bit (the same external gate
+  *     st_warehouse_e2e's oracle applies, evaluated in-process).
+  */
+class WarehouseRestartSpec extends SparkTestBase {
+
+  test("kill all ten queries mid-corpus; restart resumes every checkpoint") {
+    val sf = "/root/testdata/sf0.001"
+    val root = tmpDir()
+    val lay = Warehouse.Layout(root)
+    Warehouse.genBaseLog(spark, sf, lay, chunks = 4)
+    Warehouse.genBaseDb(spark, sf, lay)
+
+    // hold back the second half of the log until after the kill
+    val odsDir = new java.io.File(lay.topic(
+      graft.io.KafkaTopology.Topics.OdsBaseLog))
+    val held = new java.io.File(s"$root/held"); held.mkdirs()
+    for (n <- Seq("chunk0002.parquet", "chunk0003.parquet")) {
+      val src = new java.io.File(odsDir, n)
+      assert(src.exists(), s"expected chunk file $n")
+      val dst = new java.io.File(held, n)
+      val m = src.lastModified()
+      java.nio.file.Files.move(src.toPath, dst.toPath)
+      dst.setLastModified(m)
+    }
+
+    // phase 1: half the corpus through the live chain, then a full stop
+    val qs1 = Warehouse.start(spark, lay,
+      odsOptions = Map("maxFilesPerTrigger" -> "1"))
+    try {
+      qs1("base_log").processAllAvailable()
+      qs1("base_db").processAllAvailable()
+      Seq("unique_visit", "user_jump", "order_wide", "payment_wide",
+        "visitor", "province", "keyword", "product")
+        .foreach(qs1(_).processAllAvailable())
+    } finally qs1.values.foreach(_.stop())
+
+    // the held chunks land while everything is down — plus one NEW order
+    // on the CDC side, so every ow-consuming layer fires a post-restart
+    // batch: a complete-mode MEMORY sink only repopulates when a batch
+    // runs after restart (its rows live in the sink, and the memory sink
+    // forgets them — a ClickHouse sink would not), so the operational
+    // recovery contract is "checkpointed agg state replays on the next
+    // batch"; this is that next batch, and the assertion below is that
+    // the RECOVERED state merges correctly with it
+    for (f <- held.listFiles()) {
+      val m = f.lastModified()
+      val dst = new java.io.File(odsDir, f.getName)
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(m)
+    }
+    {
+      import spark.implicits._
+      val ct = "2030-01-01 00:00:00" // beyond every phase-1 watermark
+      Seq(
+        s"""{"database":"gmall","tableName":"order_info","before":{},"after":{"id":"999999001","province_id":"0","user_id":"1","order_status":"1001","total_amount":"42.00","create_time":"$ct"},"type":"insert"}""",
+        s"""{"database":"gmall","tableName":"order_detail","before":{},"after":{"id":"999999001","order_id":"999999001","sku_id":"1","sku_num":"1","sku_name":"sku-1","order_price":"42.00","split_total_amount":"42.00","create_time":"$ct"},"type":"insert"}""")
+        .toDF("value").coalesce(1).write.mode("append")
+        .parquet(lay.topic(graft.io.KafkaTopology.Topics.OdsBaseDb))
+    }
+
+    // phase 2: restart EVERY layer against the same checkpoints and drain
+    val qs2 = Warehouse.start(spark, lay,
+      odsOptions = Map("maxFilesPerTrigger" -> "1"))
+    try Warehouse.drainAll(spark, sf, lay, qs2)
+    finally qs2.values.foreach(_.stop())
+
+    // conformance: the restarted chain equals its batch twins everywhere
+    val gate = Warehouse.equivalenceGate(spark, lay).collect()(0)
+    val names = Seq("uv_ok", "uj_ok", "order_ok", "payment_ok",
+      "province_ok", "keyword_ok", "product_ok")
+    for ((n, i) <- names.zipWithIndex)
+      assert(gate.getBoolean(i), s"$n failed across the restart boundary")
+
+    // external parity: terminal VisitorStats ≡ the a1 batch query
+    val chain = spark.table("wh_visitor")
+      .filter(col("ch") =!= Warehouse.SentinelMid)
+      .select(col("stt"), col("edt"), col("ch").as("event_type"),
+        col("pv_ct"),
+        (col("dur_sum").cast("decimal(22,2)") / 100).cast("double")
+          .as("dur_sum"))
+    val a1 = graft.queries.Registry.byName("a1_visitor_window")
+      .run(spark, sf)
+    assert(chain.exceptAll(a1).isEmpty && a1.exceptAll(chain).isEmpty,
+      "restarted chain's VisitorStats diverged from a1_visitor_window")
+  }
+}
