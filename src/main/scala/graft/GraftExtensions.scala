@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomProbe, JaroWinkler, PqArgmin, StridedMinHash, VectorCosine, WinnowFps, WinnowFpsRolling}
+import graft.functions.{BloomProbe, JaroWinkler, PqArgmin, Simhash64, StridedMinHash, VectorCosine, WinnowFps, WinnowFpsRolling}
 
 /** The library's `SparkSessionExtensions` injection point — the standard
   * Spark mechanism for shipping native functions with a library, so a user
@@ -85,7 +85,10 @@ object GraftExtensions {
       JaroWinkler.builder),
     fn("winnow_fps_rolling",
       "winnow_fps_rolling(text, k, w) - winnowing with a Karp-Rabin rolling hash",
-      WinnowFpsRolling.builder))
+      WinnowFpsRolling.builder),
+    fn("simhash64",
+      "simhash64(tokens) - 64-bit Charikar simhash of a token array (xxhash64 kernel)",
+      Simhash64.builder))
 
   /** Eagerly add every native to an EXISTING session's registry — the
     * escape hatch when the session was built without the extensions conf

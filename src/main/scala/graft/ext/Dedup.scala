@@ -981,6 +981,21 @@ object Dedup {
       .select(col(idCol), assembled.as("simhash"))
   }
 
+  /** The production-width sketch on the NATIVE kernel
+    * ([[graft.functions.Simhash64]]): one fused per-row loop over the
+    * token array — map-only, no explode, no 64-column aggregate, no
+    * keyed exchange. Bit-exact vs [[simhashFast]] at bits = 64
+    * (ExtSpec pins it), so the banded join and x_simhash64_neardup's
+    * recall gate are unchanged; only the plan shape improves. Docs with
+    * no non-empty tokens drop (the expression yields NULL there, the
+    * aggregate path's groupBy drops them). */
+  def simhash64Native(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.Simhash64.register(docs.sparkSession)
+    docs.select(col(idCol),
+      expr(s"simhash64(split($textCol, ' '))").as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
   /** SimHash near-duplicate pairs — the banded hamming join of Manku,
     * Jain & Sarma (WWW'07, "Detecting Near-Duplicates for Web
     * Crawling"; public method). Pigeonhole: two hashes within hamming
@@ -998,7 +1013,8 @@ object Dedup {
     require(bits % bands == 0, s"bits=$bits not divisible by ${bands} bands")
     val width = bits / bands
     val mask = (1L << width) - 1
-    val sh = (if (fast) simhashFast(docs, textCol, idCol, bits)
+    val sh = (if (fast && bits == 64) simhash64Native(docs, textCol, idCol)
+      else if (fast) simhashFast(docs, textCol, idCol, bits)
       else simhash(docs, textCol, idCol, bits)).staged
     val banded = sh.select(col(idCol), col("simhash"),
       explode(array((0 until bands).map(b =>

@@ -1574,6 +1574,23 @@ class ExtSpec extends SparkTestBase {
     assert(pairs((1L, 3L)) == 0L)
   }
 
+  test("native simhash64 expression is bit-exact vs the composed 64-bit aggregate") {
+    // the map-only kernel (one fused per-row loop, no explode/groupBy)
+    // must reproduce the composed explode → 64-column-aggregate sketch
+    // EXACTLY — the structural gate that lets simhashNeardupPairs ride
+    // the native path without moving x_simhash64_neardup's recall gate
+    val composed = Dedup.simhashFast(docs, "text", "doc_id", bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Dedup.simhash64Native(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == composed)
+    // empty-token docs drop in BOTH paths (NULL sketch ≡ groupBy absence)
+    val e = Seq((1L, ""), (2L, " "), (3L, "one token"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhash64Native(e, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet == Set(3L))
+  }
+
   test("fast corpus index bands incoming batches with the matching kernel") {
     // the index records its kernel so incoming batches band identically;
     // decision-free corpus (exact copy + disjoint doc), so md5 and fast
