@@ -31,11 +31,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
-  test("all ten natives are visible to pure SQL after injection") {
+  test("all eleven natives are visible to pure SQL after injection") {
     val names = GraftExtensions.functions.map(_._1.funcName)
     assert(names.sorted === Seq("graft_bloom_agg", "graft_bloom_probe",
-      "jaro_winkler", "kmeans_argmax", "pq_argmin", "strided_minhash",
-      "vec_cosine", "winnow_fps", "winnow_fps_rolling", "z_value"))
+      "jaro_winkler", "kmeans_argmax", "pq_argmin", "simhash64",
+      "strided_minhash", "vec_cosine", "winnow_fps", "winnow_fps_rolling",
+      "z_value"))
     names.foreach { n =>
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
@@ -66,6 +67,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c
         |""".stripMargin).head()
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("simhash64 works from pure SQL and matches the composed aggregate rule") {
+    // one token: every sketch bit IS the token hash's bit (majority of 1)
+    val r = spark.sql(
+      """SELECT simhash64(array('fox')) AS sk, xxhash64('fox') AS h""").head()
+    assert(r.getLong(0) == r.getLong(1))
+    // no countable tokens → NULL (the groupBy-absence analog)
+    assert(spark.sql("SELECT simhash64(array('', ''))").head().isNullAt(0))
   }
 
   test("winnow_fps from SQL matches the register() path") {
