@@ -862,11 +862,64 @@ object AggOps {
             SELECT event_id, user_id, us, ewma_c
             FROM r ORDER BY event_id"""))
 
+  /** A25 (beyond ref) — EWMA-residual anomaly flags, the alerting stage
+    * the monitoring family builds toward (resample → smooth → debounce/
+    * ratelimit → FLAG): an event is a spike iff its reading deviates
+    * from the PREVIOUS smoothed value by ≥ 50.00 (5000 cents — the
+    * fixture's ~p75 residual, so both classes populate at every SF); the
+    * first event per user has no baseline and is never a spike. The
+    * deviation is measured BEFORE the reading folds into the average —
+    * a spike must not vouch for itself. Same integer-exact recurrence as
+    * a24 (shared rule, stated identically in the recursive CTE), so the
+    * flag is bit-deterministic, no epsilon. */
+  val a25EwmaAnomaly = OpQuery(
+    "a25_ewma_anomaly",
+    "EWMA-residual spike flags: |cents - prev smoothed| >= 5000, first event exempt",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._2)
+        .flatMapGroups { (_: Long, rows) =>
+          var sAcc = Long.MinValue
+          rows.toSeq.sortBy(r => (r._3, r._1)).map { case (id, u, us, c) =>
+            val spike =
+              if (sAcc == Long.MinValue) 0L
+              else if (math.abs(c - sAcc) >= 5000L) 1L else 0L
+            sAcc = if (sAcc == Long.MinValue) c
+              else Math.floorDiv(c + sAcc, 2L)
+            (id, u, us, sAcc, spike)
+          }.iterator
+        }
+        .toDF("event_id", "user_id", "us", "ewma_c", "is_spike")
+        .orderBy("event_id")
+    },
+    Some("""WITH RECURSIVE e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events),
+            r AS (
+              SELECT user_id, rn, event_id, us, c AS ewma_c,
+                     CAST(0 AS BIGINT) AS is_spike
+              FROM e WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.rn, e.event_id, e.us,
+                     (e.c + r.ewma_c) // 2,
+                     CAST(abs(e.c - r.ewma_c) >= 5000 AS BIGINT)
+              FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+            SELECT event_id, user_id, us, ewma_c, is_spike
+            FROM r ORDER BY event_id"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
     a12SessionPaths, a13ConversionLag, a14GroupingSets, a15Pivot,
     a16RollingWindow, a17Attribution, a18TrendDecay, a19ResampleZerofill,
     a20Debounce, a21TrendTopk, a22RateLimit, a23ResampleFfill, a24Ewma,
-    k5LatestVersion)
+    a25EwmaAnomaly, k5LatestVersion)
 }
