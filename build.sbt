@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout normally routes through sbt's logger, which prefixes
+// every line with "[info] " — that prefix is what left the per-round
+// BENCH artifact with "parsed": null (the driver tails stdout and parses
+// a bare JSON line). StdoutOutput passes the child's stdout/stderr
+// through verbatim, so Bench's final compact JSON line survives intact.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -363,7 +363,10 @@ object Bench {
       name -> (oldDefs.get(name) match {
         case Some((oldFp, oldSince)) if oldFp.isEmpty || oldFp == fp => (fp, oldSince)
         case Some(_) => (fp, runLabel)
-        case None => (fp, "r0") // first sighting: no recorded change
+        // first sighting: the query is NEW this round — record the run
+        // label, not "r0" (ADVICE r13: brand-new queries recorded as
+        // since=r0 made adjudication treat them as unchanged-since-r0)
+        case None => (fp, runLabel)
       })
     }
     if (!isChild) saveDefs(defsPath, runLabel, newDefs)
@@ -532,6 +535,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"registry_at_run":${SparkEntry.queries.size},"n_failed":${failed.size},"n_adjudicated":${adjudicated.size},"n_load_hot":${loadHot.size},"io_floor_mbps":$ioFloor%.1f,"quiet_wait_sec":$quietWaitSec%.1f,"slowest10":$slow,"full_record":"$outFile (committed)","sf":"$sfDir"}"""
     println(compact)
+    // second channel for the same line: stderr is never run through sbt's
+    // [info]-prefixing logger regardless of outputStrategy, so a driver
+    // that captures merged output still finds one bare JSON line in the
+    // tail even if the build setting is lost
+    System.err.println(compact)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

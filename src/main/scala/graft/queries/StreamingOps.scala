@@ -758,6 +758,35 @@ object StreamingOps {
       us: Long)
   case class DebState(lastUs: Long)
 
+  /** Per-key-per-batch row budget for the stateful sorted folds
+    * (debounce / ratelimit / ewma). flatMapGroupsWithState guarantees
+    * grouping but NOT secondary order, so each key's batch rows must be
+    * buffered to restore (event-time, id) order — and an in-task buffer
+    * cannot spill (VERDICT r13: one hot key with millions of batch events
+    * OOMs the task). Like ER's candidate budget, the contract is made
+    * LOUD instead of assumed: past the budget the transform fails naming
+    * the key-skew mitigations. 2M boxed rows ≈ 150–250 MB — inside one
+    * task's headroom at the default executor sizing, far beyond any sane
+    * per-key micro-batch. The batch twins (a22/a24/a25/a26) don't need
+    * this: they secondary-sort through Spark's external sorter, which
+    * spills. */
+  private[graft] val MaxKeyBatchRows: Int = 2000000
+
+  private def bufferBounded[T](rows: Iterator[T], cap: Int,
+      q: String): scala.collection.mutable.ArrayBuffer[T] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[T]()
+    while (rows.hasNext) {
+      if (buf.length >= cap) throw new IllegalStateException(
+        s"$q: a single key received more than $cap rows in one " +
+          "micro-batch — the sorted fold buffers a key's batch rows to " +
+          "restore (event-time, id) order, and an in-task buffer cannot " +
+          "spill; shrink the trigger interval, pre-split the hot key " +
+          "upstream, or raise maxKeyBatchRows deliberately")
+      buf += rows.next()
+    }
+    buf
+  }
+
   /** The st_debounce_stream / st_ratelimit_stream state machine, factored
     * out so RestartResilienceSpec drives the REAL transform: keyed state
     * is one reference time per (user, type) — ONE long per key, the
@@ -772,7 +801,8 @@ object StreamingOps {
     * after its first event. */
   private[graft] def debounceTransform(
       typed: org.apache.spark.sql.Dataset[DebEv], gapUs: Long,
-      keptOnly: Boolean = false): DataFrame = {
+      keptOnly: Boolean = false,
+      maxKeyBatchRows: Int = MaxKeyBatchRows): DataFrame = {
     val s = typed.sparkSession
     import s.implicits._
     typed.groupByKey(e => (e.user_id, e.event_type))
@@ -780,7 +810,9 @@ object StreamingOps {
         (_: (Long, String), rows: Iterator[DebEv],
             state: GroupState[DebState]) => {
           var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
-          val out = rows.toSeq.sortBy(e => (e.us, e.event_id)).flatMap { e =>
+          val buf = bufferBounded(rows, maxKeyBatchRows, "debounceTransform")
+          buf.sortInPlaceBy(e => (e.us, e.event_id))
+          val out = buf.flatMap { e =>
             val keep = last == Long.MinValue || e.us - last >= gapUs
             if (keep || !keptOnly) last = e.us
             if (keep) Some((e.event_id, e.user_id, e.event_type, e.us))
@@ -839,22 +871,27 @@ object StreamingOps {
   case class EwEv(event_id: Long, user_id: Long, us: Long, c: Long)
   case class EwState(s: Long)
 
-  /** The st_ewma_stream state machine, factored out so
-    * RestartResilienceSpec drives the REAL transform: keyed state is the
-    * last smoothed reading per user — one long per key, like debounce —
-    * and each batch's events fold through it in (event-time, id) order
-    * with the same integer-exact halving as a24_ewma. */
+  /** The st_ewma_stream / st_ewma_alpha8_stream state machine, factored
+    * out so RestartResilienceSpec drives the REAL transform: keyed state
+    * is the last smoothed reading per user — one long per key, like
+    * debounce — and each batch's events fold through it in (event-time,
+    * id) order with the same integer-exact recurrence as a24_ewma:
+    * s ← ⌊(c + (den−1)·s) / den⌋, i.e. α = 1/den (den = 2 is a24's
+    * halving; den = 8 is a26's production α — three composed halvings). */
   private[graft] def ewmaTransform(
-      typed: org.apache.spark.sql.Dataset[EwEv]): DataFrame = {
+      typed: org.apache.spark.sql.Dataset[EwEv], den: Long = 2L,
+      maxKeyBatchRows: Int = MaxKeyBatchRows): DataFrame = {
     val s = typed.sparkSession
     import s.implicits._
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: Long, rows: Iterator[EwEv], state: GroupState[EwState]) => {
           var acc = state.getOption.map(_.s).getOrElse(Long.MinValue)
-          val out = rows.toSeq.sortBy(e => (e.us, e.event_id)).map { e =>
+          val buf = bufferBounded(rows, maxKeyBatchRows, "ewmaTransform")
+          buf.sortInPlaceBy(e => (e.us, e.event_id))
+          val out = buf.map { e =>
             acc = if (acc == Long.MinValue) e.c
-              else Math.floorDiv(e.c + acc, 2L)
+              else Math.floorDiv(e.c + (den - 1L) * acc, den)
             (e.event_id, e.user_id, e.us, acc)
           }
           state.update(EwState(acc))
@@ -883,6 +920,27 @@ object StreamingOps {
       drain(ewmaTransform(typed), "st_ewma_out").orderBy("event_id")
     },
     AggOps.a24Ewma.oracle)
+
+  /** Streaming twin of a26_ewma_alpha8 — the production-α smoother as it
+    * deploys: the SAME one-long-per-user state machine as st_ewma_stream
+    * with den = 8 (α = 1/8, three composed halvings per step — see
+    * a26's exactness argument). Same batch-equality caveat (per-key
+    * event-time-ordered arrival across batches; exact here because the
+    * corpus arrives as one file batch), same oracle as a26. */
+  val stEwmaAlpha8 = OpQuery(
+    "st_ewma_alpha8_stream",
+    "streaming integer-exact EWMA at alpha=1/8: one long of keyed state per user",
+    (s, dir) => withStatePartitions(s, 8) {
+      import s.implicits._
+      val typed = eventStream(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .as[EwEv]
+      drain(ewmaTransform(typed, den = 8L), "st_ewma8_out")
+        .orderBy("event_id")
+    },
+    AggOps.a26EwmaAlpha8.oracle)
 
   /** Streaming twin of a18_trend_decay. The horizon is FROZEN before the
     * stream starts (one metadata-cheap batch max over the table — the
@@ -926,5 +984,5 @@ object StreamingOps {
       stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream,
       stCepTimes, stAttribution, stCmsHeavyHitters, stSketchRollup,
       stCepNegation, stCepOptional, stTrendDecay, stDebounce, stRateLimit,
-      stEwma)
+      stEwma, stEwmaAlpha8)
 }
