@@ -59,7 +59,7 @@ object Scratch {
       p.toString
     })
 
-  private def deleteRecursively(f: File): Unit = {
+  private[graft] def deleteRecursively(f: File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
     f.delete(): Unit

@@ -1,0 +1,82 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.Dedup
+import graft.core.Materialize.StageSyntax
+
+/** Third-decade rehearsal for the 64-bit simhash banding
+  * parameterization (VERDICT r13 #1, SCALING §10b): on the
+  * gen_scale_rehearsal.py corpora, compare the r13 4-band shape
+  * (nBlocks = 4: single 16-bit block keys — a keyspace the 500k corpus
+  * saturates, §9c's 519k → 48.9M candidate blowup) against the WWW'07 §3
+  * production design now shipped in x_simhash64_neardup (nBlocks = 6:
+  * C(6,3) = 20 key families of ~32 bits). Blocking is EXACT either way,
+  * so verified pairs must be identical — the probe asserts that — and
+  * the quantities that differ are:
+  *
+  *   - bucket mass: Σ size·(size−1)/2 over (family, key) buckets — the
+  *     equi-join's exchange volume before distinct;
+  *   - distinct candidate pairs — the XOR+popcount verify volume;
+  *   - wall (2 iterations, warm second) of the full neardup-pairs run.
+  *
+  * Args: corpus dirs (default target/rehearsal/sfL target/rehearsal/sfXL).
+  */
+object SimhashBandProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("target/rehearsal/sfL", "target/rehearsal/sfXL")
+    // past this bucket mass the equi-join itself is the pathology being
+    // measured — report the histogram number and skip materializing it
+    val JoinBudget = 100000000L
+    for (dir <- dirs) {
+      val docs = Tables.load(spark, dir, "documents")
+      val sh = Dedup.simhash64Native(docs, "text", "doc_id").staged
+      val nDocs = sh.count()
+      val counts = for (d <- Seq(4, 6)) yield {
+        val bucketMass = Dedup
+          .simhashBandKeys(sh, "doc_id", bits = 64, maxHam = 3, nBlocks = d)
+          .groupBy("b", "key").agg(count(lit(1)).as("n"))
+          .agg(sum(expr("n * (n - 1) / 2"))).collect()(0).getDouble(0).toLong
+        if (bucketMass > JoinBudget) {
+          println(f"[simhashband] $dir docs=$nDocs nBlocks=$d " +
+            f"bucket_mass=$bucketMass JOIN SKIPPED (mass > $JoinBudget: " +
+            "this saturation is the measured defect)")
+          None
+        } else {
+          val cand = Dedup
+            .simhashCandidates(sh, "doc_id", bits = 64, maxHam = 3,
+              nBlocks = d)
+            .staged
+          val nCand = cand.count()
+          val verified = cand
+            .withColumn("hamming",
+              bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("long"))
+            .filter(col("hamming") <= 3)
+            .count()
+          val walls = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            Dedup.simhashNeardupPairs(docs, "text", "doc_id",
+                bits = 64, maxHam = 3, fast = true, nBlocks = d)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[simhashband] $dir docs=$nDocs nBlocks=$d " +
+            f"bucket_mass=$bucketMass cand_pairs=$nCand verified=$verified " +
+            f"wall_cold=${walls.head}%.2f wall_warm=${walls.last}%.2f")
+          Some(verified)
+        }
+      }
+      val ran = counts.flatten
+      require(ran.distinct.size <= 1,
+        s"verified pair sets differ across parameterizations: $ran")
+    }
+    spark.stop()
+  }
+}

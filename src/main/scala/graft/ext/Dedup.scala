@@ -998,40 +998,97 @@ object Dedup {
 
   /** SimHash near-duplicate pairs — the banded hamming join of Manku,
     * Jain & Sarma (WWW'07, "Detecting Near-Duplicates for Web
-    * Crawling"; public method). Pigeonhole: two hashes within hamming
-    * distance `maxHam` agree exactly on at least one of `maxHam + 1`
-    * disjoint bit bands, so candidates come from `maxHam + 1` equi-joins
-    * on (band, band-bits) keys — never an all-pairs scan — and each
-    * candidate is verified with one XOR + popcount. The same
-    * sketch-then-block-then-verify shape as MinHash→LSH→Jaccard, at one
-    * 64-bit word per document of state: the cheapest near-dup path when
-    * token sets aren't needed. One signature pass (materialized) feeds
-    * both join sides and the verification. */
+    * Crawling"; public method), in its GENERAL block-combination form.
+    * Split the `bits`-bit sketch into `nBlocks` near-equal blocks;
+    * pigeonhole: ≤ `maxHam` differing bits corrupt ≤ maxHam blocks, so
+    * two hashes within the radius agree EXACTLY on all blocks of at
+    * least one (nBlocks − maxHam)-sized block combination. Candidates
+    * come from C(nBlocks, maxHam) equi-joins on (combo, packed-key) —
+    * never an all-pairs scan — and each is verified with one XOR +
+    * popcount. Blocking is EXACT at every parameterization (no recall
+    * change; the emitted pair set is identical), but candidate mass is
+    * not: the key carries (nBlocks − maxHam)/nBlocks of the sketch's
+    * bits, so
+    *
+    *   - nBlocks = maxHam + 1 (the default, and the only shape ≤ r13):
+    *     single-block keys. At 64 bits / ham 3 that is a 16-bit
+    *     keyspace — saturated once the corpus ≫ 2^16, where buckets
+    *     grow linearly and candidate mass quadratically (SCALING §9c's
+    *     honest negative: 519k → 48.9M candidates for 50k → 500k docs).
+    *   - nBlocks = 6 at 64/ham-3 (WWW'07 §3's production table design,
+    *     C(6,3) = 20 key families of ~32 bits): the keyspace outruns any
+    *     realistic corpus, buckets stay O(true near-dups + 2^-32
+    *     collisions), and candidate mass scales with the corpus, not its
+    *     square. 20 families × 1 row each per doc is a 5× bigger explode
+    *     than the 4-band shape — the deliberate trade, paid map-side.
+    *
+    * The same sketch-then-block-then-verify shape as MinHash→LSH→
+    * Jaccard, at one 64-bit word per document of state: the cheapest
+    * near-dup path when token sets aren't needed. One signature pass
+    * (materialized) feeds both join sides and the verification. */
   def simhashNeardupPairs(docs: DataFrame, textCol: String, idCol: String,
-      bits: Int = 16, maxHam: Int = 1, fast: Boolean = false): DataFrame = {
-    val bands = maxHam + 1
-    require(bits % bands == 0, s"bits=$bits not divisible by ${bands} bands")
-    val width = bits / bands
-    val mask = (1L << width) - 1
+      bits: Int = 16, maxHam: Int = 1, fast: Boolean = false,
+      nBlocks: Int = 0): DataFrame = {
     val sh = (if (fast && bits == 64) simhash64Native(docs, textCol, idCol)
       else if (fast) simhashFast(docs, textCol, idCol, bits)
       else simhash(docs, textCol, idCol, bits)).staged
-    val banded = sh.select(col(idCol), col("simhash"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("b"),
-          shiftright(col("simhash"), b * width).bitwiseAND(mask).as("key"))
-      ): _*)).as("bk"))
-      .select(col(idCol), col("simhash"), col("bk.b"), col("bk.key"))
+    simhashCandidates(sh, idCol, bits, maxHam, nBlocks)
+      .withColumn("hamming",
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("long"))
+      .filter(col("hamming") <= maxHam)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** The candidate stage of [[simhashNeardupPairs]]: distinct (doc_a,
+    * doc_b, _sa, _sb) pairs sharing at least one block-combination key.
+    * Factored out so the scale rehearsal (examples.SimhashBandProbe) can
+    * measure candidate MASS per parameterization — the quantity the §9c
+    * third-decade negative was about — without the verify filter hiding
+    * it. `sh` must carry (idCol, simhash). */
+  private[graft] def simhashCandidates(sh: DataFrame, idCol: String,
+      bits: Int, maxHam: Int, nBlocks: Int): DataFrame = {
+    val banded = simhashBandKeys(sh, idCol, bits, maxHam, nBlocks)
     val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("_sa"),
       col("b"), col("key"))
     val bSide = banded.select(col(idCol).as("doc_b"), col("simhash").as("_sb"),
       col("b"), col("key"))
     a.join(bSide, Seq("b", "key")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "_sa", "_sb").distinct()
-      .withColumn("hamming",
-        bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("long"))
-      .filter(col("hamming") <= maxHam)
-      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** The (id, simhash, b, key) banding frame behind [[simhashCandidates]]
+    * — one row per document per key family. Exposed package-internal so
+    * the rehearsal can histogram bucket sizes (Σ size·(size−1)/2 is the
+    * exchange mass the equi-join pays before distinct). */
+  private[graft] def simhashBandKeys(sh: DataFrame, idCol: String,
+      bits: Int, maxHam: Int, nBlocks: Int): DataFrame = {
+    val d = if (nBlocks <= 0) maxHam + 1 else nBlocks
+    require(d > maxHam && d <= bits,
+      s"nBlocks=$d must exceed maxHam=$maxHam and fit in bits=$bits")
+    // near-equal block widths (Manku: f/d bits each, remainder spread)
+    val widths = (0 until d).map(i => bits / d + (if (i < bits % d) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(bi: Int) = {
+      val w = widths(bi)
+      val v = shiftright(col("simhash"), offsets(bi))
+      if (w >= 64) v else v.bitwiseAND(lit((1L << w) - 1))
+    }
+    // one key family per (d - maxHam)-combination of blocks; each key is
+    // the chosen blocks' values packed little-endian into one long
+    // (total key bits = bits·(d-maxHam)/d ≤ 64 by construction)
+    val combos = (0 until d).combinations(d - maxHam).toSeq
+    val keyStructs = combos.zipWithIndex.map { case (blks, ci) =>
+      var shift = 0
+      val packed = blks.map { bi =>
+        val p = shiftleft(blockVal(bi), shift)
+        shift += widths(bi)
+        p
+      }.reduce(_ bitwiseOR _)
+      struct(lit(ci).as("b"), packed.as("key"))
+    }
+    sh.select(col(idCol), col("simhash"),
+      explode(array(keyStructs: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.b"), col("bk.key"))
   }
 
   /** C4-style LINE-level global dedup ("we removed all but one of any

@@ -408,8 +408,10 @@ object ExtOps {
 
   /** The PRODUCTION simhash configuration, recall-gated — SCALING §8f's
     * own prescription executed: 64-bit xxhash64 sketch
-    * ([[Dedup.simhashFast]]), Manku 4×16-bit bands at hamming ≤ 3
-    * (WWW'07's exact parameterization), gated on RECALL against
+    * ([[Dedup.simhashFast]] via the native kernel), Manku block-
+    * combination banding at hamming ≤ 3 with nBlocks = 6 (WWW'07 §3's
+    * production table design — 20 key families of ~32 bits, the r14 fix
+    * for §9c's third-decade candidate blowup), gated on RECALL against
     * rare-shingle-blocked exact-Jaccard ground truth — the §8a minhash
     * recipe, NOT pair-set agreement (at 16 bits agreement is
     * margin-dominated noise; at 64 bits the sketch is selective enough
@@ -448,8 +450,14 @@ object ExtOps {
         .select("doc_a", "doc_b").distinct()
       val gt = Dedup.jaccardOnTokens(tok, cand, 0.5)
         .withColumn("jaccard", col("jaccard").cast("double")).staged
+      // nBlocks = 6: WWW'07 §3's production table design — C(6,3) = 20
+      // key families of ~32 bits, so candidate mass stays corpus-sized
+      // at the third decade instead of saturating a 16-bit keyspace
+      // (SCALING §10b). Blocking is exact either way: the emitted pair
+      // set — and therefore this gate — is identical to the 4-band shape.
       val sim = Dedup.simhashNeardupPairs(docs, "text", "doc_id",
-        bits = 64, maxHam = 3, fast = true).select("doc_a", "doc_b")
+        bits = 64, maxHam = 3, fast = true, nBlocks = 6)
+        .select("doc_a", "doc_b")
       // gate slice: the >= 0.8 band of the already-staged truth frame
       val hi = gt.filter(col("jaccard") >= 0.8)
       val hit = hi.join(sim, Seq("doc_a", "doc_b"), "left_semi")
@@ -1473,7 +1481,9 @@ object ExtOps {
             col("label").cast("long").as("label")))
       }
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(out).orderBy("vec_id")
+      // out is a tree of per-batch overwrite dirs (idempotent emission)
+      s.read.option("recursiveFileLookup", "true").parquet(out)
+        .orderBy("vec_id")
     },
     Some(s"""WITH $srpCte,
             candoe AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b

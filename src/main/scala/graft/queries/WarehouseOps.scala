@@ -47,7 +47,7 @@ object WarehouseOps {
       try Warehouse.drainAll(s, dir, lay, qs)
       finally qs.values.foreach(_.stop())
       val gate = Warehouse.equivalenceGate(s, lay)
-      Warehouse.visitorResult(s, gate)
+      Warehouse.visitorResult(s, lay, gate)
     },
     Some("""WITH w AS (
               SELECT to_timestamp(CAST(floor(epoch(ts) / 10) * 10 AS BIGINT)) AS ws,

@@ -58,7 +58,30 @@ object Warehouse {
     def dbRoot: String = s"$root/topics/db"
     def ck(name: String): String = s"$root/ck/$name"
     def dimProvince: String = s"$root/dim/dim_base_province"
+    /** Durable DWS table dir (the ClickHouse-table analog, K5 shape). */
+    def dws(name: String): String = s"$root/dws/$name"
   }
+
+  /** DWS group keys per summary app — the ReplacingMergeTree ORDER BY
+    * of the reference's ClickHouse DDL (RT/app/dws/ProductStatsApp
+    * .java:310-340): [[dwsTable]] keeps the highest-version row per key. */
+  private val DwsKeys: Map[String, Seq[String]] = Map(
+    "visitor" -> Seq("stt", "edt", "vc", "ch", "ar", "is_new"),
+    "province" -> Seq("stt", "edt", "province_id", "province_name",
+      "province_area_code", "province_iso_code"),
+    "keyword" -> Seq("stt", "edt", "word"),
+    "product" -> Seq("stt", "edt", "sku_id"))
+
+  /** Reader view of a durable DWS dir: latest `_ver` per group key —
+    * exactly the reference's ReplacingMergeTree read contract
+    * ([[graft.ads.Serving.dedupView]], K5). Rows persist across chain
+    * restarts with NO post-restart batch required (VERDICT r13 #5: the
+    * complete-mode memory sinks this replaced forgot their rows on stop
+    * and needed a new batch to repopulate). */
+  def dwsTable(spark: SparkSession, lay: Layout, name: String): DataFrame =
+    graft.ads.Serving.dedupView(
+      spark.read.parquet(lay.dws(name)), DwsKeys(name), "_ver")
+      .drop("_ver")
 
   val SentinelMid = "__sentinel"
 
@@ -356,10 +379,12 @@ object Warehouse {
   // the concurrent chain
   // ------------------------------------------------------------------
 
-  /** Start every layer as a live checkpointed StreamingQuery. Memory-sink
-    * DWS tables: wh_visitor / wh_province / wh_keyword / wh_product
-    * (complete mode — every window emitted every batch, the same contract
-    * the individual st_* DWS twins gate on). Returns name → query. */
+  /** Start every layer as a live checkpointed StreamingQuery. DWS tables
+    * land in durable per-layout parquet dirs through the K5 path
+    * (complete mode — every window emitted every batch, versioned by
+    * batch id, read back via [[dwsTable]]'s ReplacingMergeTree view; the
+    * same contract the individual st_* DWS twins gate on). Returns
+    * name → query. */
   def start(spark: SparkSession, lay: Layout,
       odsOptions: Map[String, String] = Map.empty): Map[String, StreamingQuery] = {
     // every topic dir must exist before a consumer's file source starts
@@ -486,42 +511,48 @@ object Warehouse {
           lay.topic(DwmPaymentWide))
       }.start()
 
-    // --- DWS: the four summary apps, complete-mode memory sinks
+    // --- DWS: the four summary apps through the K5 path — complete-mode
+    // foreachBatch appends versioned by batch id to durable parquet dirs
+    // (the ClickHouse ReplacingMergeTree shape; dwsTable is the RMT
+    // reader). Unlike the memory sinks these replaced, the tables survive
+    // a full chain stop with no post-restart batch needed, and a replayed
+    // batch appends the same rows under the same _ver — reader-dedup'd,
+    // the reference's own exactly-once story for its ClickHouse sink.
+    def dwsSink(name: String, df: DataFrame): StreamingQuery =
+      df.writeStream
+        .option("checkpointLocation", lay.ck(name))
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.withColumn("_ver", lit(id))
+            .coalesce(1).write.mode("append").parquet(lay.dws(name))
+        }.start()
+
     val pv = pvRows(pageStream)
     val uv = oneHot(KafkaTopology.parsePageLog(
       valueStream(spark, lay.topic(DwmUniqueVisit))), "uv")
     val uj = oneHot(KafkaTopology.parsePageLog(
       valueStream(spark, lay.topic(DwmUserJumpDetail))), "uj")
-    val visitorQ = WindowStats.visitorStats(pv.unionByName(uv).unionByName(uj))
-      .writeStream.format("memory").queryName("wh_visitor")
-      .option("checkpointLocation", lay.ck("visitor"))
-      .outputMode("complete").start()
+    val visitorQ = dwsSink("visitor",
+      WindowStats.visitorStats(pv.unionByName(uv).unionByName(uj)))
 
-    val provinceQ = WindowStats.provinceStats(provinceInput(
-      orderWideView(valueStream(spark, lay.topic(DwmOrderWide)))))
-      .writeStream.format("memory").queryName("wh_province")
-      .option("checkpointLocation", lay.ck("province"))
-      .outputMode("complete").start()
+    val provinceQ = dwsSink("province",
+      WindowStats.provinceStats(provinceInput(
+        orderWideView(valueStream(spark, lay.topic(DwmOrderWide))))))
 
     implicit val s: SparkSession = spark
-    val keywordQ = WindowStats.keywordStats(pageStream)
-      .writeStream.format("memory").queryName("wh_keyword")
-      .option("checkpointLocation", lay.ck("keyword"))
-      .outputMode("complete").start()
+    val keywordQ = dwsSink("keyword", WindowStats.keywordStats(pageStream))
 
-    val productQ = WindowStats.productStats(productInputs(
-      pageStream,
-      skuTsFrame(valueStream(spark, lay.dbTopic("dwd_favor_info"))),
-      skuTsFrame(valueStream(spark, lay.dbTopic("dwd_cart_info"))),
-      orderWideView(valueStream(spark, lay.topic(DwmOrderWide))),
-      paymentWideView(valueStream(spark, lay.topic(DwmPaymentWide))),
-      skuTsFrame(valueStream(spark, lay.dbTopic("dwd_refund_payment")),
-        "order_id" -> "long", "refund_amount" -> "decimal(16,2)"),
-      skuTsFrame(valueStream(spark, lay.dbTopic("dwd_comment_info")),
-        "appraise" -> "string")))
-      .writeStream.format("memory").queryName("wh_product")
-      .option("checkpointLocation", lay.ck("product"))
-      .outputMode("complete").start()
+    val productQ = dwsSink("product",
+      WindowStats.productStats(productInputs(
+        pageStream,
+        skuTsFrame(valueStream(spark, lay.dbTopic("dwd_favor_info"))),
+        skuTsFrame(valueStream(spark, lay.dbTopic("dwd_cart_info"))),
+        orderWideView(valueStream(spark, lay.topic(DwmOrderWide))),
+        paymentWideView(valueStream(spark, lay.topic(DwmPaymentWide))),
+        skuTsFrame(valueStream(spark, lay.dbTopic("dwd_refund_payment")),
+          "order_id" -> "long", "refund_amount" -> "decimal(16,2)"),
+        skuTsFrame(valueStream(spark, lay.dbTopic("dwd_comment_info")),
+          "appraise" -> "string"))))
 
     Map(
       "base_log" -> baseLogQ, "base_db" -> baseDbQ,
@@ -618,9 +649,9 @@ object Warehouse {
       same(ujStream, batchUj(pg), "uj_ok"),
       same(owStream, owBatch, "order_ok"),
       same(pwWire, pwBatch, "payment_ok"),
-      same(spark.table("wh_province"), provinceBatch, "province_ok"),
-      same(spark.table("wh_keyword"), keywordBatch, "keyword_ok"),
-      same(spark.table("wh_product"), productBatch, "product_ok"))
+      same(dwsTable(spark, lay, "province"), provinceBatch, "province_ok"),
+      same(dwsTable(spark, lay, "keyword"), keywordBatch, "keyword_ok"),
+      same(dwsTable(spark, lay, "product"), productBatch, "product_ok"))
       .reduce((a, b) => a.crossJoin(broadcast(b)))
   }
 
@@ -630,8 +661,9 @@ object Warehouse {
     * pv_ct/dur_sum come from the pv one-hot rows; the uv/uj rows merged
     * into the same groups contribute zeros to both (their own measures
     * are proven by uv_ok/uj_ok). */
-  def visitorResult(spark: SparkSession, gate: DataFrame): DataFrame =
-    spark.table("wh_visitor")
+  def visitorResult(spark: SparkSession, lay: Layout,
+      gate: DataFrame): DataFrame =
+    dwsTable(spark, lay, "visitor")
       .filter(col("ch") =!= SentinelMid)
       .select(col("stt"), col("edt"), col("ch").as("event_type"),
         col("pv_ct"),

@@ -130,16 +130,25 @@ class IncrementalDedupStreamSpec extends SparkTestBase {
   }
 
   private def runSrpIncrStream(inDir: String, outDir: String, ck: String,
-      seenRoot: String, index: Similarity.SrpIndex): Unit = {
+      seenRoot: String, index: Similarity.SrpIndex,
+      compactEvery: Int = 8): Unit = {
     val stream = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(s"$inDir/*")
     val q = Runner.toBatchSink(stream, ck) { (batch, batchId) =>
       Similarity.srpDedupStep(index, seenRoot, outDir, batchId, batch,
-        "vec_id", "embedding")
+        "vec_id", "embedding", compactEvery = compactEvery)
     }
     try q.processAllAvailable() finally q.stop()
   }
+
+  private def srpOut(dir: String): Set[Long] =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/out")
+      .select("vec_id").as[Long].collect().toSet
+
+  private def srpOutCount(dir: String): Long =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/out")
+      .count()
 
   test("SRP index refresh: a batch-2 near-dup of a batch-1 SURVIVOR is " +
       "gated, restart-safe (srpDedupStep durable state)") {
@@ -159,8 +168,7 @@ class IncrementalDedupStreamSpec extends SparkTestBase {
     Seq((3L, bDup), (5L, novel)).toDF("vec_id", "embedding")
       .write.parquet(s"$dir/in/b1")
     runSrpIncrStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", s"$dir/seen", index)
-    val kept = spark.read.parquet(s"$dir/out")
-      .select("vec_id").as[Long].collect().toSet
+    val kept = srpOut(dir)
     assert(kept == Set(1L, 5L),
       s"batch-2 near-dup of the batch-1 survivor must be gated, got $kept")
 
@@ -168,13 +176,63 @@ class IncrementalDedupStreamSpec extends SparkTestBase {
     // PRE-RESTART survivor is still gated (the durable seen/ dirs are the
     // recovery source, not driver memory)
     runSrpIncrStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", s"$dir/seen", index)
-    assert(spark.read.parquet(s"$dir/out").count() == 2)
+    assert(srpOutCount(dir) == 2)
     Seq((7L, Array(0.0f, 3.0f, 0.0f, 0.0f)), (9L, Array(0.0f, 0.0f, 5.0f, 0.0f)))
       .toDF("vec_id", "embedding").write.parquet(s"$dir/in/b2")
     runSrpIncrStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", s"$dir/seen", index)
-    val finalKept = spark.read.parquet(s"$dir/out")
-      .select("vec_id").as[Long].collect().toSet
+    val finalKept = srpOut(dir)
     assert(finalKept == Set(1L, 5L, 9L),
       s"post-restart near-dup of a pre-restart survivor must be gated, got $finalKept")
+  }
+
+  test("SRP compaction: folded base + GC'd deltas produce identical keeps, " +
+      "restart-safe (srpDedupStep LSM treatment)") {
+    val dir = tmpDir()
+    val e0 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val index = Similarity.buildSrpIndex(
+      Seq((0L, e0)).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dim = 4, nBits = 8, bandBits = 4, threshold = 0.9)
+    // six staggered single-file batches: b_i carries a novel axis vector
+    // except b3 (near-dup of b1's survivor) and b5 (near-dup of b2's) —
+    // gating b3/b5 requires survivors folded through the compacted base
+    val axes = Seq(
+      Array(0.0f, 1.0f, 0.0f, 0.0f),  // b0: survivor 1
+      Array(0.0f, 0.0f, 1.0f, 0.0f),  // b1: survivor 3
+      Array(0.0f, 0.0f, 0.0f, 1.0f),  // b2: survivor 5
+      Array(0.0f, 0.0f, 2.0f, 0.0f),  // b3: ∥ b1's → gated
+      Array(0.5f, 0.5f, 0.5f, 0.5f),  // b4: survivor 9
+      Array(0.0f, 0.0f, 0.0f, 3.0f))  // b5: ∥ b2's → gated
+    val t0 = System.currentTimeMillis() - 600000L
+    axes.zipWithIndex.foreach { case (v, i) =>
+      Seq((2L * i + 1L, v)).toDF("vec_id", "embedding")
+        .write.parquet(s"$dir/in/b$i")
+      new java.io.File(s"$dir/in/b$i").listFiles()
+        .foreach(_.setLastModified(t0 + i * 60000L))
+    }
+    // compactEvery=2: folds fire repeatedly across the six batches
+    runSrpIncrStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", s"$dir/seen",
+      index, compactEvery = 2)
+    assert(srpOut(dir) == Set(1L, 3L, 5L, 9L),
+      s"near-dups of folded survivors must still be gated, got ${srpOut(dir)}")
+    // the LSM shape actually happened: a base dir exists and folded
+    // deltas were GC'd (only post-fold deltas remain)
+    val seenNames = new java.io.File(s"$dir/seen").listFiles()
+      .map(_.getName).toSet
+    assert(seenNames.exists(_.startsWith("base-")), s"no base dir: $seenNames")
+    assert(seenNames.count(_.matches("b\\d+")) < axes.size,
+      s"folded deltas were not GC'd: $seenNames")
+
+    // kill/restart over the compacted state: no re-emission, and a new
+    // batch near-dupping a long-folded survivor is still gated
+    runSrpIncrStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", s"$dir/seen",
+      index, compactEvery = 2)
+    assert(srpOutCount(dir) == 4)
+    Seq((101L, Array(0.0f, 2.0f, 0.0f, 0.0f)),   // ∥ b0's survivor → gated
+        (103L, Array(1.0f, -1.0f, 1.0f, -1.0f))) // novel
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/in/b6")
+    runSrpIncrStream(s"$dir/in", s"$dir/out", s"$dir/ckpt", s"$dir/seen",
+      index, compactEvery = 2)
+    assert(srpOut(dir) == Set(1L, 3L, 5L, 9L, 103L),
+      s"near-dup of a long-folded survivor must be gated, got ${srpOut(dir)}")
   }
 }

@@ -52,14 +52,20 @@ class WarehouseRestartSpec extends SparkTestBase {
         .foreach(qs1(_).processAllAvailable())
     } finally qs1.values.foreach(_.stop())
 
+    // DURABLE-SINK recovery contract (VERDICT r13 #5): with every query
+    // STOPPED and no post-restart batch run, the DWS tables must already
+    // hold the phase-1 rows — the K5 parquet dirs are the ClickHouse-sink
+    // analog, unlike the memory sinks they replaced (which forgot their
+    // rows on stop and needed a new batch to repopulate)
+    val preRestartVisitor = Warehouse.dwsTable(spark, lay, "visitor")
+      .collect()
+    assert(preRestartVisitor.nonEmpty,
+      "DWS rows must survive a full chain stop with no queries running")
+
     // the held chunks land while everything is down — plus one NEW order
     // on the CDC side, so every ow-consuming layer fires a post-restart
-    // batch: a complete-mode MEMORY sink only repopulates when a batch
-    // runs after restart (its rows live in the sink, and the memory sink
-    // forgets them — a ClickHouse sink would not), so the operational
-    // recovery contract is "checkpointed agg state replays on the next
-    // batch"; this is that next batch, and the assertion below is that
-    // the RECOVERED state merges correctly with it
+    // batch and the assertion below is that the RECOVERED state merges
+    // correctly with it
     for (f <- held.listFiles()) {
       val m = f.lastModified()
       val dst = new java.io.File(odsDir, f.getName)
@@ -90,7 +96,7 @@ class WarehouseRestartSpec extends SparkTestBase {
       assert(gate.getBoolean(i), s"$n failed across the restart boundary")
 
     // external parity: terminal VisitorStats ≡ the a1 batch query
-    val chain = spark.table("wh_visitor")
+    val chain = Warehouse.dwsTable(spark, lay, "visitor")
       .filter(col("ch") =!= Warehouse.SentinelMid)
       .select(col("stt"), col("edt"), col("ch").as("event_type"),
         col("pv_ct"),
