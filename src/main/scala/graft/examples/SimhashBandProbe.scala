@@ -34,11 +34,21 @@ object SimhashBandProbe {
       else Seq("target/rehearsal/sfL", "target/rehearsal/sfXL")
     // past this bucket mass the equi-join itself is the pathology being
     // measured — report the histogram number and skip materializing it
-    val JoinBudget = 100000000L
+    // (600M admits the d=6 floor at 500k docs; the d=4 saturation at
+    // 2.65B stays skipped)
+    val JoinBudget = 600000000L
     for (dir <- dirs) {
       val docs = Tables.load(spark, dir, "documents")
       val sh = Dedup.simhash64Native(docs, "text", "doc_id").staged
       val nDocs = sh.count()
+      // Σ C(n,2) over groups of IDENTICAL sketches: the irreducible
+      // collision floor — these pairs land in EVERY key family at any
+      // block width, so candidate mass can never go below
+      // nFamilies × this number on a near-dup-heavy corpus
+      val dupMass = sh.groupBy("simhash").agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) / 2")), lit(0.0)))
+        .collect()(0).getDouble(0).toLong
+      println(s"[simhashband] $dir docs=$nDocs identical_sketch_pairs=$dupMass")
       val counts = for (d <- Seq(4, 6)) yield {
         val bucketMass = Dedup
           .simhashBandKeys(sh, "doc_id", bits = 64, maxHam = 3, nBlocks = d)
@@ -50,16 +60,18 @@ object SimhashBandProbe {
             "this saturation is the measured defect)")
           None
         } else {
-          val cand = Dedup
+          // ONE pass, no caching: a staged 10⁸-row candidate frame is
+          // itself a memory hazard (the first probe run proved it)
+          val agg = Dedup
             .simhashCandidates(sh, "doc_id", bits = 64, maxHam = 3,
               nBlocks = d)
-            .staged
-          val nCand = cand.count()
-          val verified = cand
-            .withColumn("hamming",
-              bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("long"))
-            .filter(col("hamming") <= 3)
-            .count()
+            .select(bit_count(col("_sa").bitwiseXOR(col("_sb")))
+              .cast("long").as("hamming"))
+            .agg(count(lit(1)).as("cand"),
+              sum(when(col("hamming") <= 3, 1L).otherwise(0L)).as("ver"))
+            .collect()(0)
+          val nCand = agg.getLong(0)
+          val verified = agg.getLong(1)
           val walls = (1 to 2).map { _ =>
             val t0 = System.nanoTime()
             Dedup.simhashNeardupPairs(docs, "text", "doc_id",

@@ -1048,18 +1048,37 @@ object Dedup {
   private[graft] def simhashCandidates(sh: DataFrame, idCol: String,
       bits: Int, maxHam: Int, nBlocks: Int): DataFrame = {
     val banded = simhashBandKeys(sh, idCol, bits, maxHam, nBlocks)
-    val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("_sa"),
-      col("b"), col("key"))
-    val bSide = banded.select(col(idCol).as("doc_b"), col("simhash").as("_sb"),
-      col("b"), col("key"))
-    a.join(bSide, Seq("b", "key")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "_sa", "_sb").distinct()
+    // pair generation through the hot-bucket guard (r14): a cluster of
+    // IDENTICAL sketches collides in EVERY key family no matter how wide
+    // the keys — SimhashBandProbe measured the rehearsal corpus's
+    // identical-sketch clusters dominating candidate mass at 500k docs —
+    // so one fat bucket must triangle-salt across tasks exactly like the
+    // minhash-LSH path. distinct on bare id pairs BEFORE fetching the
+    // sketches back by id (two hash joins) keeps the dedup exchange
+    // narrow.
+    // scalar bucket key (PairBuckets' hot-bucket guard literalizes the
+    // observed hot keys — a struct key cannot literalize; a packed long
+    // keeps the 10M+-row candidate exchange narrow)
+    val pairs = graft.ops.PairBuckets
+      .selfPairs(banded, idCol, col("bks"))
+      .select("doc_a", "doc_b").distinct()
+    pairs
+      .join(sh.select(col(idCol).as("doc_a"), col("simhash").as("_sa")),
+        Seq("doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("simhash").as("_sb")),
+        Seq("doc_b"))
+      .select("doc_a", "doc_b", "_sa", "_sb")
   }
 
-  /** The (id, simhash, b, key) banding frame behind [[simhashCandidates]]
-    * — one row per document per key family. Exposed package-internal so
-    * the rehearsal can histogram bucket sizes (Σ size·(size−1)/2 is the
-    * exchange mass the equi-join pays before distinct). */
+  /** The (id, simhash, b, key, bks) banding frame behind
+    * [[simhashCandidates]] — one row per document per key family. `bks`
+    * is the SCALAR bucket id ((family, key) packed into one long when the
+    * widths allow — they do for every practical parameterization — else a
+    * string): one narrow column for the pair join instead of a two-column
+    * or string key, which halved the candidate exchange in the rehearsal.
+    * Exposed package-internal so the rehearsal can histogram bucket sizes
+    * (Σ size·(size−1)/2 is the exchange mass the equi-join pays before
+    * distinct). */
   private[graft] def simhashBandKeys(sh: DataFrame, idCol: String,
       bits: Int, maxHam: Int, nBlocks: Int): DataFrame = {
     val d = if (nBlocks <= 0) maxHam + 1 else nBlocks
@@ -1077,6 +1096,10 @@ object Dedup {
     // the chosen blocks' values packed little-endian into one long
     // (total key bits = bits·(d-maxHam)/d ≤ 64 by construction)
     val combos = (0 until d).combinations(d - maxHam).toSeq
+    val maxKeyBits = combos.map(_.map(widths).sum).max
+    val famBits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, combos.size.toLong - 1L)).toInt
+    val packable = maxKeyBits + famBits <= 63
     val keyStructs = combos.zipWithIndex.map { case (blks, ci) =>
       var shift = 0
       val packed = blks.map { bi =>
@@ -1084,11 +1107,16 @@ object Dedup {
         shift += widths(bi)
         p
       }.reduce(_ bitwiseOR _)
-      struct(lit(ci).as("b"), packed.as("key"))
+      val scalar =
+        if (packable)
+          (packed.bitwiseOR(lit(ci.toLong << maxKeyBits))).cast("long")
+        else concat_ws(":", lit(ci), packed).cast("string")
+      struct(lit(ci).as("b"), packed.as("key"), scalar.as("bks"))
     }
     sh.select(col(idCol), col("simhash"),
       explode(array(keyStructs: _*)).as("bk"))
-      .select(col(idCol), col("simhash"), col("bk.b"), col("bk.key"))
+      .select(col(idCol), col("simhash"), col("bk.b"), col("bk.key"),
+        col("bk.bks"))
   }
 
   /** C4-style LINE-level global dedup ("we removed all but one of any

@@ -943,10 +943,9 @@ object Similarity {
     * `compactEvery` dirs, they fold into `base-<maxFoldedBatch>` and the
     * folded sources are garbage-collected, so the per-batch fixed cost
     * is O(compactEvery) dirs forever instead of growing with batch
-    * count. Crash-safe by construction: readers pick the NEWEST base
-    * strictly older than their batch and only deltas newer than it, so a
-    * crash between base-write and GC (or a replay of the compacting
-    * batch) resolves to the same effective index either way.
+    * count — the shared [[graft.ops.SeenDirs]] lifecycle
+    * (st_line_dedup_stream rides the same helper), crash-safe by
+    * newest-base-wins reads.
     *
     * Contract note (ADVICE r13): the gate is against the index + EARLIER
     * batches only — two near-dup vectors arriving in the SAME micro-batch
@@ -960,31 +959,11 @@ object Similarity {
       project: DataFrame => DataFrame = identity,
       compactEvery: Int = 8): Unit = {
     val spark = batch.sparkSession
-    def ls(re: String): Seq[(Long, java.io.File)] =
-      Option(new java.io.File(seenRoot).listFiles())
-        .getOrElse(Array.empty[java.io.File]).toSeq
-        .filter(_.getName.matches(re))
-        .map(f => (f.getName.dropWhile(!_.isDigit).toLong, f))
-    // newest compacted base strictly older than this batch, then only
-    // deltas newer than it (stale folded deltas are ignored, which is
-    // what makes GC a correctness no-op)
-    val base = ls("base-\\d+").filter(_._1 < batchId).sortBy(-_._1).headOption
-    val upto = base.map(_._1).getOrElse(-1L)
-    val deltas = ls("b\\d+")
-      .filter { case (i, _) => i > upto && i < batchId }.sortBy(_._1)
-    var effSrc = base.toSeq ++ deltas
-    if (effSrc.size >= math.max(2, compactEvery) && deltas.nonEmpty) {
-      val maxId = deltas.last._1
-      val foldDir = s"$seenRoot/base-$maxId"
-      spark.read.parquet(effSrc.map(_._2.getAbsolutePath): _*)
-        .write.mode("overwrite").parquet(foldDir)
-      effSrc.foreach { case (_, f) => graft.core.Scratch.deleteRecursively(f) }
-      effSrc = Seq((maxId, new java.io.File(foldDir)))
-    }
+    val effDirs = graft.ops.SeenDirs.effectiveDirs(spark, seenRoot, batchId,
+      compactEvery)
     val eff =
-      if (effSrc.isEmpty) index
-      else extendSrpIndex(index,
-        spark.read.parquet(effSrc.map(_._2.getAbsolutePath): _*),
+      if (effDirs.isEmpty) index
+      else extendSrpIndex(index, spark.read.parquet(effDirs: _*),
         idCol, vecCol)
     val kept = srpDedupAgainst(eff, batch, idCol, vecCol).persist()
     try {

@@ -2984,25 +2984,28 @@ object ExtOps {
         // cross-batch first-wins from DURABLE state: frozen corpus index
         // plus every strictly-earlier batch's persisted lines (empty on the
         // first batch — zero overhead in the single-batch verify/bench
-        // shape; LineDedupSpec drives the multi-batch + restart paths)
-        val priorDirs = Option(new java.io.File(seenRoot).listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.getName.matches("b\\d+") &&
-            f.getName.drop(1).toLong < batchId)
-          .map(_.getAbsolutePath).sorted.toIndexedSeq
+        // shape; LineDedupSpec drives the multi-batch + restart paths).
+        // SeenDirs gives the LSM lifecycle: per-batch overwrite deltas,
+        // folded into a base every compactEvery dirs (r14 — same fix as
+        // srpDedupStep, so a long-running ingest's per-batch fixed cost
+        // stays O(compactEvery) instead of growing with batch count)
+        val priorDirs = graft.ops.SeenDirs.effectiveDirs(s, seenRoot, batchId)
         val eff =
           if (priorDirs.isEmpty) index
           else index.union(s.read.parquet(priorDirs: _*).select("line"))
             .distinct().staged
+        // per-batch overwrite dir on the OUT side too: a replayed batch
+        // rewrites its own emission instead of appending duplicates
         graft.ext.Dedup.lineDedupAgainst(eff, b, "text", "doc_id")
-          .write.mode("append").parquet(out)
+          .write.mode("overwrite").parquet(s"$out/b$batchId")
         // overwrite = idempotent under at-least-once replay: a replayed
         // batch rewrites its own dir and never extends anyone else's
         graft.ext.Dedup.buildLineIndex(b, "text", "doc_id")
           .write.mode("overwrite").parquet(s"$seenRoot/b$batchId")
       }
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(out).orderBy("doc_id")
+      s.read.option("recursiveFileLookup", "true").parquet(out)
+        .orderBy("doc_id")
     },
     Some("""WITH d AS (SELECT doc_id, text,
               CAST(substring(source, 4) AS INT) AS srcnum FROM documents),

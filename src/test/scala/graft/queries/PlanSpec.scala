@@ -498,15 +498,25 @@ class PlanSpec extends SparkTestBase {
     assert(!p.linesIterator.exists(_.matches("""\(\d+\) Sort\s*""")), p)
   }
 
-  test("ratelimit: one keyed exchange feeds the fold — no window, no cartesian") {
+  test("ratelimit: secondary-sort fold — one keyed exchange, local sort, " +
+      "no window, no cartesian") {
     val p = planOf("a22_ratelimit")
-    // previous-KEPT is a data-dependent fold (flatMapGroups), not a lag
-    // window: the plan must carry exactly one keyed hash exchange into
-    // the MapGroups and no Window operator at all
+    // previous-KEPT is a data-dependent fold, not a lag window — and
+    // since r14 it is the SPILL-SAFE shape: one keyed hash exchange, a
+    // LOCAL sort (spills through the external sorter), and a
+    // MapPartitions streaming fold (O(1) live state per key) instead of
+    // the flatMapGroups + toSeq buffer that OOMed on a hot key
+    // (SCALING §10a). No Window operator, no cartesian.
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
-    assert(p.contains("MapGroups"), p)
+    assert(p.contains("MapPartitions"), p)
     assert(p.linesIterator.count(_.contains("hashpartitioning")) == 1, p)
+    // the secondary sort is LOCAL (formatted explain: the Sort node's
+    // Arguments line ends "false, 0" = global=false): no range exchange
+    // before the fold
+    assert(p.linesIterator.exists(l =>
+      l.contains("us#") && l.contains("ASC NULLS FIRST") &&
+        l.contains("false, 0")), p)
   }
 
   test("resample forward-fill: LOCF window rides the grid join's user key") {
