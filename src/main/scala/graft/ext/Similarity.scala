@@ -212,19 +212,25 @@ object Similarity {
     // quantizer's cell list (bounded by nLists, the set MLlib keeps on
     // the driver outright) — and maps back, instead of casting the id
     // through long/int (which nulls strings and truncates wide longs).
-    // zipWithIndex over the sorted cells keeps the plan window-free.
-    val distinctC = cents.select(col("cluster")).distinct().orderBy("cluster")
-    val cidx = embeddings.sparkSession.createDataFrame(
-      distinctC.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row(r.get(0), i + 1L) },
+    // The centroid table is collected ONCE — bounded at nLists rows by
+    // contract, the set the quantizer keeps on the driver outright — and
+    // re-enters the plan as a LOCAL indexed frame (r14: the previous
+    // shape paid an rdd.zipWithIndex conversion job for the surrogate
+    // index AND recomputed the centroid aggregation — a second corpus
+    // scan — inside the crossJoin's broadcast side).
+    val centRows = cents.orderBy("cluster").collect()
+    val spark0 = embeddings.sparkSession
+    val localCent = spark0.createDataFrame(
+      java.util.Arrays.asList(centRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i + 1L, r.get(1)) }: _*),
       org.apache.spark.sql.types.StructType(Seq(
-        distinctC.schema.fields.head.copy(name = "cluster"),
+        cents.schema.fields.head.copy(name = "cluster"),
         org.apache.spark.sql.types.StructField("_cidx",
-          org.apache.spark.sql.types.LongType))))
+          org.apache.spark.sql.types.LongType),
+        cents.schema.fields(1).copy(name = "ce"))))
+    val cidx = localCent.select(col("cluster"), col("_cidx"))
     val cScored = q.crossJoin(broadcast(
-        cents.join(cidx, Seq("cluster"))
-          .select(col("cluster"), col("_cidx"), col("centroid").as("ce"))
-          .withColumn("cn", norm("ce"))))
+        localCent.withColumn("cn", norm("ce"))))
       .withColumn("cosine",
         floor(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("cn"))) * 1000000.0) / 1000000.0)
     val probed = rankTopK(
