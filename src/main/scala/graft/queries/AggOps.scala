@@ -1011,11 +1011,146 @@ object AggOps {
             SELECT event_id, user_id, us, ewma_c
             FROM r ORDER BY event_id"""))
 
+  /** PSI composition over a zero-filled (side, bucket, n) histogram grid
+    * (`side` ∈ ref/cur, buckets 0..nBuckets−1): Population Stability
+    * Index Σᵢ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) with add-one smoothing, in the
+    * x_domain_kl exactness recipe — each log term floor-truncated at
+    * 4 dp, weighted by an EXACT INTEGER numerator (pᵢ − qᵢ =
+    * [(c_refᵢ+1)(nq+B) − (c_curᵢ+1)(np+B)] / [(np+B)(nq+B)] — the
+    * denominator is bucket-independent so it divides ONCE after the
+    * exact DECIMAL sum), final value floor-truncated at 6 dp. Returns
+    * one row per bucket: (bucket, c_ref, c_cur, psi, is_drift) with
+    * the standard 0.2 alert threshold. Shared by a27_psi_drift and
+    * st_psi_drift_stream (the counts differ in provenance only). */
+  private[graft] def psiFromCounts(filled: org.apache.spark.sql.DataFrame,
+      nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    val pivoted = filled.groupBy("bucket").agg(
+      sum(when(col("side") === "ref", col("n")).otherwise(0L)).as("c_ref"),
+      sum(when(col("side") === "cur", col("n")).otherwise(0L)).as("c_cur"))
+    val tots = pivoted.agg(sum("c_ref").as("np"), sum("c_cur").as("nq"))
+    val b = lit(nBuckets.toLong)
+    val terms = pivoted.crossJoin(broadcast(tots))
+      .withColumn("lnr",
+        floor(log(((col("c_ref") + 1L) * (col("nq") + b)).cast("double") /
+          ((col("c_cur") + 1L) * (col("np") + b))) * 10000.0) / 10000.0)
+      .withColumn("dnum",
+        (col("c_ref") + 1L) * (col("nq") + b) -
+          (col("c_cur") + 1L) * (col("np") + b))
+      .withColumn("w", col("lnr").cast("decimal(18,4)") * col("dnum"))
+    val psi = terms.groupBy("np", "nq").agg(sum("w").as("sw"))
+      .select((floor(col("sw").cast("double") /
+        ((col("np") + b) * (col("nq") + b)) * 1000000.0) / 1000000.0)
+        .as("psi"))
+    pivoted.crossJoin(broadcast(psi))
+      .select(col("bucket"), col("c_ref"), col("c_cur"), col("psi"),
+        (col("psi") >= 0.2).cast("long").as("is_drift"))
+      .orderBy("bucket")
+  }
+
+  /** The (side, bucket) tagging both PSI queries share: side = which
+    * time half the event falls in (vs frozen span bounds — integer
+    * arithmetic only, us·2 ≤ lo+hi avoids division), bucket = value
+    * cents scaled into nBuckets equal-width bins over [0, maxCents]
+    * (exact integer div). Bounds arrive as COLUMNS so the batch query
+    * passes the broadcast 1-row frame's refs while the streaming twin
+    * passes frozen literals (the st_trend_decay shape — no stream-static
+    * crossJoin in the streaming plan). Row-local either way. */
+  private[graft] def psiTag(e: org.apache.spark.sql.DataFrame,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+      mc: org.apache.spark.sql.Column,
+      nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    // exact integer floor division (c·B div (mc+1)) without a SQL-string
+    // div: subtract the remainder first, so the double division is of
+    // exactly-divisible longs and the quotient is bit-exact
+    val num = col("c") * lit(nBuckets.toLong)
+    val den = mc + lit(1L)
+    e.select(
+      when(col("us") * 2 <= lo + hi, lit("ref"))
+        .otherwise(lit("cur")).as("side"),
+      least(((num - pmod(num, den)) / den).cast("long"),
+        lit(nBuckets.toLong - 1L)).as("bucket"))
+  }
+
+  private[graft] def psiGrid(s: SparkSession, nBuckets: Int) = {
+    import s.implicits._
+    s.range(nBuckets.toLong).select(col("id").as("bucket"))
+      .crossJoin(Seq("ref", "cur").toDF("side"))
+  }
+
+  /** A27 (beyond ref) — PSI distribution-drift detector, the monitoring
+    * family's DATA-DRIFT stage (resample → smooth → flag → DRIFT): the
+    * Population Stability Index of the value distribution between the
+    * observation span's two time halves, over 10 equal-width cent
+    * buckets. PSI is the standard train/serve drift metric for a
+    * training-data pipeline (psi < 0.1 stable, ≥ 0.2 actionable drift —
+    * the emitted `is_drift` flag uses 0.2). Integer-exact except the
+    * per-bucket ln term, which follows x_domain_kl's proven recipe
+    * (4-dp floor per term → exact DECIMAL weighting → one final 6-dp
+    * floor), so the query hash-gates. */
+  val a27PsiDrift = OpQuery(
+    "a27_psi_drift",
+    "PSI drift of value cents between time halves: 10 buckets, KL-recipe exactness",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      val bounds = e.agg(min("us").as("lo"), max("us").as("hi"),
+        max("c").as("mc"))
+      val counts = psiTag(e.crossJoin(broadcast(bounds)),
+          col("lo"), col("hi"), col("mc"), 10)
+        .groupBy("side", "bucket").agg(count(lit(1)).as("n"))
+      val filled = psiGrid(s, 10).join(counts, Seq("side", "bucket"), "left")
+        .select(col("side"), col("bucket"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      psiFromCounts(filled, 10)
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) AS us,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                       FROM events),
+            b AS (SELECT min(us) AS lo, max(us) AS hi, max(c) AS mc FROM e),
+            tagged AS (SELECT
+                CASE WHEN e.us * 2 <= b.lo + b.hi THEN 'ref' ELSE 'cur' END
+                  AS side,
+                least(e.c * 10 // (b.mc + 1), 9) AS bucket
+              FROM e, b),
+            counts AS (SELECT side, bucket, count(*) AS n
+                       FROM tagged GROUP BY 1, 2),
+            grid AS (SELECT s.side, g.bucket
+                     FROM (SELECT unnest(['ref', 'cur']) AS side) s,
+                          (SELECT unnest(generate_series(0, 9)) AS bucket) g),
+            filled AS (SELECT grid.side, grid.bucket,
+                coalesce(counts.n, 0) AS n
+              FROM grid LEFT JOIN counts USING (side, bucket)),
+            p AS (SELECT bucket,
+                sum(CASE WHEN side = 'ref' THEN n ELSE 0 END) AS c_ref,
+                sum(CASE WHEN side = 'cur' THEN n ELSE 0 END) AS c_cur
+              FROM filled GROUP BY 1),
+            t AS (SELECT sum(c_ref) AS np, sum(c_cur) AS nq FROM p),
+            terms AS (SELECT p.bucket, p.c_ref, p.c_cur, t.np, t.nq,
+                floor(ln(CAST((p.c_ref + 1) * (t.nq + 10) AS DOUBLE)
+                  / ((p.c_cur + 1) * (t.np + 10))) * 10000.0) / 10000.0
+                  AS lnr,
+                (p.c_ref + 1) * (t.nq + 10) - (p.c_cur + 1) * (t.np + 10)
+                  AS dnum
+              FROM p, t),
+            sw AS (SELECT np, nq,
+                sum(CAST(lnr AS DECIMAL(18,4)) * dnum) AS s
+              FROM terms GROUP BY 1, 2),
+            psi AS (SELECT floor(CAST(s AS DOUBLE)
+                / ((np + 10) * (nq + 10)) * 1000000.0) / 1000000.0 AS v
+              FROM sw)
+            SELECT CAST(terms.bucket AS BIGINT) AS bucket,
+                   CAST(terms.c_ref AS BIGINT) AS c_ref,
+                   CAST(terms.c_cur AS BIGINT) AS c_cur,
+                   CAST(psi.v AS DOUBLE) AS psi,
+                   CAST(psi.v >= 0.2 AS BIGINT) AS is_drift
+            FROM terms, psi ORDER BY bucket"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
     a12SessionPaths, a13ConversionLag, a14GroupingSets, a15Pivot,
     a16RollingWindow, a17Attribution, a18TrendDecay, a19ResampleZerofill,
     a20Debounce, a21TrendTopk, a22RateLimit, a23ResampleFfill, a24Ewma,
-    a25EwmaAnomaly, a26EwmaAlpha8, k5LatestVersion)
+    a25EwmaAnomaly, a26EwmaAlpha8, a27PsiDrift, k5LatestVersion)
 }

@@ -942,6 +942,44 @@ object StreamingOps {
     },
     AggOps.a26EwmaAlpha8.oracle)
 
+  /** Streaming twin of a27_psi_drift — drift monitoring as it deploys:
+    * the span bounds and bucket width are FROZEN before the stream
+    * starts (one metadata-cheap batch min/max — the production monitor
+    * freezes its reference histogram's binning offline the same way;
+    * the st_trend_decay frozen-horizon argument), making each event's
+    * (side, bucket) tag row-local. A complete-mode grouped count of
+    * row-local tags is batching-invariant, so the drained histogram —
+    * and the PSI composed from it batch-side — equals the batch run for
+    * ANY micro-batch split, and a27's oracle gates this query verbatim.
+    * State = one long per (side, bucket): ≤ 20 rows, the smallest
+    * bounded-state shape in the registry. */
+  val stPsiDrift = OpQuery(
+    "st_psi_drift_stream",
+    "streaming PSI drift: frozen binning, complete-mode 20-row histogram (a27's oracle)",
+    (s, dir) => withStatePartitions(s, 8) {
+      // frozen binning: one metadata-cheap batch pass collects the span
+      // bounds + max cents as LITERALS (st_trend_decay's frozen-horizon
+      // shape — no stream-static crossJoin in the streaming plan)
+      val b = graft.core.Tables.load(s, dir, "events")
+        .select(unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .agg(min("us"), max("us"), max("c")).collect()(0)
+      val tagged = AggOps.psiTag(
+        eventStream(s, dir)
+          .select(unix_micros(col("ts")).as("us"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("c")),
+        lit(b.getLong(0)), lit(b.getLong(1)), lit(b.getLong(2)), 10)
+      val counts = drain(
+        tagged.groupBy("side", "bucket").agg(count(lit(1)).as("n")),
+        "st_psi_out", mode = "complete")
+      val filled = AggOps.psiGrid(s, 10)
+        .join(counts, Seq("side", "bucket"), "left")
+        .select(col("side"), col("bucket"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      AggOps.psiFromCounts(filled, 10)
+    },
+    AggOps.a27PsiDrift.oracle)
+
   /** Streaming twin of a18_trend_decay. The horizon is FROZEN before the
     * stream starts (one metadata-cheap batch max over the table — the
     * production trend board passes `now()` the same way), which makes
@@ -984,5 +1022,5 @@ object StreamingOps {
       stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream,
       stCepTimes, stAttribution, stCmsHeavyHitters, stSketchRollup,
       stCepNegation, stCepOptional, stTrendDecay, stDebounce, stRateLimit,
-      stEwma, stEwmaAlpha8)
+      stEwma, stEwmaAlpha8, stPsiDrift)
 }
