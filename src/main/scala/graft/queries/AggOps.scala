@@ -1146,11 +1146,199 @@ object AggOps {
                    CAST(psi.v >= 0.2 AS BIGINT) AS is_drift
             FROM terms, psi ORDER BY bucket"""))
 
+  /** a28/st_cusum constants: slack K = 10.00 (the half-drift the chart is
+    * tuned to ignore) and decision threshold H = 200.00, in cents. On the
+    * driver fixture (mean ≈ 49.63, heavy right tail) both alarm classes
+    * populate at every SF: single large readings trip the positive side
+    * immediately, sustained below-target runs accumulate the negative
+    * side over ~6 events. */
+  private[graft] val CusumSlackCents = 1000L
+  private[graft] val CusumThresholdCents = 20000L
+
+  /** One CUSUM step, shared verbatim by the a28 batch fold and
+    * st_cusum_stream's keyed state machine so the two can never drift:
+    * from the carried post-reset accumulators (gp, gn) and a reading c,
+    * produce (gpRaw, gnRaw, alarm, gpNext, gnNext). Raw values are
+    * emitted; post-alarm the accumulators restart at 0 so the chart
+    * re-arms and a long deviation yields repeated alarms rather than a
+    * single saturating one. Only +/−/max over BIGINT — sign-agnostic,
+    * so unlike the EWMA family there is NO non-negativity precondition
+    * on the readings. */
+  private[graft] def cusumStep(gp: Long, gn: Long, c: Long, tgt: Long):
+      (Long, Long, Long, Long, Long) = {
+    val gpRaw = math.max(0L, gp + c - tgt - CusumSlackCents)
+    val gnRaw = math.max(0L, gn + tgt - c - CusumSlackCents)
+    val alarm =
+      if (gpRaw >= CusumThresholdCents || gnRaw >= CusumThresholdCents) 1L
+      else 0L
+    if (alarm == 1L) (gpRaw, gnRaw, alarm, 0L, 0L)
+    else (gpRaw, gnRaw, alarm, gpRaw, gnRaw)
+  }
+
+  /** A28 (beyond ref) — CUSUM change-point detection (Page 1954), the
+    * monitoring family's CHANGE-POINT stage (resample → smooth → flag →
+    * drift → change-point): PSI (a27) says the distribution moved; CUSUM
+    * says WHEN the level moved, per key. Two-sided: gp accumulates
+    * above-target deviation max(0, gp + c − T − K), gn below-target
+    * max(0, gn + T − c − K); alarm when either crosses H, then both
+    * restart (re-armed chart). The reference level T is FROZEN at the
+    * global integral mean of the cents readings — exactly how a
+    * production chart calibrates μ₀ offline — computed with Spark's
+    * `div` ≡ DuckDB's truncating `//` (identical on all signs, so no
+    * sign precondition anywhere in this query; the recurrence itself is
+    * +/−/max only). Same spill-safe secondary-sort fold as a24, same
+    * recursive-CTE oracle family; every emitted accumulator is
+    * bit-identical across engines, no epsilon. */
+  val a28Cusum = OpQuery(
+    "a28_cusum",
+    "two-sided integer CUSUM change-point per user vs frozen global target, re-armed after alarm",
+    (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      val target = e.agg(sum("c").as("sc"), count(lit(1)).as("n"))
+        .select(expr("sc div n").as("tgt"))
+      e.crossJoin(broadcast(target))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "us", "event_id")
+        .as[(Long, Long, Long, Long, Long)]
+        .mapPartitions { it =>
+          var open = false
+          var curU = 0L
+          var gp = 0L
+          var gn = 0L
+          it.map { case (id, u, us, c, tgt) =>
+            if (!open || u != curU) { open = true; curU = u; gp = 0L; gn = 0L }
+            val (gpRaw, gnRaw, alarm, gpN, gnN) = cusumStep(gp, gn, c, tgt)
+            gp = gpN; gn = gnN
+            (id, u, us, gpRaw, gnRaw, alarm)
+          }
+        }
+        .toDF("event_id", "user_id", "us", "gp", "gn", "is_alarm")
+        .orderBy("event_id")
+    },
+    Some("""WITH RECURSIVE e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events),
+            t AS (SELECT CAST(sum(c) // count(*) AS BIGINT) AS tgt FROM e),
+            r AS (
+              SELECT e.user_id, e.rn, e.event_id, e.us,
+                     greatest(0, e.c - t.tgt - 1000) AS gp,
+                     greatest(0, t.tgt - e.c - 1000) AS gn,
+                     CAST(greatest(0, e.c - t.tgt - 1000) >= 20000
+                       OR greatest(0, t.tgt - e.c - 1000) >= 20000
+                       AS BIGINT) AS is_alarm
+              FROM e CROSS JOIN t WHERE e.rn = 1
+              UNION ALL
+              SELECT e.user_id, e.rn, e.event_id, e.us,
+                     greatest(0, (CASE WHEN r.is_alarm = 1 THEN 0 ELSE r.gp END)
+                       + e.c - t.tgt - 1000),
+                     greatest(0, (CASE WHEN r.is_alarm = 1 THEN 0 ELSE r.gn END)
+                       + t.tgt - e.c - 1000),
+                     CAST(greatest(0, (CASE WHEN r.is_alarm = 1 THEN 0 ELSE r.gp END)
+                         + e.c - t.tgt - 1000) >= 20000
+                       OR greatest(0, (CASE WHEN r.is_alarm = 1 THEN 0 ELSE r.gn END)
+                         + t.tgt - e.c - 1000) >= 20000
+                       AS BIGINT) AS is_alarm
+              FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+              CROSS JOIN t)
+            SELECT event_id, user_id, us, gp, gn, is_alarm
+            FROM r ORDER BY event_id"""))
+
+  /** Lower (discrete) median of an integer-valued reading from its
+    * HISTOGRAM: given per-(event_type, v) counts, select the v whose
+    * cumulative count first reaches ⌈n/2⌉ = (n+1) div 2. This is the
+    * 100-TB shape for exact medians over integer domains — the shuffle
+    * is keyed by (type, value) (bounded-domain, never skewed by a hot
+    * type) and the window sort runs over DISTINCT values per type
+    * (≤ cents domain), not over raw rows. Selection by rank is
+    * tie-safe: equal values collapse into one histogram row, so the
+    * chosen v is unique by construction. */
+  private def histLowerMedian(counts: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("v")
+    val cum = counts.withColumn("cum", sum("cnt").over(w))
+    val tot = counts.groupBy("event_type").agg(sum("cnt").as("n"))
+      .withColumn("target", expr("(n + 1) div 2"))
+    cum.join(broadcast(tot), Seq("event_type"))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("cnt") < col("target"))
+      .select(col("event_type"), col("v"))
+  }
+
+  /** A29 (beyond ref) — robust outlier flags via median/MAD, the
+    * monitoring family's OUTLIER stage and the data-quality scrub a
+    * training pipeline runs before a25's EWMA ever sees a reading (mean/
+    * stddev-based z-scores are dragged by the very outliers they hunt;
+    * the median and the Median Absolute Deviation have 50% breakdown).
+    * Per event_type: med = lower discrete median of the cents readings,
+    * mad = lower discrete median of |c − med|, flag = |c − med| > 3·mad.
+    * Everything is BIGINT selection-and-compare — no interpolation, no
+    * 1.4826 consistency scaling (the 3·mad gate absorbs the constant) —
+    * so the query is bit-deterministic and hash-gates with no epsilon.
+    * Both medians come from [[histLowerMedian]]'s histogram-CDF
+    * selection: the scale-honest exact shape (bounded-domain shuffles;
+    * the sort is over distinct values, not rows). The oracle states the
+    * same lower median via row_number — rank selection over sorted
+    * values and CDF selection over the histogram pick the same element
+    * by definition. */
+  val a29RobustOutliers = OpQuery(
+    "a29_robust_outliers",
+    "median/MAD robust outlier flags per event_type: |c - med| > 3*mad, integer-exact",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      val med = histLowerMedian(
+          e.groupBy(col("event_type"), col("c").as("v"))
+            .agg(count(lit(1)).as("cnt")))
+        .withColumnRenamed("v", "med_c")
+      val d = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("c") - col("med_c")))
+      val mad = histLowerMedian(
+          d.groupBy(col("event_type"), col("dev").as("v"))
+            .agg(count(lit(1)).as("cnt")))
+        .withColumnRenamed("v", "mad_c")
+      d.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("c"),
+          col("med_c"), col("mad_c"),
+          (col("dev") > lit(3L) * col("mad_c")).cast("long").as("is_outlier"))
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, event_type,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                       FROM events),
+            m AS (SELECT event_type, c AS med_c FROM (
+                    SELECT event_type, c,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY c, event_id) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS n
+                    FROM e) WHERE rn = (n + 1) // 2),
+            d AS (SELECT e.event_id, e.event_type, e.c, m.med_c,
+                         abs(e.c - m.med_c) AS dev
+                  FROM e JOIN m USING (event_type)),
+            md AS (SELECT event_type, dev AS mad_c FROM (
+                     SELECT event_type, dev, event_id,
+                            row_number() OVER (PARTITION BY event_type
+                              ORDER BY dev, event_id) AS rn,
+                            count(*) OVER (PARTITION BY event_type) AS n
+                     FROM d) WHERE rn = (n + 1) // 2)
+            SELECT d.event_id, d.event_type, d.c, d.med_c, md.mad_c,
+                   CAST(d.dev > 3 * md.mad_c AS BIGINT) AS is_outlier
+            FROM d JOIN md USING (event_type) ORDER BY event_id"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
     a12SessionPaths, a13ConversionLag, a14GroupingSets, a15Pivot,
     a16RollingWindow, a17Attribution, a18TrendDecay, a19ResampleZerofill,
     a20Debounce, a21TrendTopk, a22RateLimit, a23ResampleFfill, a24Ewma,
-    a25EwmaAnomaly, a26EwmaAlpha8, a27PsiDrift, k5LatestVersion)
+    a25EwmaAnomaly, a26EwmaAlpha8, a27PsiDrift, a28Cusum, a29RobustOutliers,
+    k5LatestVersion)
 }

@@ -942,6 +942,71 @@ object StreamingOps {
     },
     AggOps.a26EwmaAlpha8.oracle)
 
+  case class CuEv(event_id: Long, user_id: Long, us: Long, c: Long)
+  case class CuState(gp: Long, gn: Long)
+
+  /** The st_cusum_stream state machine, factored out so restart tests can
+    * drive the REAL transform: keyed state is the pair of post-reset
+    * CUSUM accumulators per user — TWO longs per key — and each batch's
+    * events fold through [[AggOps.cusumStep]] in (event-time, id) order,
+    * the literally-shared step function that makes batch/stream drift
+    * impossible. The target level arrives FROZEN (calibrated offline,
+    * like a production chart's μ₀), so the recurrence is self-contained
+    * per key. */
+  private[graft] def cusumTransform(
+      typed: org.apache.spark.sql.Dataset[CuEv], tgt: Long,
+      maxKeyBatchRows: Int = MaxKeyBatchRows): DataFrame = {
+    val s = typed.sparkSession
+    import s.implicits._
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[CuEv], state: GroupState[CuState]) => {
+          var gp = state.getOption.map(_.gp).getOrElse(0L)
+          var gn = state.getOption.map(_.gn).getOrElse(0L)
+          val buf = bufferBounded(rows, maxKeyBatchRows, "cusumTransform")
+          buf.sortInPlaceBy(e => (e.us, e.event_id))
+          val out = buf.map { e =>
+            val (gpRaw, gnRaw, alarm, gpN, gnN) =
+              AggOps.cusumStep(gp, gn, e.c, tgt)
+            gp = gpN; gn = gnN
+            (e.event_id, e.user_id, e.us, gpRaw, gnRaw, alarm)
+          }
+          state.update(CuState(gp, gn))
+          out.iterator
+        })
+      .toDF("event_id", "user_id", "us", "gp", "gn", "is_alarm")
+  }
+
+  /** Streaming twin of a28_cusum — change-point detection as it deploys:
+    * the reference level is frozen before the stream starts (one
+    * metadata-cheap batch sum/count with the same `div` truncation as
+    * the batch query; a production chart calibrates μ₀ offline the same
+    * way — the st_trend_decay frozen-reference argument), then every
+    * micro-batch folds through two longs of keyed state per user via the
+    * SAME [[AggOps.cusumStep]] the batch fold calls. Same batch-equality
+    * caveat as st_ewma_stream (per-key event-time-ordered arrival across
+    * batches; exact here because the corpus arrives as one file batch);
+    * a28's oracle gates this query verbatim. */
+  val stCusum = OpQuery(
+    "st_cusum_stream",
+    "streaming two-sided CUSUM vs frozen target: two longs of keyed state per user",
+    (s, dir) => withStatePartitions(s, 8) {
+      import s.implicits._
+      val tRow = graft.core.Tables.load(s, dir, "events")
+        .select((col("value").cast("decimal(18,2)") * 100)
+          .cast("long").as("c"))
+        .agg(sum("c").as("sc"), count(lit(1)).as("n"))
+        .select(expr("sc div n")).collect()(0)
+      val tgt = tRow.getLong(0)
+      val typed = eventStream(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .as[CuEv]
+      drain(cusumTransform(typed, tgt), "st_cusum_out").orderBy("event_id")
+    },
+    AggOps.a28Cusum.oracle)
+
   /** Streaming twin of a27_psi_drift — drift monitoring as it deploys:
     * the span bounds and bucket width are FROZEN before the stream
     * starts (one metadata-cheap batch min/max — the production monitor
@@ -1022,5 +1087,5 @@ object StreamingOps {
       stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream,
       stCepTimes, stAttribution, stCmsHeavyHitters, stSketchRollup,
       stCepNegation, stCepOptional, stTrendDecay, stDebounce, stRateLimit,
-      stEwma, stEwmaAlpha8, stPsiDrift)
+      stEwma, stEwmaAlpha8, stPsiDrift, stCusum)
 }

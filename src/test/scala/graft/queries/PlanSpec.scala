@@ -568,4 +568,39 @@ class PlanSpec extends SparkTestBase {
     assert(ex == 1, s"expected exactly one hash exchange (item groupBy):\n$p")
     assert(p.contains("partial_sum"), p)
   }
+
+  test("cusum: 1-row target broadcast, secondary-sort fold — local sort, no window") {
+    val p = planOf("a28_cusum")
+    // the frozen target rides a 1-row broadcast frame (the a18 horizon
+    // shape); the per-user recurrence is the spill-safe secondary-sort
+    // fold (SCALING §10a): one keyed hash exchange, a LOCAL sort, a
+    // MapPartitions streaming fold — no Window operator, no cartesian
+    // over anything corpus-sized
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("MapPartitions"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the 1-row target frame
+    assert(p.linesIterator.count(_.contains("hashpartitioning(user_id")) == 1, p)
+    // the secondary sort is LOCAL (global=false): no range exchange
+    // before the fold
+    assert(p.linesIterator.exists(l =>
+      l.contains("us#") && l.contains("ASC NULLS FIRST") &&
+        l.contains("false, 0")), p)
+  }
+
+  test("robust outliers: histogram-CDF medians — windows over distinct values, " +
+      "med/mad broadcast back") {
+    val p = planOf("a29_robust_outliers")
+    // the exact-median selection must NEVER sort raw rows: every window
+    // runs over the (type, value) HISTOGRAM (post-groupBy distinct
+    // values) keyed by event_type, and the ≤|types|-row med/mad answers
+    // broadcast back onto the corpus — no shuffled join anywhere
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4, p)
+    val windowDefs =
+      p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowDefs.nonEmpty && windowDefs.forall(_.contains("event_type")),
+      windowDefs.mkString("\n"))
+  }
 }

@@ -207,6 +207,21 @@ class RestartResilienceSpec extends SparkTestBase {
       in => StreamingOps.ewmaTransform(
         beanStream(in, "event_id LONG, user_id LONG, us LONG, c LONG")
           .as[StreamingOps.EwEv])),
+    RCase("cusum",
+      Seq(
+        // batch 1: c=15000 vs tgt=5000, K=1000 → gp accumulates
+        // 15000−6000 = 9000, below the 20000 threshold — state gp=9000
+        () => Seq((1L, 1L, 1000000L, 15000L))
+          .toDF("event_id", "user_id", "us", "c"),
+        // batch 2 (post-restart): c=18000 adds 12000 → gpRaw=21000 ≥ H,
+        // ALARM — a cold start would sit at 12000 and stay silent, so
+        // the alarm itself discriminates recovery of the PRE-KILL
+        // accumulator
+        () => Seq((2L, 1L, 2000000L, 18000L))
+          .toDF("event_id", "user_id", "us", "c")),
+      in => StreamingOps.cusumTransform(
+        beanStream(in, "event_id LONG, user_id LONG, us LONG, c LONG")
+          .as[StreamingOps.CuEv], tgt = 5000L)),
     RCase("retention",
       Seq(
         () => Seq((1L, 100L)).toDF("user_id", "epochDay"),

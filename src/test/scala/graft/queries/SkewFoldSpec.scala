@@ -93,6 +93,27 @@ class SkewFoldSpec extends SparkTestBase {
     }
   }
 
+  test("a28_cusum matches a sequential two-sided fold under 50% key skew") {
+    val dir = skewDir()
+    val rows = corpus()
+    val tgt = rows.map(_._4).sum / rows.size // non-negative: div == floorDiv
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      var gp = 0L; var gn = 0L
+      rs.sortBy(r => (r._3, r._1)).map { case (id, _, _, c) =>
+        val (gpRaw, gnRaw, alarm, gpN, gnN) = AggOps.cusumStep(gp, gn, c, tgt)
+        gp = gpN; gn = gnN
+        id -> ((gpRaw, gnRaw, alarm))
+      }
+    }.toMap
+    val got = Registry.byName("a28_cusum").run(spark, dir)
+      .select("event_id", "gp", "gn", "is_alarm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size === expected.size)
+    assert(got === expected)
+    assert(got.values.exists(_._3 == 1L), "skew corpus must trip alarms")
+  }
+
   test("negative cents fail loudly instead of silently diverging the hash gate") {
     val dir = tmpDir()
     Seq((1L, new java.sql.Timestamp(0L), 1L, "click", -1.5, "{}"))
