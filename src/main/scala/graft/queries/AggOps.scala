@@ -1259,7 +1259,7 @@ object AggOps {
     * (≤ cents domain), not over raw rows. Selection by rank is
     * tie-safe: equal values collapse into one histogram row, so the
     * chosen v is unique by construction. */
-  private def histLowerMedian(counts: org.apache.spark.sql.DataFrame):
+  private[graft] def histLowerMedian(counts: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("v")
@@ -1333,6 +1333,146 @@ object AggOps {
                    CAST(d.dev > 3 * md.mad_c AS BIGINT) AS is_outlier
             FROM d JOIN md USING (event_type) ORDER BY event_id"""))
 
+  /** a30/st_monitor_e2e alert gap: one alert per user per 7 days — sized
+    * to the fixture's ~4-day mean inter-spike gap per user so BOTH alert
+    * classes (kept and suppressed) populate at every SF. */
+  private[graft] val AlertGapUs = 7L * 86400L * 1000000L
+
+  /** The a30 per-user state machine, shared verbatim with
+    * st_monitor_e2e_stream (the cusumStep pattern): from the carried
+    * (smoothed, lastAlertUs) state and a scrubbed reading, produce the
+    * post-fold smoothed value and whether this reading raises an ALERT —
+    * a spike (|c − previous smoothed| ≥ 5000, a25's contract: measured
+    * BEFORE the reading folds in, first reading per key exempt) that is
+    * not suppressed by the per-key alert rate limit (a22's previous-KEPT
+    * contract at [[AlertGapUs]]). Long.MinValue seeds both state
+    * scalars. */
+  private[graft] def monitorStep(sAcc: Long, lastAlert: Long, us: Long,
+      c: Long): (Long, Long, Boolean) = {
+    val spike = sAcc != Long.MinValue && math.abs(c - sAcc) >= 5000L
+    val sNext =
+      if (sAcc == Long.MinValue) c else Math.floorDiv(c + sAcc, 2L)
+    val alert = spike &&
+      (lastAlert == Long.MinValue || us - lastAlert >= AlertGapUs)
+    (sNext, if (alert) us else lastAlert, alert)
+  }
+
+  /** A30 (beyond ref) — the monitoring family's E2E CAPSTONE, composing
+    * the shipped stages into the pipeline a production monitor actually
+    * runs, as ONE query with ONE full SQL restatement: (1) SCRUB — drop
+    * readings deviating > 3·MAD from their type's median (a29's robust
+    * gate: corrupt readings must not poison the baseline), (2) SMOOTH +
+    * FLAG — a24's integer-exact EWMA with a25's spike contract over the
+    * surviving readings, (3) ALERT — a22's previous-KEPT rate limit over
+    * the spikes (one alert per user per [[AlertGapUs]]; a sustained
+    * incident pages once a week, not once a minute). Emits only the
+    * alert rows. The whole chain is a SINGLE secondary-sort fold per
+    * user after two broadcast scrub joins — the scrub is row-local once
+    * med/mad broadcast, and stages 2+3 share one pass (state: two
+    * longs). Oracle: a29's median CTEs → a24's recursive EWMA CTE over
+    * the kept rows → a22's recursive rate-limit CTE over the spike rows,
+    * with the two recursion inputs MATERIALIZED (an unmaterialized CTE
+    * feeding a recursive join re-evaluates per iteration — measured
+    * 120 s+ → 0.4 s at sf0.1). Same integer-exactness as every stage it
+    * composes: no epsilon anywhere. */
+  val a30MonitorE2e = OpQuery(
+    "a30_monitor_e2e",
+    "monitoring pipeline e2e: MAD-scrub -> integer EWMA spikes -> rate-limited alerts",
+    (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      val med = histLowerMedian(
+          e.groupBy(col("event_type"), col("c").as("v"))
+            .agg(count(lit(1)).as("cnt")))
+        .withColumnRenamed("v", "med_c")
+      val d = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("c") - col("med_c")))
+      val mad = histLowerMedian(
+          d.groupBy(col("event_type"), col("dev").as("v"))
+            .agg(count(lit(1)).as("cnt")))
+        .withColumnRenamed("v", "mad_c")
+      d.join(broadcast(mad), Seq("event_type"))
+        .filter(col("dev") <= lit(3L) * col("mad_c"))
+        .select(col("event_id"), col("user_id"), col("us"), col("c"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "us", "event_id")
+        .as[(Long, Long, Long, Long)]
+        .mapPartitions { it =>
+          var open = false
+          var curU = 0L
+          var sAcc = Long.MinValue
+          var lastAlert = Long.MinValue
+          it.flatMap { case (id, u, us, c) =>
+            requireNonNegCents("a30_monitor_e2e", id, c)
+            if (!open || u != curU) {
+              open = true; curU = u
+              sAcc = Long.MinValue; lastAlert = Long.MinValue
+            }
+            val (sN, laN, alert) = monitorStep(sAcc, lastAlert, us, c)
+            sAcc = sN; lastAlert = laN
+            if (alert) Some((id, u, us, sAcc)) else None
+          }
+        }
+        .toDF("event_id", "user_id", "us", "ewma_c")
+        .orderBy("event_id")
+    },
+    Some("""WITH RECURSIVE e AS (SELECT event_id, user_id, event_type,
+                epoch_us(ts) AS us,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            m AS (SELECT event_type, c AS med_c FROM (
+                    SELECT event_type, c, event_id,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY c, event_id) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS n
+                    FROM e) WHERE rn = (n + 1) // 2),
+            d AS (SELECT e.event_id, e.user_id, e.us, e.c, e.event_type,
+                         abs(e.c - m.med_c) AS dev
+                  FROM e JOIN m USING (event_type)),
+            md AS (SELECT event_type, dev AS mad_c FROM (
+                     SELECT event_type, dev, event_id,
+                            row_number() OVER (PARTITION BY event_type
+                              ORDER BY dev, event_id) AS rn,
+                            count(*) OVER (PARTITION BY event_type) AS n
+                     FROM d) WHERE rn = (n + 1) // 2),
+            kept AS MATERIALIZED (
+              SELECT d.event_id, d.user_id, d.us, d.c,
+                     row_number() OVER (PARTITION BY d.user_id
+                       ORDER BY d.us, d.event_id) AS rn
+              FROM d JOIN md USING (event_type)
+              WHERE d.dev <= 3 * md.mad_c),
+            r AS (
+              SELECT user_id, rn, event_id, us, c AS ewma_c,
+                     CAST(0 AS BIGINT) AS is_spike
+              FROM kept WHERE rn = 1
+              UNION ALL
+              SELECT k.user_id, k.rn, k.event_id, k.us,
+                     (k.c + r.ewma_c) // 2,
+                     CAST(abs(k.c - r.ewma_c) >= 5000 AS BIGINT)
+              FROM r JOIN kept k
+                ON k.user_id = r.user_id AND k.rn = r.rn + 1),
+            sp AS MATERIALIZED (
+              SELECT user_id, event_id, us, ewma_c,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS srn
+              FROM r WHERE is_spike = 1),
+            al AS (
+              SELECT user_id, srn, event_id, us, ewma_c,
+                     CAST(1 AS BIGINT) AS kept_alert, us AS last_us
+              FROM sp WHERE srn = 1
+              UNION ALL
+              SELECT s.user_id, s.srn, s.event_id, s.us, s.ewma_c,
+                     CAST(s.us - al.last_us >= 604800000000 AS BIGINT),
+                     CASE WHEN s.us - al.last_us >= 604800000000
+                       THEN s.us ELSE al.last_us END
+              FROM al JOIN sp s
+                ON s.user_id = al.user_id AND s.srn = al.srn + 1)
+            SELECT event_id, user_id, us, ewma_c
+            FROM al WHERE kept_alert = 1 ORDER BY event_id"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
@@ -1340,5 +1480,5 @@ object AggOps {
     a16RollingWindow, a17Attribution, a18TrendDecay, a19ResampleZerofill,
     a20Debounce, a21TrendTopk, a22RateLimit, a23ResampleFfill, a24Ewma,
     a25EwmaAnomaly, a26EwmaAlpha8, a27PsiDrift, a28Cusum, a29RobustOutliers,
-    k5LatestVersion)
+    a30MonitorE2e, k5LatestVersion)
 }

@@ -1007,6 +1007,84 @@ object StreamingOps {
     },
     AggOps.a28Cusum.oracle)
 
+  case class MoState(s: Long, last: Long)
+
+  /** The st_monitor_e2e_stream state machine, factored out for restart
+    * tests: keyed state is (smoothed reading, last alert time) per user —
+    * two longs — and each batch's SCRUBBED events fold through the
+    * literally-shared [[AggOps.monitorStep]] in (event-time, id) order,
+    * emitting only the alert rows. The scrub happened row-locally
+    * upstream (frozen med/mad literals), so this transform is the whole
+    * stateful tail of the monitoring pipeline in one pass. */
+  private[graft] def monitorTransform(
+      typed: org.apache.spark.sql.Dataset[EwEv],
+      maxKeyBatchRows: Int = MaxKeyBatchRows): DataFrame = {
+    val s = typed.sparkSession
+    import s.implicits._
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[EwEv], state: GroupState[MoState]) => {
+          var sAcc = state.getOption.map(_.s).getOrElse(Long.MinValue)
+          var last = state.getOption.map(_.last).getOrElse(Long.MinValue)
+          val buf = bufferBounded(rows, maxKeyBatchRows, "monitorTransform")
+          buf.sortInPlaceBy(e => (e.us, e.event_id))
+          val out = buf.flatMap { e =>
+            val (sN, laN, alert) = AggOps.monitorStep(sAcc, last, e.us, e.c)
+            sAcc = sN; last = laN
+            if (alert) Some((e.event_id, e.user_id, e.us, sAcc)) else None
+          }
+          state.update(MoState(sAcc, last))
+          out.iterator
+        })
+      .toDF("event_id", "user_id", "us", "ewma_c")
+  }
+
+  /** Streaming twin of a30_monitor_e2e — the monitoring pipeline as it
+    * deploys: the scrub thresholds (per-type median and MAD) are FROZEN
+    * before the stream starts (one batch histogram pass — a production
+    * monitor calibrates its robust baselines offline exactly this way;
+    * the st_psi_drift frozen-reference argument) and enter the streaming
+    * plan as literal map lookups, making the scrub row-local; the
+    * smooth/flag/alert tail is [[monitorTransform]]'s two longs of keyed
+    * state per user. Same batch-equality caveat as st_ewma_stream
+    * (per-key event-time-ordered arrival across batches; exact here
+    * because the corpus arrives as one file batch); a30's oracle gates
+    * this query verbatim. */
+  val stMonitorE2e = OpQuery(
+    "st_monitor_e2e_stream",
+    "streaming monitoring pipeline: frozen med/mad scrub, (ewma, lastAlert) keyed state",
+    (s, dir) => withStatePartitions(s, 8) {
+      import s.implicits._
+      val batch = graft.core.Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      val med = AggOps.histLowerMedian(
+          batch.groupBy(col("event_type"), col("c").as("v"))
+            .agg(count(lit(1)).as("cnt")))
+        .withColumnRenamed("v", "med_c")
+      val mad = AggOps.histLowerMedian(
+          batch.join(broadcast(med), Seq("event_type"))
+            .groupBy(col("event_type"),
+              abs(col("c") - col("med_c")).as("v"))
+            .agg(count(lit(1)).as("cnt")))
+        .withColumnRenamed("v", "mad_c")
+      val frozen = med.join(mad, Seq("event_type")).collect()
+      val medMap = map(frozen.flatMap(r =>
+        Seq(lit(r.getString(0)), lit(r.getLong(1)))).toIndexedSeq: _*)
+      val madMap = map(frozen.flatMap(r =>
+        Seq(lit(r.getString(0)), lit(r.getLong(2)))).toIndexedSeq: _*)
+      val typed = eventStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .filter(abs(col("c") - element_at(medMap, col("event_type"))) <=
+          lit(3L) * element_at(madMap, col("event_type")))
+        .select(col("event_id"), col("user_id"), col("us"), col("c"))
+        .as[EwEv]
+      drain(monitorTransform(typed), "st_monitor_out").orderBy("event_id")
+    },
+    AggOps.a30MonitorE2e.oracle)
+
   /** Streaming twin of a27_psi_drift — drift monitoring as it deploys:
     * the span bounds and bucket width are FROZEN before the stream
     * starts (one metadata-cheap batch min/max — the production monitor
@@ -1087,5 +1165,5 @@ object StreamingOps {
       stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream,
       stCepTimes, stAttribution, stCmsHeavyHitters, stSketchRollup,
       stCepNegation, stCepOptional, stTrendDecay, stDebounce, stRateLimit,
-      stEwma, stEwmaAlpha8, stPsiDrift, stCusum)
+      stEwma, stEwmaAlpha8, stPsiDrift, stCusum, stMonitorE2e)
 }

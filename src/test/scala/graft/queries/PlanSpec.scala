@@ -588,6 +588,25 @@ class PlanSpec extends SparkTestBase {
         l.contains("false, 0")), p)
   }
 
+  test("monitor e2e: broadcast scrub, ONE fold for smooth+flag+alert — " +
+      "single keyed exchange, no row-level window") {
+    val p = planOf("a30_monitor_e2e")
+    // the composition must not pay per-stage: the med/mad scrub rides
+    // broadcast joins (a29's shape), then smooth+flag+alert share ONE
+    // secondary-sort fold — exactly one hashpartitioning(user_id)
+    // exchange for the whole stateful tail, windows only over the value
+    // histogram, never over raw rows
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("MapPartitions"), p)
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4, p)
+    assert(p.linesIterator.count(_.contains("hashpartitioning(user_id")) == 1, p)
+    val windowDefs =
+      p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowDefs.nonEmpty && windowDefs.forall(_.contains("event_type")),
+      windowDefs.mkString("\n"))
+  }
+
   test("robust outliers: histogram-CDF medians — windows over distinct values, " +
       "med/mad broadcast back") {
     val p = planOf("a29_robust_outliers")
