@@ -1287,7 +1287,15 @@ object AggOps {
     * the sort is over distinct values, not rows). The oracle states the
     * same lower median via row_number — rank selection over sorted
     * values and CDF selection over the histogram pick the same element
-    * by definition. */
+    * by definition.
+    *
+    * Relationship to x_mad_outliers (`ext.Profiling.madOutliers`): that
+    * query emits the per-TYPE profile (med/mad/n/n_outliers, one row per
+    * group — the data-quality dashboard surface) via the same discrete
+    * selection computed through the distributed PrefixSum machinery;
+    * THIS query emits the per-EVENT flags — the actionable scrub surface
+    * a30_monitor_e2e composes — and stays in the integer domain so the
+    * monitoring family's no-epsilon contract holds end to end. */
   val a29RobustOutliers = OpQuery(
     "a29_robust_outliers",
     "median/MAD robust outlier flags per event_type: |c - med| > 3*mad, integer-exact",
