@@ -222,6 +222,25 @@ class RestartResilienceSpec extends SparkTestBase {
       in => StreamingOps.cusumTransform(
         beanStream(in, "event_id LONG, user_id LONG, us LONG, c LONG")
           .as[StreamingOps.CuEv], tgt = 5000L)),
+    RCase("monitor",
+      Seq(
+        // batch 1: seed reading 10000, then 20000 spikes (|Δ|≥5000) and
+        // ALERTS (first spike per key) — state after batch: s=15000,
+        // lastAlert=2000s
+        () => Seq((1L, 1L, 1000000000L, 10000L),
+          (2L, 1L, 2000000000L, 20000L))
+          .toDF("event_id", "user_id", "us", "c"),
+        // batch 2 (post-restart): 25000 at t=3000s spikes but sits
+        // INSIDE the 7-day gap of the PRE-KILL alert — must be
+        // SUPPRESSED (a lost lastAlert would page again); 40000 one
+        // microsecond past the gap must alert, and its suppression
+        // decision also depends on the recovered smoothed value
+        () => Seq((3L, 1L, 3000000000L, 25000L),
+          (4L, 1L, 606800000001L, 40000L))
+          .toDF("event_id", "user_id", "us", "c")),
+      in => StreamingOps.monitorTransform(
+        beanStream(in, "event_id LONG, user_id LONG, us LONG, c LONG")
+          .as[StreamingOps.EwEv])),
     RCase("retention",
       Seq(
         () => Seq((1L, 100L)).toDF("user_id", "epochDay"),
