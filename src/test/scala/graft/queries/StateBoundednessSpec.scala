@@ -183,4 +183,38 @@ class StateBoundednessSpec extends SparkTestBase {
     assert(out.count() == 10L)
     assert(out.agg(sum($"ct")).as[Long].head() == 40L)
   }
+
+  test("cusum/monitor keyed state is user-bounded, not input-bounded") {
+    // the round-14 monitoring twins carry NoTimeout flatMapGroupsWithState
+    // state — the boundedness contract is BY KEY CARDINALITY (two longs
+    // per user, the active-population working set a monitor holds by
+    // definition), never by input volume: 4 batches × the same 10 users
+    // (25 rows per user per batch = 1,000 input rows) must hold exactly
+    // 10 state rows throughout, driving the REAL factored transforms
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    for ((nm, build) <- Seq[(String, DataFrame => DataFrame)](
+      ("cusum", df =>
+        StreamingOps.cusumTransform(df.as[StreamingOps.CuEv], tgt = 5000L)),
+      ("monitor", df =>
+        StreamingOps.monitorTransform(df.as[StreamingOps.EwEv])))) {
+      val ms = MemoryStream[(Long, Long, Long, Long)]
+      val out = build(ms.toDF().toDF("event_id", "user_id", "us", "c"))
+      val name = s"sb_${nm}_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val sizes = try (0 until 4).map { i =>
+        ms.addData((0 until 250).map { j =>
+          val id = i * 1000L + j
+          (id, j % 10L, id * 1000000L, (id % 300L) * 100L)
+        }: _*)
+        q.processAllAvailable()
+        q.recentProgress.reverse.collectFirst {
+          case p if p.stateOperators.nonEmpty =>
+            p.stateOperators.map(_.numRowsTotal).sum
+        }.getOrElse(0L)
+      } finally q.stop()
+      assert(sizes == Seq(10L, 10L, 10L, 10L), s"$nm state rows: $sizes")
+    }
+  }
 }
