@@ -748,7 +748,7 @@ object AggOps {
         .toDF("event_id", "user_id", "event_type", "us")
         .orderBy("event_id")
     },
-    Some("""WITH RECURSIVE e AS (
+    Some("""WITH RECURSIVE e AS MATERIALIZED (
               SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
                      row_number() OVER (PARTITION BY user_id, event_type
                        ORDER BY epoch_us(ts), event_id) AS rn
@@ -850,7 +850,7 @@ object AggOps {
     * time a negative reading appears (ADVICE r13: a regenerated fixture
     * with a negative value would otherwise silently diverge the hash
     * gate). */
-  private def requireNonNegCents(q: String, id: Long, c: Long): Unit =
+  private[graft] def requireNonNegCents(q: String, id: Long, c: Long): Unit =
     if (c < 0L) throw new IllegalArgumentException(
       s"$q: negative cents reading c=$c at event_id=$id — the " +
         "integer-exact EWMA's cross-engine parity is only proven for " +
@@ -883,7 +883,7 @@ object AggOps {
         .toDF("event_id", "user_id", "us", "ewma_c")
         .orderBy("event_id")
     },
-    Some("""WITH RECURSIVE e AS (
+    Some("""WITH RECURSIVE e AS MATERIALIZED (
               SELECT event_id, user_id, epoch_us(ts) AS us,
                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
                      row_number() OVER (PARTITION BY user_id
@@ -939,7 +939,7 @@ object AggOps {
         .toDF("event_id", "user_id", "us", "ewma_c", "is_spike")
         .orderBy("event_id")
     },
-    Some("""WITH RECURSIVE e AS (
+    Some("""WITH RECURSIVE e AS MATERIALIZED (
               SELECT event_id, user_id, epoch_us(ts) AS us,
                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
                      row_number() OVER (PARTITION BY user_id
@@ -995,7 +995,7 @@ object AggOps {
         .toDF("event_id", "user_id", "us", "ewma_c")
         .orderBy("event_id")
     },
-    Some("""WITH RECURSIVE e AS (
+    Some("""WITH RECURSIVE e AS MATERIALIZED (
               SELECT event_id, user_id, epoch_us(ts) AS us,
                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
                      row_number() OVER (PARTITION BY user_id
@@ -1219,13 +1219,13 @@ object AggOps {
         .toDF("event_id", "user_id", "us", "gp", "gn", "is_alarm")
         .orderBy("event_id")
     },
-    Some("""WITH RECURSIVE e AS (
+    Some("""WITH RECURSIVE e AS MATERIALIZED (
               SELECT event_id, user_id, epoch_us(ts) AS us,
                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
                      row_number() OVER (PARTITION BY user_id
                        ORDER BY epoch_us(ts), event_id) AS rn
               FROM events),
-            t AS (SELECT CAST(sum(c) // count(*) AS BIGINT) AS tgt FROM e),
+            t AS MATERIALIZED (SELECT CAST(sum(c) // count(*) AS BIGINT) AS tgt FROM e),
             r AS (
               SELECT e.user_id, e.rn, e.event_id, e.us,
                      greatest(0, e.c - t.tgt - 1000) AS gp,
@@ -1272,6 +1272,25 @@ object AggOps {
       .select(col("event_type"), col("v"))
   }
 
+  /** Per-type (med_c, mad_c) frames of a cents reading, shared by
+    * a29_robust_outliers, a30_monitor_e2e and st_monitor_e2e_stream so
+    * the three scrub surfaces can never drift: med = histogram-CDF lower
+    * median of `c` per event_type ([[histLowerMedian]]), mad = the same
+    * selection over |c − med|. `e` must carry (event_type, c). */
+  private[graft] def medMadByType(e: org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val med = histLowerMedian(
+        e.groupBy(col("event_type"), col("c").as("v"))
+          .agg(count(lit(1)).as("cnt")))
+      .withColumnRenamed("v", "med_c")
+    val mad = histLowerMedian(
+        e.join(broadcast(med), Seq("event_type"))
+          .groupBy(col("event_type"), abs(col("c") - col("med_c")).as("v"))
+          .agg(count(lit(1)).as("cnt")))
+      .withColumnRenamed("v", "mad_c")
+    (med, mad)
+  }
+
   /** A29 (beyond ref) — robust outlier flags via median/MAD, the
     * monitoring family's OUTLIER stage and the data-quality scrub a
     * training pipeline runs before a25's EWMA ever sees a reading (mean/
@@ -1303,17 +1322,10 @@ object AggOps {
       val e = t(s, dir, "events")
         .select(col("event_id"), col("event_type"),
           (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
-      val med = histLowerMedian(
-          e.groupBy(col("event_type"), col("c").as("v"))
-            .agg(count(lit(1)).as("cnt")))
-        .withColumnRenamed("v", "med_c")
-      val d = e.join(broadcast(med), Seq("event_type"))
+      val (med, mad) = medMadByType(e)
+      e.join(broadcast(med), Seq("event_type"))
         .withColumn("dev", abs(col("c") - col("med_c")))
-      val mad = histLowerMedian(
-          d.groupBy(col("event_type"), col("dev").as("v"))
-            .agg(count(lit(1)).as("cnt")))
-        .withColumnRenamed("v", "mad_c")
-      d.join(broadcast(mad), Seq("event_type"))
+        .join(broadcast(mad), Seq("event_type"))
         .select(col("event_id"), col("event_type"), col("c"),
           col("med_c"), col("mad_c"),
           (col("dev") > lit(3L) * col("mad_c")).cast("long").as("is_outlier"))
@@ -1392,17 +1404,10 @@ object AggOps {
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"),
           (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
-      val med = histLowerMedian(
-          e.groupBy(col("event_type"), col("c").as("v"))
-            .agg(count(lit(1)).as("cnt")))
-        .withColumnRenamed("v", "med_c")
-      val d = e.join(broadcast(med), Seq("event_type"))
+      val (med, mad) = medMadByType(e)
+      e.join(broadcast(med), Seq("event_type"))
         .withColumn("dev", abs(col("c") - col("med_c")))
-      val mad = histLowerMedian(
-          d.groupBy(col("event_type"), col("dev").as("v"))
-            .agg(count(lit(1)).as("cnt")))
-        .withColumnRenamed("v", "mad_c")
-      d.join(broadcast(mad), Seq("event_type"))
+        .join(broadcast(mad), Seq("event_type"))
         .filter(col("dev") <= lit(3L) * col("mad_c"))
         .select(col("event_id"), col("user_id"), col("us"), col("c"))
         .repartition(col("user_id"))
@@ -1427,7 +1432,7 @@ object AggOps {
         .toDF("event_id", "user_id", "us", "ewma_c")
         .orderBy("event_id")
     },
-    Some("""WITH RECURSIVE e AS (SELECT event_id, user_id, event_type,
+    Some("""WITH RECURSIVE e AS MATERIALIZED (SELECT event_id, user_id, event_type,
                 epoch_us(ts) AS us,
                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
               FROM events),

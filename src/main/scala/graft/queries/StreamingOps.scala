@@ -890,6 +890,10 @@ object StreamingOps {
           val buf = bufferBounded(rows, maxKeyBatchRows, "ewmaTransform")
           buf.sortInPlaceBy(e => (e.us, e.event_id))
           val out = buf.map { e =>
+            // same guard as the batch twin: the floorDiv-vs-`//` parity
+            // only holds for non-negative cents, so fail loudly instead
+            // of silently diverging from the shared oracle
+            AggOps.requireNonNegCents("ewmaTransform", e.event_id, e.c)
             acc = if (acc == Long.MinValue) e.c
               else Math.floorDiv(e.c + (den - 1L) * acc, den)
             (e.event_id, e.user_id, e.us, acc)
@@ -1029,6 +1033,9 @@ object StreamingOps {
           val buf = bufferBounded(rows, maxKeyBatchRows, "monitorTransform")
           buf.sortInPlaceBy(e => (e.us, e.event_id))
           val out = buf.flatMap { e =>
+            // same guard as batch a30: the EWMA stage's floorDiv-vs-`//`
+            // parity only holds for non-negative cents
+            AggOps.requireNonNegCents("monitorTransform", e.event_id, e.c)
             val (sN, laN, alert) = AggOps.monitorStep(sAcc, last, e.us, e.c)
             sAcc = sN; last = laN
             if (alert) Some((e.event_id, e.user_id, e.us, sAcc)) else None
@@ -1058,16 +1065,7 @@ object StreamingOps {
       val batch = graft.core.Tables.load(s, dir, "events")
         .select(col("event_id"), col("event_type"),
           (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
-      val med = AggOps.histLowerMedian(
-          batch.groupBy(col("event_type"), col("c").as("v"))
-            .agg(count(lit(1)).as("cnt")))
-        .withColumnRenamed("v", "med_c")
-      val mad = AggOps.histLowerMedian(
-          batch.join(broadcast(med), Seq("event_type"))
-            .groupBy(col("event_type"),
-              abs(col("c") - col("med_c")).as("v"))
-            .agg(count(lit(1)).as("cnt")))
-        .withColumnRenamed("v", "mad_c")
+      val (med, mad) = AggOps.medMadByType(batch)
       val frozen = med.join(mad, Seq("event_type")).collect()
       val medMap = map(frozen.flatMap(r =>
         Seq(lit(r.getString(0)), lit(r.getLong(1)))).toIndexedSeq: _*)

@@ -14,42 +14,21 @@ class CusumSpec extends SparkTestBase {
 
   /** Single-file events.parquet in the driver layout: one user, 2n
     * readings at 1s spacing; first half at `vLo`, second at `vHi`. */
-  private def corpusDir(n: Int, vLo: Double, vHi: Double): String = {
-    val dir = tmpDir()
-    val rows = (0 until 2 * n).map { i =>
+  private def corpusDir(n: Int, vLo: Double, vHi: Double): String =
+    writeEventsParquet((0 until 2 * n).map { i =>
       val v = if (i < n) vLo else vHi
       (i.toLong, new java.sql.Timestamp(i * 1000L), 1L, "click", v, "{}")
-    }
-    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.parquet(s"$dir/_stage")
-    val part = new java.io.File(s"$dir/_stage").listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    java.nio.file.Files.move(part.toPath,
-      java.nio.file.Paths.get(dir, "events.parquet"))
-    dir
-  }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
 
   test("a level shift trips alarms only after the change point, and the chart re-arms") {
-    // 40 @ 50.00 then 40 @ 150.00: target = mean = 100.00 cents-exact,
-    // slack 10.00 → each reading adds |v−T|−K = 40.00 to one side; the
-    // 200.00 threshold crosses every 5th reading on BOTH halves? No —
-    // the first half is BELOW target by 40.00/step too, so construct an
-    // asymmetric shift instead: 60 @ 95.00 then 20 @ 250.00. Target =
-    // (60·9500 + 20·25000) / 80 = 13375; first half deviation below
-    // target = 13375−9500−1000 = 2875/step (alarm every ⌈20000/2875⌉ =
-    // 7 steps — re-arm visible), second half above = 25000−13375−1000 =
-    // 10625/step (alarm every 2 steps).
-    val dir = tmpDir()
-    val rows = (0 until 80).map { i =>
+    // 60 @ 95.00 then 20 @ 250.00. Target = (60·9500 + 20·25000) / 80 =
+    // 13375; first half sits BELOW target by 13375−9500−1000 = 2875/step
+    // (alarm every ⌈20000/2875⌉ = 7 steps — the re-arm cadence), second
+    // half ABOVE by 25000−13375−1000 = 10625/step (alarm every 2 steps).
+    val dir = writeEventsParquet((0 until 80).map { i =>
       val v = if (i < 60) 95.0 else 250.0
       (i.toLong, new java.sql.Timestamp(i * 1000L), 1L, "click", v, "{}")
-    }
-    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.parquet(s"$dir/_stage")
-    val part = new java.io.File(s"$dir/_stage").listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    java.nio.file.Files.move(part.toPath,
-      java.nio.file.Paths.get(dir, "events.parquet"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
 
     val out = Registry.byName("a28_cusum").run(spark, dir)
       .select("event_id", "gp", "gn", "is_alarm")
@@ -63,7 +42,7 @@ class CusumSpec extends SparkTestBase {
     assert(lowAlarms.forall(r => r._3 >= 20000L && r._2 == 0L))
     // above-target half: 10625/step into gp, alarm every 2nd reading
     // from the fresh post-shift state (gn resets to 0 at the first
-    // positive step since 13375−25000−1000 < 0)
+    // positive step since its increment goes negative there)
     assert(highAlarms.nonEmpty && highAlarms.forall(r => r._2 >= 20000L))
     assert(highAlarms.map(_._1).toSeq == (61L until 80L by 2L).toSeq,
       s"got ${highAlarms.map(_._1).toSeq}")

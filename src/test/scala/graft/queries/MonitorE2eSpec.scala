@@ -29,18 +29,11 @@ class MonitorE2eSpec extends SparkTestBase {
     }
   }
 
-  private def writeCorpus(rows: Seq[Ev]): String = {
-    val dir = tmpDir()
-    rows.map(e => (e.id, new java.sql.Timestamp(e.us / 1000L), e.user,
-        e.typ, e.c / 100.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.parquet(s"$dir/_stage")
-    val part = new java.io.File(s"$dir/_stage").listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    java.nio.file.Files.move(part.toPath,
-      java.nio.file.Paths.get(dir, "events.parquet"))
-    dir
-  }
+  private def writeCorpus(rows: Seq[Ev]): String =
+    writeEventsParquet(rows.map(e => (e.id,
+        new java.sql.Timestamp(e.us / 1000L), e.user, e.typ,
+        e.c / 100.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
 
   /** Independent restatement: sort-based lower median (rank (n+1)/2). */
   private def lowerMedian(vs: Seq[Long]): Long =

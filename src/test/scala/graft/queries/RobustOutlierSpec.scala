@@ -9,18 +9,10 @@ import graft.SparkTestBase
 class RobustOutlierSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def writeEvents(rows: Seq[(Long, String, Double)]): String = {
-    val dir = tmpDir()
-    rows.map { case (id, typ, v) =>
+  private def writeEvents(rows: Seq[(Long, String, Double)]): String =
+    writeEventsParquet(rows.map { case (id, typ, v) =>
       (id, new java.sql.Timestamp(id * 1000L), 1L, typ, v, "{}")
-    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.parquet(s"$dir/_stage")
-    val part = new java.io.File(s"$dir/_stage").listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    java.nio.file.Files.move(part.toPath,
-      java.nio.file.Paths.get(dir, "events.parquet"))
-    dir
-  }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
 
   test("median, MAD and flags are the hand-computed values per group") {
     // group a (odd n=5): med=300, devs sorted [0,100,100,200,9700] →
