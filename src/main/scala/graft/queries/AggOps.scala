@@ -1486,6 +1486,58 @@ object AggOps {
             SELECT event_id, user_id, us, ewma_c
             FROM al WHERE kept_alert = 1 ORDER BY event_id"""))
 
+  /** A31 (beyond ref) — SCD TYPE-2 dimension history, the auditable twin
+    * of the reference's latest-only dim store (K3's upsertDim keeps the
+    * newest row per key, RT/app/func/DimSink — the HBase/Phoenix upsert;
+    * K5's ReplacingMergeTree view reads the newest version): every change
+    * record becomes a VERSION with a validity interval
+    * [valid_from, valid_to), valid_to = the next version's effective
+    * time, NULL while current. The standard warehouse answer to "what
+    * did this dimension row say when the fact happened" — j6_asof_join
+    * is exactly a lookup into this table's intervals.
+    *
+    * Change feed: the signup events per user, effective at event time,
+    * versioned attribute = the reading in exact cents (the same
+    * integral-cents contract as a24, so the frame is hash-exact with no
+    * epsilon). Version numbers and interval edges are assigned in
+    * (event-time, id) order — deterministic under ties.
+    *
+    * Scale shape: ONE shuffle keyed by the dimension key; the per-key
+    * window sort is bounded by that key's version count (a dim key's
+    * change history — thousands, not millions), nothing global. At
+    * 100 TB of change records this is the same layout the dim table
+    * itself needs, and the window spills through Spark's external sorter
+    * if a key is pathological. */
+  val a31Scd2History = OpQuery(
+    "a31_scd2_history",
+    "SCD2 dimension history: versioned validity intervals from the change feed",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_from_us", col("us"))
+        .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+        .select(col("user_id"), col("version"), col("event_id"),
+          col("valid_from_us"), col("valid_to_us"), col("c"),
+          col("valid_to_us").isNull.cast("long").as("is_current"))
+        .orderBy("user_id", "version")
+    },
+    Some("""SELECT user_id,
+              CAST(row_number() OVER w AS BIGINT) AS version,
+              event_id,
+              epoch_us(ts) AS valid_from_us,
+              lead(epoch_us(ts)) OVER w AS valid_to_us,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+              CAST(lead(epoch_us(ts)) OVER w IS NULL AS BIGINT) AS is_current
+            FROM events WHERE event_type = 'signup'
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ORDER BY user_id, version"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
@@ -1493,5 +1545,5 @@ object AggOps {
     a16RollingWindow, a17Attribution, a18TrendDecay, a19ResampleZerofill,
     a20Debounce, a21TrendTopk, a22RateLimit, a23ResampleFfill, a24Ewma,
     a25EwmaAnomaly, a26EwmaAlpha8, a27PsiDrift, a28Cusum, a29RobustOutliers,
-    a30MonitorE2e, k5LatestVersion)
+    a30MonitorE2e, a31Scd2History, k5LatestVersion)
 }

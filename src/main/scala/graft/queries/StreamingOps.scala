@@ -1158,10 +1158,87 @@ object StreamingOps {
     },
     AggOps.a18TrendDecay.oracle)
 
+  case class Scd2State(ver: Long, oid: Long, ous: Long, oc: Long)
+
+  /** The st_scd2_stream state machine, factored out so restart tests can
+    * drive the REAL transform: keyed state is the OPEN dimension version
+    * per key — (version counter, event_id, valid_from, attribute) = four
+    * longs — and each batch's change records fold through it in
+    * (event-time, id) order. A new change CLOSES the open version (the
+    * closed interval row is emitted — append-safe, it can never change
+    * again) and opens the next one; the current version lives only in
+    * state until its successor arrives. This is exactly how an SCD2 build
+    * deploys against a CDC feed: closed history is durable output, the
+    * open tail is keyed state that survives restart via the checkpoint
+    * (Scd2RestartSpec proves version numbering continues, not restarts). */
+  private[graft] def scd2Transform(
+      typed: org.apache.spark.sql.Dataset[EwEv],
+      maxKeyBatchRows: Int = MaxKeyBatchRows): DataFrame = {
+    val s = typed.sparkSession
+    import s.implicits._
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (u: Long, rows: Iterator[EwEv], state: GroupState[Scd2State]) => {
+          var st = state.getOption.orNull
+          val buf = bufferBounded(rows, maxKeyBatchRows, "scd2Transform")
+          buf.sortInPlaceBy(e => (e.us, e.event_id))
+          val out = new scala.collection.mutable.ArrayBuffer[
+            (Long, Long, Long, Long, Long, Long)](buf.length)
+          buf.foreach { e =>
+            if (st != null) out += ((u, st.ver, st.oid, st.ous, e.us, st.oc))
+            st = Scd2State(if (st == null) 1L else st.ver + 1L,
+              e.event_id, e.us, e.c)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+        })
+      .toDF("user_id", "version", "event_id", "valid_from_us", "valid_to_us",
+        "c")
+  }
+
+  /** Streaming twin of a31_scd2_history — the SCD2 dimension build as it
+    * deploys against a CDC feed: four longs of keyed state per dimension
+    * key (the open version), closed validity intervals emitted in append
+    * mode the moment their successor arrives. The one honest append-mode
+    * delta vs the batch build: the OPEN (is_current) version of each key
+    * exists only in state, not in the sink — a reader wanting current
+    * rows unions the closed history with the dim store's latest upsert
+    * (K3/K5), which is precisely the reference's split between history
+    * and serving. Oracle = a31's history filtered to closed intervals.
+    * Same batch-equality caveat as st_ewma_stream (per-key event-time-
+    * ordered arrival across batches; exact here because the corpus
+    * arrives as one file batch). */
+  val stScd2 = OpQuery(
+    "st_scd2_stream",
+    "streaming SCD2 build: open version in keyed state, closed intervals appended",
+    (s, dir) => withStatePartitions(s, 8) {
+      import s.implicits._
+      val typed = eventStream(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .as[EwEv]
+      drain(scd2Transform(typed), "st_scd2_out").orderBy("user_id", "version")
+    },
+    Some("""WITH h AS (
+              SELECT user_id,
+                CAST(row_number() OVER w AS BIGINT) AS version,
+                event_id,
+                epoch_us(ts) AS valid_from_us,
+                lead(epoch_us(ts)) OVER w AS valid_to_us,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events WHERE event_type = 'signup'
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id))
+            SELECT user_id, version, event_id, valid_from_us, valid_to_us, c
+            FROM h WHERE valid_to_us IS NOT NULL
+            ORDER BY user_id, version"""))
+
   val all: Seq[OpQuery] =
     Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
       stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream,
       stCepTimes, stAttribution, stCmsHeavyHitters, stSketchRollup,
       stCepNegation, stCepOptional, stTrendDecay, stDebounce, stRateLimit,
-      stEwma, stEwmaAlpha8, stPsiDrift, stCusum, stMonitorE2e)
+      stEwma, stEwmaAlpha8, stPsiDrift, stCusum, stMonitorE2e, stScd2)
 }

@@ -241,6 +241,22 @@ class RestartResilienceSpec extends SparkTestBase {
       in => StreamingOps.monitorTransform(
         beanStream(in, "event_id LONG, user_id LONG, us LONG, c LONG")
           .as[StreamingOps.EwEv])),
+    RCase("scd2",
+      Seq(
+        // batch 1: u1's first dim version opens (nothing emitted — the
+        // open version is pure state: ver=1, id=1, from=1s, c=100)
+        () => Seq((1L, 1L, 1000000L, 100L))
+          .toDF("event_id", "user_id", "us", "c"),
+        // batch 2 (post-restart): the next change must CLOSE the
+        // PRE-KILL open version (emitting version 1 at all discriminates
+        // state recovery — a cold start has nothing to close), and the
+        // third change closes version 2 — whose NUMBER (2, not 1)
+        // discriminates recovery of the version counter itself
+        () => Seq((2L, 1L, 2000000L, 200L), (3L, 1L, 3000000L, 300L))
+          .toDF("event_id", "user_id", "us", "c")),
+      in => StreamingOps.scd2Transform(
+        beanStream(in, "event_id LONG, user_id LONG, us LONG, c LONG")
+          .as[StreamingOps.EwEv])),
     RCase("retention",
       Seq(
         () => Seq((1L, 100L)).toDF("user_id", "epochDay"),
