@@ -674,6 +674,82 @@ object Similarity {
         (col("id") === col("component")).as("is_kept"))
   }
 
+  /** k-center greedy / farthest-point traversal (Gonzalez 1985, public
+    * method) — DIVERSE subset selection over an embedding column: start
+    * from a deterministic seed (min id), then repeatedly pick the vector
+    * FARTHEST from everything already chosen. The classic 2-approximation
+    * to the k-center cover, and the coreset move a training-data pipeline
+    * uses when it wants k maximally-spread exemplars (seed prompts, eval
+    * probes, cluster initialization) rather than k random ones.
+    *
+    * Engine-exactness: elements are fixed-pointed to floor(v·scale)
+    * BIGINT (the [[labelCentroids]] discipline), distances are integer
+    * squared-L2 — every comparison is exact 64-bit arithmetic, ties break
+    * by min id, so the selection is bit-deterministic and the unrolled
+    * SQL restatement hash-gates with no epsilon.
+    *
+    * Scale shape: the textbook streaming form, NOT the quadratic one.
+    * The corpus frame carries a RUNNING min-distance column; each of the
+    * k rounds does (1) one bounded argmax — an orderBy(…).limit(1), a
+    * map-side top-1 reduce, k driver rows total — and (2) one map-only
+    * `least(mind, dist-to-newest-center)` update against the single new
+    * center (a broadcast literal). Total cost k map passes + k top-1
+    * reduces; per-round state on the driver is one (id, vector) pair.
+    * At 100 TB the passes read a cached/columnar projection of (id, qv),
+    * never the documents. */
+  def kcenterSelect(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, scale: Long = 1000L): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val s = embeddings.sparkSession
+    import s.implicits._
+    def distTo(center: Seq[Long]): org.apache.spark.sql.Column = {
+      val arr = center.map(v => s"${v}L").mkString("array(", ", ", ")")
+      expr(s"aggregate(zip_with(qv, $arr, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (a, x) -> a + x)")
+    }
+    val qv = embeddings
+      .select(col(idCol).cast("long").as("vid"),
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * " +
+          s"CAST($scale AS DOUBLE)) AS BIGINT))").as("qv"))
+      .persist()
+    var cur: DataFrame = null
+    try {
+      val seed = qv.orderBy("vid").limit(1).collect()
+      require(seed.nonEmpty, "kcenterSelect: empty embedding corpus")
+      val seedId = seed(0).getLong(0)
+      val picks = scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Option[Long])]((1L, seedId, None))
+      cur = qv.filter(col("vid") =!= seedId)
+        .select(col("vid"), col("qv"),
+          distTo(seed(0).getSeq[Long](1)).as("mind"))
+        .persist()
+      var r = 2
+      var exhausted = false
+      while (r <= k && !exhausted) {
+        val top = cur.orderBy(col("mind").desc, col("vid")).limit(1).collect()
+        if (top.isEmpty) exhausted = true // k exceeded the corpus
+        else {
+          val t = top(0)
+          picks += ((r.toLong, t.getLong(0), Some(t.getLong(2))))
+          if (r < k) {
+            val next = cur.filter(col("vid") =!= t.getLong(0))
+              .select(col("vid"), col("qv"),
+                least(col("mind"), distTo(t.getSeq[Long](1))).as("mind"))
+              .persist()
+            next.count() // materialize before dropping the parent cache
+            cur.unpersist()
+            cur = next
+          }
+          r += 1
+        }
+      }
+      s.createDataset(picks.toSeq).toDF("sel_rank", "vec_id", "mind")
+    } finally {
+      if (cur != null) cur.unpersist()
+      qv.unpersist()
+    }
+  }
+
   // ---------- recall gating (bounds-style oracle promotion) ----------
 
   /** Recall gate for the trained-quantizer ANN queries: joins an

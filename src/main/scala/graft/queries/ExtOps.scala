@@ -1252,6 +1252,68 @@ object ExtOps {
     },
     Some(semDedupKmeans1rSql(", TRUE AS stable_ok", keptAlias = "is_kept_1r")))
 
+  /** Unrolled k-center restatement: the greedy has a data-dependent
+    * recurrence (each pick conditions the next round's distances), but k
+    * is a small literal, so the oracle unrolls the k rounds as a CTE
+    * chain — stage c_r is round r's argmax (ORDER BY mind DESC, vec_id
+    * LIMIT 1, the same integer tie-break as the Spark side), stage d_r
+    * folds the new center into the running min. All arithmetic is BIGINT
+    * squared-L2 over the same floor(v·scale) fixed-point elements, so
+    * the chain is bit-exact with no epsilon. MATERIALIZED hints keep
+    * DuckDB from re-evaluating the chain per reference (the a30 lesson). */
+  private def kcenterOracleSql(k: Int, scale: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH qx AS MATERIALIZED (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(v AS DOUBLE) * CAST($scale AS DOUBLE)) AS BIGINT) AS qe
+      FROM (SELECT vec_id, unnest(embedding) AS v,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)),
+    c1 AS MATERIALIZED (SELECT min(vec_id) AS vid FROM embeddings),
+    d1 AS MATERIALIZED (
+      SELECT a.vec_id, sum((a.qe - b.qe) * (a.qe - b.qe)) AS mind
+      FROM qx a JOIN qx b ON a.dim = b.dim
+      WHERE b.vec_id = (SELECT vid FROM c1)
+        AND a.vec_id <> (SELECT vid FROM c1)
+      GROUP BY a.vec_id)"""
+    for (r <- 2 to k) {
+      sb ++= s""",
+    c$r AS MATERIALIZED (SELECT vec_id AS vid, mind FROM d${r - 1}
+      ORDER BY mind DESC, vec_id LIMIT 1)"""
+      if (r < k) sb ++= s""",
+    d$r AS MATERIALIZED (
+      SELECT p.vec_id, least(p.mind, n.dd) AS mind
+      FROM d${r - 1} p JOIN (
+        SELECT a.vec_id, sum((a.qe - b.qe) * (a.qe - b.qe)) AS dd
+        FROM qx a JOIN qx b ON a.dim = b.dim
+        WHERE b.vec_id = (SELECT vid FROM c$r)
+        GROUP BY a.vec_id) n ON n.vec_id = p.vec_id
+      WHERE p.vec_id <> (SELECT vid FROM c$r))"""
+    }
+    sb ++= s"""
+    SELECT CAST(1 AS BIGINT) AS sel_rank, vid AS vec_id,
+           CAST(NULL AS BIGINT) AS mind FROM c1"""
+    for (r <- 2 to k) sb ++= s"""
+    UNION ALL SELECT CAST($r AS BIGINT), vid, CAST(mind AS BIGINT) FROM c$r"""
+    sb ++= "\n    ORDER BY sel_rank"
+    sb.toString
+  }
+
+  /** Diverse coreset selection — see [[graft.ext.Similarity.kcenterSelect]]
+    * for the greedy's scale shape (k map passes + k top-1 reduces over a
+    * running-min column; never quadratic). mind is the maximin value at
+    * selection time: the selected vector's integer squared-L2 distance to
+    * the set already chosen — monotonically non-increasing down the
+    * ranks, a built-in diversity audit trail. */
+  val xKcenterSelect = OpQuery(
+    "x_kcenter_select",
+    "k-center greedy diverse selection: 8 farthest-point exemplars, integer-exact",
+    (s, dir) =>
+      Similarity.kcenterSelect(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8)
+        .orderBy("sel_rank"),
+    Some(kcenterOracleSql(k = 8, scale = 1000L)))
+
   // ---------- signed-random-projection LSH ----------
 
   /** Sign-matrix VALUES rows shared by the two SRP oracles — generated
@@ -3699,7 +3761,8 @@ object ExtOps {
     xEmbedCentroids,
     xAnnIvf, xAnnIvfKmeans, stAnnServe, xAnnIvfPq, xAnnIvfPqRerank,
     xAnnKmeansExact, xAnnPqExact, xAnnIvfPqExact, xSemDedupKmeans1r,
-    xCosineNeardup, xSemDedup, xSemDedupKmeansGated, xJlProject, xAnnJlRerank,
+    xCosineNeardup, xSemDedup, xSemDedupKmeansGated, xKcenterSelect,
+    xJlProject, xAnnJlRerank,
     xSrpSignature, xSrpNeardup, xSrpSemDedup, stSrpDedup,
     xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xWinnowRollingBounds, xClonePairs, xTfidfTopk,
