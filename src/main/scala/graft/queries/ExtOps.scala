@@ -3747,6 +3747,134 @@ object ExtOps {
             CROSS JOIN n
             ORDER BY pmi_scaled DESC, x, y LIMIT 20"""))
 
+  // ---------- trained classifier (integer-exact batch perceptron) ----------
+
+  /** Shared feature CTE: DISTINCT (doc, y, first-md5-byte-mod-32 bucket)
+    * rows — the instr() restatement of [[graft.ext.Classify.bucketOf]]
+    * (DuckDB has no conv; both compute the first hex byte's value). */
+  private val perceptronFeatCte =
+    """f AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, y,
+      |    CAST(((instr('0123456789abcdef', substring(md5(word), 1, 1)) - 1)
+      |            * 16
+      |          + (instr('0123456789abcdef', substring(md5(word), 2, 1)) - 1))
+      |         % 32 AS BIGINT) AS bucket
+      |  FROM (SELECT doc_id,
+      |               CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END
+      |                 AS BIGINT) AS y,
+      |               unnest(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE length(word) > 0)""".stripMargin
+
+  /** The 3-epoch training chain, unrolled: epoch 1 from the zero model
+    * (every doc has margin 0 ≤ 0, so w1 is the raw per-bucket label sum),
+    * then two (margin → misclassified → gradient → weights) rounds. The
+    * recursion is data-dependent (weights feed margins feed weights) but
+    * the epoch count is a literal, so the chain unrolls exactly like
+    * x_kcenter_select's. */
+  private val perceptronTrainCte =
+    s"""$perceptronFeatCte,
+      |w1 AS MATERIALIZED (
+      |  SELECT bucket, CAST(sum(y) AS BIGINT) AS w FROM f GROUP BY bucket),
+      |m2 AS MATERIALIZED (
+      |  SELECT f.doc_id, f.y, CAST(sum(coalesce(w1.w, 0)) AS BIGINT) AS s
+      |  FROM f LEFT JOIN w1 USING (bucket) GROUP BY f.doc_id, f.y),
+      |g2 AS (SELECT f.bucket, CAST(sum(f.y) AS BIGINT) AS g
+      |       FROM f JOIN m2 USING (doc_id)
+      |       WHERE m2.y * m2.s <= 0 GROUP BY f.bucket),
+      |w2 AS MATERIALIZED (
+      |  SELECT bucket, coalesce(w1.w, 0) + coalesce(g2.g, 0) AS w
+      |  FROM w1 FULL JOIN g2 USING (bucket)),
+      |m3 AS MATERIALIZED (
+      |  SELECT f.doc_id, f.y, CAST(sum(coalesce(w2.w, 0)) AS BIGINT) AS s
+      |  FROM f LEFT JOIN w2 USING (bucket) GROUP BY f.doc_id, f.y),
+      |g3 AS (SELECT f.bucket, CAST(sum(f.y) AS BIGINT) AS g
+      |       FROM f JOIN m3 USING (doc_id)
+      |       WHERE m3.y * m3.s <= 0 GROUP BY f.bucket),
+      |w3 AS MATERIALIZED (
+      |  SELECT bucket, coalesce(w2.w, 0) + coalesce(g3.g, 0) AS w
+      |  FROM w2 FULL JOIN g3 USING (bucket)),
+      |sc AS (SELECT f.doc_id, f.y,
+      |         CAST(sum(coalesce(w3.w, 0)) AS BIGINT) AS score
+      |       FROM f LEFT JOIN w3 USING (bucket) GROUP BY f.doc_id, f.y)""".stripMargin
+
+  private val perceptronScoreSql =
+    s"""WITH $perceptronTrainCte
+      |SELECT doc_id, y, score,
+      |  CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+      |  CAST((CASE WHEN score > 0 THEN 1 ELSE -1 END) = y AS BIGINT) AS correct
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** Trained quality/language filter — see [[graft.ext.Classify]] for the
+    * determinism argument (full-batch integer updates, order-independent)
+    * and the per-epoch cost shape (one broadcast join + two keyed aggs).
+    * Label: lang = 'en' vs rest, the same task x_langid_ngram scores
+    * heuristically and x_nb_classify closed-form — this is the iterative
+    * TRAINING loop member of that family, model and predictions both
+    * hash-gated.
+    *
+    * Honest-power note: the synthetic corpus draws ONE shared vocabulary
+    * for every lang, so there is no lexical signal to learn and the
+    * trained model settles at the majority class (56% here) — the gate
+    * verifies the training ALGEBRA is engine-exact, not model power.
+    * ClassifySpec proves real learning (accuracy 1.0 in 3 epochs) on a
+    * separable corpus. */
+  val xPerceptronTrain = OpQuery(
+    "x_perceptron_train",
+    "batch perceptron (3 epochs, 32 hashed buckets) trained in-engine, scored per doc",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val y = when(col("lang") === "en", 1L).otherwise(-1L)
+      val f = graft.ext.Classify.hashedFeatures(docs, "doc_id", "text", y,
+        dims = 32)
+      val w = graft.ext.Classify.perceptronTrain(f, epochs = 3)
+      graft.ext.Classify.score(f, w).orderBy("doc_id")
+    },
+    Some(perceptronScoreSql))
+
+  /** The trained filter as it DEPLOYS: weights frozen after offline
+    * training (≤ 32 rows collected — bounded by the model width, the
+    * same frozen-literal contract as st_er_match_stream's reference
+    * list), then every streamed document is scored by ONE row-local
+    * expression — tokenize → bucket → dedup → fold the weight map. No
+    * explode, no shuffle, no state: the streaming plan is a pure
+    * projection, so the streamed union over any batching equals the
+    * batch run and x_perceptron_train's oracle gates it verbatim. */
+  val stPerceptronScore = OpQuery(
+    "st_perceptron_score_stream",
+    "streaming perceptron serving: map-only scoring against frozen trained weights",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents")
+      val y = when(col("lang") === "en", 1L).otherwise(-1L)
+      val f = graft.ext.Classify.hashedFeatures(docs, "doc_id", "text", y,
+        dims = 32)
+      val wRows = graft.ext.Classify.perceptronTrain(f, epochs = 3).collect()
+      val wmap = map(wRows.flatMap(r =>
+        Seq(lit(r.getLong(0)), lit(r.getLong(1)))).toIndexedSeq: _*)
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val scored = stream
+        // the batch twin's feature frame drops token-less docs; mirror
+        // that membership so the shared oracle gates row-for-row
+        .filter(size(filter(split(col("text"), " "),
+          t => length(t) > lit(0))) > 0)
+        .select(col("doc_id"), y.as("y"),
+          graft.ext.Classify.mapOnlyScore(col("text"), wmap, dims = 32)
+            .as("score"))
+        .withColumn("pred", when(col("score") > 0L, 1L).otherwise(-1L))
+        .withColumn("correct", (col("pred") === col("y")).cast("long"))
+      val q = scored.writeStream.format("memory")
+        .queryName("st_perceptron_out").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("st_perceptron_out").orderBy("doc_id")
+    },
+    Some(perceptronScoreSql))
+
   val all: Seq[OpQuery] = Seq(
     xDedupExact, xMinhashSignature, xLshCandidatePairs, xMinhashEst,
     xNeardupJaccard, xLineDedup, xChunkWindows, xChunkDedup, xGopherRules, xCollocations,
@@ -3779,6 +3907,7 @@ object ExtOps {
     xDecontaminateBloom,
     stDecontaminate, xLmQuality, xLmBigram,
     xDsirWeights, xDsirSelect, xNbClassify, xCcnetBuckets,
+    xPerceptronTrain, stPerceptronScore,
     xBpePairStats, xBpeVocab, xBpeVocabToy, xBpeEncode,
     xCurationE2e, stCurationGate, xMultimodalFeatures)
 }
