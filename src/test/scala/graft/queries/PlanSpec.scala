@@ -607,6 +607,44 @@ class PlanSpec extends SparkTestBase {
       windowDefs.mkString("\n"))
   }
 
+  test("scd2 history: windows keyed by the dim key, never a global sort, " +
+      "scan pruned to the change feed") {
+    val p = planOf("a31_scd2_history")
+    // version numbering and interval closing both ride ONE per-key
+    // window (the shuffle the dim layout needs anyway); the change-feed
+    // predicate must reach the scan so non-change events are never read
+    assert(!p.contains("CartesianProduct"), p)
+    val windowDefs =
+      p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowDefs.nonEmpty && windowDefs.forall(_.contains("user_id")),
+      windowDefs.mkString("\n"))
+    assert(p.contains("EqualTo(event_type,signup)"),
+      s"change-feed filter not pushed to the scan:\n$p")
+  }
+
+  test("perceptron: weight joins broadcast; serving scorer is map-only, " +
+      "zero exchanges") {
+    val p = planOf("x_perceptron_train")
+    // every weights-side join is vs a ≤ dims-row frame and must
+    // broadcast — shuffle volume stays bounded by corpus features,
+    // never weights × corpus
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the DEPLOYED form: one row-local expression over the doc frame —
+    // a pure projection, no exchange anywhere
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val wmap = org.apache.spark.sql.functions.map(
+      org.apache.spark.sql.functions.lit(1L),
+      org.apache.spark.sql.functions.lit(5L))
+    val serve = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.ext.Classify.mapOnlyScore(
+          org.apache.spark.sql.functions.col("text"), wmap, dims = 32)
+          .as("score"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!serve.contains("Exchange"),
+      s"map-only scorer plans an exchange:\n$serve")
+  }
+
   test("robust outliers: histogram-CDF medians — windows over distinct values, " +
       "med/mad broadcast back") {
     val p = planOf("a29_robust_outliers")

@@ -217,4 +217,33 @@ class StateBoundednessSpec extends SparkTestBase {
       assert(sizes == Seq(10L, 10L, 10L, 10L), s"$nm state rows: $sizes")
     }
   }
+
+  test("scd2 keyed state is dim-key-bounded: one open version per key") {
+    // the SCD2 build's state is the OPEN version only — closed versions
+    // leave through the sink, so state rows = dim-key cardinality no
+    // matter how many change records flow: 4 batches × 10 keys × 25
+    // changes per key per batch must hold exactly 10 state rows
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, Long)]
+    val out = StreamingOps.scd2Transform(
+      ms.toDF().toDF("event_id", "user_id", "us", "c").as[StreamingOps.EwEv])
+    val name = s"sb_scd2_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val sizes = try (0 until 4).map { i =>
+      ms.addData((0 until 250).map { j =>
+        val id = i * 1000L + j
+        (id, j % 10L, id * 1000000L, (id % 300L) * 100L)
+      }: _*)
+      q.processAllAvailable()
+      q.recentProgress.reverse.collectFirst {
+        case p if p.stateOperators.nonEmpty =>
+          p.stateOperators.map(_.numRowsTotal).sum
+      }.getOrElse(0L)
+    } finally q.stop()
+    assert(sizes == Seq(10L, 10L, 10L, 10L), s"scd2 state rows: $sizes")
+    // and the emitted history is everything but the 10 open versions
+    assert(spark.table(name).count() == 990L)
+  }
 }
