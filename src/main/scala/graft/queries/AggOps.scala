@@ -1508,25 +1508,30 @@ object AggOps {
     * 100 TB of change records this is the same layout the dim table
     * itself needs, and the window spills through Spark's external sorter
     * if a key is pathological. */
+  /** The a31/a32 interval frame: (user_id, version, event_id,
+    * valid_from_us, valid_to_us, c, is_current), unordered. Factored so
+    * the lookup query joins the SAME build the history query gates. */
+  private[queries] def scd2Frame(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    t(s, dir, "events")
+      .filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from_us", col("us"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_id"),
+        col("valid_from_us"), col("valid_to_us"), col("c"),
+        col("valid_to_us").isNull.cast("long").as("is_current"))
+  }
+
   val a31Scd2History = OpQuery(
     "a31_scd2_history",
     "SCD2 dimension history: versioned validity intervals from the change feed",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-      t(s, dir, "events")
-        .filter(col("event_type") === "signup")
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("us"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
-        .withColumn("version", row_number().over(w).cast("long"))
-        .withColumn("valid_from_us", col("us"))
-        .withColumn("valid_to_us", lead(col("us"), 1).over(w))
-        .select(col("user_id"), col("version"), col("event_id"),
-          col("valid_from_us"), col("valid_to_us"), col("c"),
-          col("valid_to_us").isNull.cast("long").as("is_current"))
-        .orderBy("user_id", "version")
-    },
+    (s, dir) => scd2Frame(s, dir).orderBy("user_id", "version"),
     Some("""SELECT user_id,
               CAST(row_number() OVER w AS BIGINT) AS version,
               event_id,
@@ -1538,6 +1543,67 @@ object AggOps {
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
             ORDER BY user_id, version"""))
 
+  /** A32 (beyond ref) — POINT-IN-TIME fact enrichment through the SCD2
+    * interval table: each purchase joins the dimension version whose
+    * validity interval contains the fact's event time. This is the query
+    * a31's scaladoc promises ("j6_asof_join is exactly a lookup into this
+    * table's intervals") executed and gated: the intervals partition each
+    * key's timeline, so at most one version matches and the left join
+    * stays 1:1 — facts before any version keep NULLs, like j6's ASOF
+    * LEFT. Where two changes share a timestamp, the earlier version's
+    * interval is zero-width and matches nothing — the interval semantics
+    * resolve the tie j6's "latest prior row" phrasing leaves ambiguous.
+    *
+    * Scale shape: the dim HISTORY is orders of magnitude smaller than
+    * the fact stream, so it broadcasts (the J3 rationale; PlanSpec pins
+    * BroadcastHashJoin on the equi key with the interval bounds as the
+    * join residual). Past broadcast size the same plan degrades to a
+    * user-keyed sort-merge join — the range predicates ride the equi key
+    * either way; never a cartesian. */
+  /** The a32 join: facts (event_id, user_id, us) × history (user_id,
+    * version, valid_from_us, valid_to_us, c) on containment of the fact
+    * time in the version's validity interval. Factored so the spec can
+    * drive hand corpora (the shared-timestamp tie case). */
+  private[queries] def scd2Lookup(facts: org.apache.spark.sql.DataFrame,
+      hist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    facts.join(broadcast(hist),
+        facts("user_id") === hist("user_id") &&
+          col("us") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("us") < col("valid_to_us")),
+        "left")
+      .select(facts("event_id"), facts("user_id"), col("us"),
+        col("version"), col("c"))
+
+  val a32Scd2Lookup = OpQuery(
+    "a32_scd2_lookup",
+    "point-in-time enrichment: purchases x the SCD2 version valid at event time",
+    (s, dir) => {
+      val hist = scd2Frame(s, dir)
+        .select(col("user_id"), col("version"), col("valid_from_us"),
+          col("valid_to_us"), col("c"))
+      val facts = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+      scd2Lookup(facts, hist).orderBy("event_id")
+    },
+    Some("""WITH h AS (
+              SELECT user_id,
+                CAST(row_number() OVER w AS BIGINT) AS version,
+                epoch_us(ts) AS vf,
+                lead(epoch_us(ts)) OVER w AS vt,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events WHERE event_type = 'signup'
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id))
+            SELECT f.event_id, f.user_id, epoch_us(f.ts) AS us,
+                   h.version, h.c
+            FROM events f LEFT JOIN h ON h.user_id = f.user_id
+              AND epoch_us(f.ts) >= h.vf
+              AND (h.vt IS NULL OR epoch_us(f.ts) < h.vt)
+            WHERE f.event_type = 'purchase'
+            ORDER BY event_id"""))
+
   val all: Seq[OpQuery] = Seq(
     a1VisitorWindow, a2ProductStats, a3ProvinceStats, a4KeywordStats,
     a7ServingTopN, a8SessionWindow, a9SlidingWindow, a10Funnel, a11Retention,
@@ -1545,5 +1611,5 @@ object AggOps {
     a16RollingWindow, a17Attribution, a18TrendDecay, a19ResampleZerofill,
     a20Debounce, a21TrendTopk, a22RateLimit, a23ResampleFfill, a24Ewma,
     a25EwmaAnomaly, a26EwmaAlpha8, a27PsiDrift, a28Cusum, a29RobustOutliers,
-    a30MonitorE2e, a31Scd2History, k5LatestVersion)
+    a30MonitorE2e, a31Scd2History, a32Scd2Lookup, k5LatestVersion)
 }

@@ -622,6 +622,14 @@ class PlanSpec extends SparkTestBase {
       s"change-feed filter not pushed to the scan:\n$p")
   }
 
+  test("scd2 lookup: history broadcasts onto the fact stream, interval " +
+      "bounds ride the equi key — no cartesian, no nested loop") {
+    val p = planOf("a32_scd2_lookup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("perceptron: weight joins broadcast; serving scorer is map-only, " +
       "zero exchanges") {
     val p = planOf("x_perceptron_train")
