@@ -1508,18 +1508,14 @@ object AggOps {
     * 100 TB of change records this is the same layout the dim table
     * itself needs, and the window spills through Spark's external sorter
     * if a key is pathological. */
-  /** The a31/a32 interval frame: (user_id, version, event_id,
-    * valid_from_us, valid_to_us, c, is_current), unordered. Factored so
-    * the lookup query joins the SAME build the history query gates. */
-  private[queries] def scd2Frame(s: SparkSession, dir: String)
+  /** The SCD2 interval build over any change-record frame
+    * (event_id, user_id, us, c) — factored so Scd2PropSpec can drive
+    * randomized corpora through the REAL build. */
+  private[queries] def scd2FromChanges(changes: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    t(s, dir, "events")
-      .filter(col("event_type") === "signup")
-      .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("us"),
-        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+    changes
       .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("valid_from_us", col("us"))
       .withColumn("valid_to_us", lead(col("us"), 1).over(w))
@@ -1527,6 +1523,18 @@ object AggOps {
         col("valid_from_us"), col("valid_to_us"), col("c"),
         col("valid_to_us").isNull.cast("long").as("is_current"))
   }
+
+  /** The a31/a32 interval frame: (user_id, version, event_id,
+    * valid_from_us, valid_to_us, c, is_current), unordered. Factored so
+    * the lookup query joins the SAME build the history query gates. */
+  private[queries] def scd2Frame(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    scd2FromChanges(
+      t(s, dir, "events")
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c")))
 
   val a31Scd2History = OpQuery(
     "a31_scd2_history",

@@ -1235,10 +1235,44 @@ object StreamingOps {
             FROM h WHERE valid_to_us IS NOT NULL
             ORDER BY user_id, version"""))
 
+  /** Streaming twin of a32_scd2_lookup — the TEMPORAL TABLE JOIN as it
+    * deploys (Flink's FOR SYSTEM_TIME AS OF; the reference's OrderWide
+    * dim-lookup tier re-reads its dims per batch the same way,
+    * RT/app/dwm/OrderWideApp.java): the SCD2 interval table is frozen
+    * before the stream starts (a production serving tier re-derives or
+    * re-reads it per batch — the st_er_match_stream frozen-reference
+    * argument), and each micro-batch of facts pays ONE broadcast
+    * interval join against it. Stateless per batch: each fact's match
+    * depends only on (fact, frozen history), so the streamed union over
+    * any batching equals the batch run and a32's oracle gates this
+    * query verbatim. */
+  val stScd2Lookup = OpQuery(
+    "st_scd2_lookup_stream",
+    "streaming temporal lookup: fact micro-batches x the frozen SCD2 interval table",
+    (s, dir) => {
+      val hist = AggOps.scd2Frame(s, dir)
+        .select(col("user_id"), col("version"), col("valid_from_us"),
+          col("valid_to_us"), col("c"))
+      val scratch = graft.core.Scratch.tempDir("graft_scd2_lookup_stream_")
+      val out = s"$scratch/out"; val ck = s"$scratch/ckpt"
+      val stream = eventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+      val q = graft.streaming.Runner.toBatchSink(stream, ck) { (batch, _) =>
+        AggOps.scd2Lookup(batch, hist)
+          .write.mode("append").parquet(out)
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out).orderBy("event_id")
+    },
+    AggOps.a32Scd2Lookup.oracle)
+
   val all: Seq[OpQuery] =
     Seq(stUvDedup, stVisitorWindow, stIntervalJoin, stProvinceStats,
       stDedupExact, stFunnel, stRetention, stSessionWindow, stKeywordStream,
       stCepTimes, stAttribution, stCmsHeavyHitters, stSketchRollup,
       stCepNegation, stCepOptional, stTrendDecay, stDebounce, stRateLimit,
-      stEwma, stEwmaAlpha8, stPsiDrift, stCusum, stMonitorE2e, stScd2)
+      stEwma, stEwmaAlpha8, stPsiDrift, stCusum, stMonitorE2e, stScd2,
+      stScd2Lookup)
 }
