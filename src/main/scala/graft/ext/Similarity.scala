@@ -750,6 +750,39 @@ object Similarity {
     }
   }
 
+  /** Nearest-center assignment under a chosen center set — the step that
+    * makes [[kcenterSelect]]'s exemplars USABLE: every vector labeled
+    * with its closest center (integer squared-L2 over the same
+    * floor(v·scale) fixed-point elements, ties → smaller center id) plus
+    * the distance, i.e. the coverage partition of the 2-approximate
+    * k-center cover. Map-only: centers arrive as ≤k literal arrays
+    * folded in ONE expression per row — no join, no shuffle, the same
+    * zero-exchange serving discipline as the perceptron scorer. The max
+    * of `dist` over the corpus IS the k-center objective value — one
+    * agg away, a built-in quality audit. */
+  def kcenterAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+      centers: Seq[(Long, Seq[Long])], scale: Long = 1000L): DataFrame = {
+    require(centers.nonEmpty, "kcenterAssign: empty center set")
+    val s = embeddings.sparkSession
+    // fold (center, dist) pairs through least-by-(dist, id): one struct
+    // comparison chain, codegen-friendly, deterministic ties
+    val qvExpr = s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * " +
+      s"CAST($scale AS DOUBLE)) AS BIGINT))"
+    val pairs = centers.map { case (cid, cv) =>
+      val arr = cv.map(v => s"${v}L").mkString("array(", ", ", ")")
+      s"named_struct('d', aggregate(zip_with(qv, $arr, " +
+        s"(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x), 'cid', ${cid}L)"
+    }.mkString("array(", ", ", ")")
+    val best = s"array_sort($pairs, (l, r) -> CASE WHEN l.d < r.d THEN -1 " +
+      "WHEN l.d > r.d THEN 1 WHEN l.cid < r.cid THEN -1 " +
+      "WHEN l.cid > r.cid THEN 1 ELSE 0 END)[0]"
+    embeddings
+      .select(col(idCol).cast("long").as("vec_id"), expr(qvExpr).as("qv"))
+      .withColumn("_b", expr(best))
+      .select(col("vec_id"), col("_b.cid").as("center_id"),
+        col("_b.d").as("dist"))
+  }
+
   // ---------- recall gating (bounds-style oracle promotion) ----------
 
   /** Recall gate for the trained-quantizer ANN queries: joins an

@@ -1261,7 +1261,10 @@ object ExtOps {
     * squared-L2 over the same floor(v·scale) fixed-point elements, so
     * the chain is bit-exact with no epsilon. MATERIALIZED hints keep
     * DuckDB from re-evaluating the chain per reference (the a30 lesson). */
-  private def kcenterOracleSql(k: Int, scale: Long): String = {
+  /** The shared WITH-chain (qx, c1, d1, …, c_k) — x_kcenter_select
+    * finishes it with the pick list, x_kcenter_assign with the coverage
+    * partition. */
+  private def kcenterOracleStages(k: Int, scale: Long): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH qx AS MATERIALIZED (
       SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
@@ -1272,9 +1275,10 @@ object ExtOps {
     c1 AS MATERIALIZED (SELECT min(vec_id) AS vid FROM embeddings),
     d1 AS MATERIALIZED (
       SELECT a.vec_id, sum((a.qe - b.qe) * (a.qe - b.qe)) AS mind
-      FROM qx a JOIN qx b ON a.dim = b.dim
-      WHERE b.vec_id = (SELECT vid FROM c1)
-        AND a.vec_id <> (SELECT vid FROM c1)
+      FROM qx a JOIN (SELECT dim, qe FROM qx
+                      WHERE vec_id = (SELECT vid FROM c1)) b
+        ON a.dim = b.dim
+      WHERE a.vec_id <> (SELECT vid FROM c1)
       GROUP BY a.vec_id)"""
     for (r <- 2 to k) {
       sb ++= s""",
@@ -1285,11 +1289,25 @@ object ExtOps {
       SELECT p.vec_id, least(p.mind, n.dd) AS mind
       FROM d${r - 1} p JOIN (
         SELECT a.vec_id, sum((a.qe - b.qe) * (a.qe - b.qe)) AS dd
-        FROM qx a JOIN qx b ON a.dim = b.dim
-        WHERE b.vec_id = (SELECT vid FROM c$r)
+        FROM qx a JOIN (SELECT dim, qe FROM qx
+                        WHERE vec_id = (SELECT vid FROM c$r)) b
+          ON a.dim = b.dim
         GROUP BY a.vec_id) n ON n.vec_id = p.vec_id
       WHERE p.vec_id <> (SELECT vid FROM c$r))"""
     }
+    sb.toString
+  }
+  // Oracle-engineering note (the a30-materialization class of lesson,
+  // measured): with `qx` as a MATERIALIZED CTE, DuckDB does NOT push a
+  // `WHERE b.vec_id = (SELECT …)` scalar filter below `qx a JOIN qx b ON
+  // a.dim = b.dim` — each stage paid the unfiltered dim-join (~256M rows
+  // at sf0.1; whole chain minutes-to-stuck). Placing the filter INSIDE
+  // the b-side derived table is plan-forcing and takes the 8-stage chain
+  // to 0.13 s. Any future oracle joining a materialized frame to itself
+  // on a low-cardinality key needs the same shape.
+
+  private def kcenterOracleSql(k: Int, scale: Long): String = {
+    val sb = new StringBuilder(kcenterOracleStages(k, scale))
     sb ++= s"""
     SELECT CAST(1 AS BIGINT) AS sel_rank, vid AS vec_id,
            CAST(NULL AS BIGINT) AS mind FROM c1"""
@@ -1298,6 +1316,26 @@ object ExtOps {
     sb ++= "\n    ORDER BY sel_rank"
     sb.toString
   }
+
+  /** The coverage partition under the same greedy's centers: distance to
+    * EVERY center via one dim-joined aggregation, argmin by (d, cid) —
+    * rank selection restates the Spark side's struct-sort fold exactly. */
+  private def kcenterAssignOracleSql(k: Int, scale: Long): String =
+    kcenterOracleStages(k, scale) + s""",
+    ctr AS MATERIALIZED (${(1 to k).map(r => s"SELECT vid FROM c$r")
+        .mkString(" UNION ALL ")}),
+    cq AS MATERIALIZED (
+      SELECT vec_id, dim, qe FROM qx
+      WHERE vec_id IN (SELECT vid FROM ctr)),
+    ad AS (SELECT a.vec_id, b.vec_id AS cid,
+             sum((a.qe - b.qe) * (a.qe - b.qe)) AS d
+           FROM qx a JOIN cq b ON a.dim = b.dim
+           GROUP BY a.vec_id, b.vec_id),
+    rk AS (SELECT vec_id, cid, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           FROM ad)
+    SELECT vec_id, CAST(cid AS BIGINT) AS center_id, CAST(d AS BIGINT) AS dist
+    FROM rk WHERE rn = 1 ORDER BY vec_id"""
 
   /** Diverse coreset selection — see [[graft.ext.Similarity.kcenterSelect]]
     * for the greedy's scale shape (k map passes + k top-1 reduces over a
@@ -1313,6 +1351,30 @@ object ExtOps {
           k = 8)
         .orderBy("sel_rank"),
     Some(kcenterOracleSql(k = 8, scale = 1000L)))
+
+  /** The partition the coreset induces — see
+    * [[graft.ext.Similarity.kcenterAssign]]: the selected ids' quantized
+    * vectors are fetched once (k bounded driver rows, the frozen-literal
+    * serving contract) and every vector is labeled by ONE row-local
+    * fold — zero exchanges past the scan, the same deployed shape as
+    * the perceptron scorer. max(dist) over this frame is the k-center
+    * objective the greedy 2-approximates. */
+  val xKcenterAssign = OpQuery(
+    "x_kcenter_assign",
+    "k-center coverage partition: every vector labeled by its nearest exemplar",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ids = Similarity.kcenterSelect(e, "vec_id", "embedding", k = 8)
+        .select("vec_id").collect().map(_.getLong(0))
+      val centers = e.filter(col("vec_id").isin(ids.map(Long.box): _*))
+        .select(col("vec_id").cast("long"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * " +
+            "1000.0) AS BIGINT))"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+      Similarity.kcenterAssign(e, "vec_id", "embedding", centers)
+        .orderBy("vec_id")
+    },
+    Some(kcenterAssignOracleSql(k = 8, scale = 1000L)))
 
   // ---------- signed-random-projection LSH ----------
 
@@ -3890,7 +3952,7 @@ object ExtOps {
     xAnnIvf, xAnnIvfKmeans, stAnnServe, xAnnIvfPq, xAnnIvfPqRerank,
     xAnnKmeansExact, xAnnPqExact, xAnnIvfPqExact, xSemDedupKmeans1r,
     xCosineNeardup, xSemDedup, xSemDedupKmeansGated, xKcenterSelect,
-    xJlProject, xAnnJlRerank,
+    xKcenterAssign, xJlProject, xAnnJlRerank,
     xSrpSignature, xSrpNeardup, xSrpSemDedup, stSrpDedup,
     xTextStats, xLangidNgram,
     xFingerprint, xWinnow, xWinnowRollingBounds, xClonePairs, xTfidfTopk,

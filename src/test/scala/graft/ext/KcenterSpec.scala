@@ -49,6 +49,37 @@ class KcenterSpec extends SparkTestBase {
     assert(got.length == 2)
   }
 
+  test("assignment: centers self-assign at 0; dist is the true min; " +
+      "objective ≤ the last pick's maximin") {
+    val pts = (1L to 30L).map { i =>
+      (i, Seq.tabulate(4)(d => (((i * 11 + d * 7) % 19) - 9).toFloat / 9f))
+    }
+    val e = pts.toDF("vec_id", "embedding")
+    val q = pts.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000.0).toLong)
+    }.toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val picks = Similarity.kcenterSelect(e, "vec_id", "embedding", k = 4)
+      .orderBy("sel_rank").collect()
+    val ids = picks.map(_.getLong(1)).toSeq
+    val lastMaximin = picks.last.getLong(2)
+    val centers = ids.map(id => id -> q(id))
+    val got = Similarity.kcenterAssign(e, "vec_id", "embedding", centers)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == pts.size, "assignment dropped or duplicated rows")
+    got.foreach { case (vid, cid, dist) =>
+      val expect = centers.map { case (id, cv) => (d2(q(vid), cv), id) }.min
+      assert((dist, cid) == expect, s"vec $vid: got ($dist,$cid) want $expect")
+      if (ids.contains(vid)) assert(dist == 0L && cid == vid,
+        s"center $vid must self-assign at 0, got ($cid, $dist)")
+    }
+    // the greedy's invariant ACROSS the two queries: after the k-th pick
+    // joins the set, no vector is farther than that pick was when chosen
+    assert(got.map(_._3).max <= lastMaximin,
+      s"objective ${got.map(_._3).max} exceeds last maximin $lastMaximin")
+  }
+
   test("selection equals the quadratic reference greedy on a random set") {
     val pts = (1L to 25L).map { i =>
       (i, Seq.tabulate(3)(d => (((i * 13 + d * 5) % 17) - 8).toFloat / 8f))

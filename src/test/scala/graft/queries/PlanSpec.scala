@@ -630,6 +630,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("kcenter assignment is join-free: centers fold as literals in one " +
+      "row-local expression") {
+    val p = planOf("x_kcenter_assign")
+    // the coverage partition must never join vectors against a center
+    // table — k ≤ 8 centers arrive as literal arrays inside a single
+    // projection, so the only exchange is the final orderBy's range
+    // partition
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
   test("perceptron: weight joins broadcast; serving scorer is map-only, " +
       "zero exchanges") {
     val p = planOf("x_perceptron_train")
