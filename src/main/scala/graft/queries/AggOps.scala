@@ -1516,6 +1516,17 @@ object AggOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     changes
+      // no-op-change collapse (standard SCD2): a real CDC feed re-writes
+      // rows whose tracked attribute did NOT change; a new version opens
+      // only on a VALUE change, else consecutive equal values would mint
+      // zero-information versions that bloat the history table and the
+      // broadcast lookup side. The collapsed row simply extends the open
+      // version's interval (its valid_to stays the NEXT real change).
+      // Both windows share the partitioning+ordering, so Catalyst plans
+      // ONE exchange + one sort for the lag and the renumbering.
+      .withColumn("_pc", lag(col("c"), 1).over(w))
+      .filter(col("_pc").isNull || col("_pc") =!= col("c"))
+      .drop("_pc")
       .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("valid_from_us", col("us"))
       .withColumn("valid_to_us", lead(col("us"), 1).over(w))
@@ -1540,15 +1551,57 @@ object AggOps {
     "a31_scd2_history",
     "SCD2 dimension history: versioned validity intervals from the change feed",
     (s, dir) => scd2Frame(s, dir).orderBy("user_id", "version"),
-    Some("""SELECT user_id,
+    Some("""WITH f AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                     lag(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS pc
+              FROM events WHERE event_type = 'signup')
+            SELECT user_id,
               CAST(row_number() OVER w AS BIGINT) AS version,
               event_id,
-              epoch_us(ts) AS valid_from_us,
-              lead(epoch_us(ts)) OVER w AS valid_to_us,
-              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
-              CAST(lead(epoch_us(ts)) OVER w IS NULL AS BIGINT) AS is_current
-            FROM events WHERE event_type = 'signup'
-            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              us AS valid_from_us,
+              lead(us) OVER w AS valid_to_us,
+              c,
+              CAST(lead(us) OVER w IS NULL AS BIGINT) AS is_current
+            FROM f WHERE pc IS NULL OR pc <> c
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+            ORDER BY user_id, version"""))
+
+  /** A33 (beyond ref) — the no-op-change collapse made VISIBLE: an SCD2
+    * status history over a change feed that genuinely carries consecutive
+    * duplicates (every event of a user, tracked attribute = the event
+    * type's code; ~20% of the fixture's consecutive pairs repeat). The
+    * a31 signup feed is near-duplicate-free, so this query is the
+    * oracle-gated proof that the collapse drops exactly the re-written
+    * unchanged values and extends the surviving versions' intervals over
+    * them — the behavior a real CDC feed (which re-emits whole rows on
+    * any column's update) demands of the dimension build. */
+  val a33Scd2Collapse = OpQuery(
+    "a33_scd2_collapse",
+    "SCD2 no-op collapse: status history from a feed with consecutive duplicates",
+    (s, dir) => scd2FromChanges(
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        ascii(col("event_type")).cast("long").as("c")))
+      .orderBy("user_id", "version"),
+    Some("""WITH f AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     CAST(ascii(event_type) AS BIGINT) AS c,
+                     lag(CAST(ascii(event_type) AS BIGINT))
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS pc
+              FROM events)
+            SELECT user_id,
+              CAST(row_number() OVER w AS BIGINT) AS version,
+              event_id,
+              us AS valid_from_us,
+              lead(us) OVER w AS valid_to_us,
+              c,
+              CAST(lead(us) OVER w IS NULL AS BIGINT) AS is_current
+            FROM f WHERE pc IS NULL OR pc <> c
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
             ORDER BY user_id, version"""))
 
   /** A32 (beyond ref) — POINT-IN-TIME fact enrichment through the SCD2
@@ -1595,15 +1648,21 @@ object AggOps {
           unix_micros(col("ts")).as("us"))
       scd2Lookup(facts, hist).orderBy("event_id")
     },
-    Some("""WITH h AS (
+    Some("""WITH ch AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                     lag(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS pc
+              FROM events WHERE event_type = 'signup'),
+            h AS (
               SELECT user_id,
                 CAST(row_number() OVER w AS BIGINT) AS version,
-                epoch_us(ts) AS vf,
-                lead(epoch_us(ts)) OVER w AS vt,
-                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-              FROM events WHERE event_type = 'signup'
-              WINDOW w AS (PARTITION BY user_id
-                           ORDER BY epoch_us(ts), event_id))
+                us AS vf,
+                lead(us) OVER w AS vt,
+                c
+              FROM ch WHERE pc IS NULL OR pc <> c
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
             SELECT f.event_id, f.user_id, epoch_us(f.ts) AS us,
                    h.version, h.c
             FROM events f LEFT JOIN h ON h.user_id = f.user_id
@@ -1619,5 +1678,6 @@ object AggOps {
     a16RollingWindow, a17Attribution, a18TrendDecay, a19ResampleZerofill,
     a20Debounce, a21TrendTopk, a22RateLimit, a23ResampleFfill, a24Ewma,
     a25EwmaAnomaly, a26EwmaAlpha8, a27PsiDrift, a28Cusum, a29RobustOutliers,
-    a30MonitorE2e, a31Scd2History, a32Scd2Lookup, k5LatestVersion)
+    a30MonitorE2e, a31Scd2History, a32Scd2Lookup, a33Scd2Collapse,
+    k5LatestVersion)
 }

@@ -1185,9 +1185,15 @@ object StreamingOps {
           val out = new scala.collection.mutable.ArrayBuffer[
             (Long, Long, Long, Long, Long, Long)](buf.length)
           buf.foreach { e =>
-            if (st != null) out += ((u, st.ver, st.oid, st.ous, e.us, st.oc))
-            st = Scd2State(if (st == null) 1L else st.ver + 1L,
-              e.event_id, e.us, e.c)
+            // no-op-change collapse (same contract as scd2FromChanges): a
+            // change record equal to the OPEN version's value is a CDC
+            // re-write, not a change — the open interval simply extends
+            // over it. O(1): the open version IS the state.
+            if (st == null) st = Scd2State(1L, e.event_id, e.us, e.c)
+            else if (e.c != st.oc) {
+              out += ((u, st.ver, st.oid, st.ous, e.us, st.oc))
+              st = Scd2State(st.ver + 1L, e.event_id, e.us, e.c)
+            }
           }
           if (st != null) state.update(st)
           out.iterator
@@ -1221,16 +1227,22 @@ object StreamingOps {
         .as[EwEv]
       drain(scd2Transform(typed), "st_scd2_out").orderBy("user_id", "version")
     },
-    Some("""WITH h AS (
+    Some("""WITH ch AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                     lag(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS pc
+              FROM events WHERE event_type = 'signup'),
+            h AS (
               SELECT user_id,
                 CAST(row_number() OVER w AS BIGINT) AS version,
                 event_id,
-                epoch_us(ts) AS valid_from_us,
-                lead(epoch_us(ts)) OVER w AS valid_to_us,
-                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-              FROM events WHERE event_type = 'signup'
-              WINDOW w AS (PARTITION BY user_id
-                           ORDER BY epoch_us(ts), event_id))
+                us AS valid_from_us,
+                lead(us) OVER w AS valid_to_us,
+                c
+              FROM ch WHERE pc IS NULL OR pc <> c
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
             SELECT user_id, version, event_id, valid_from_us, valid_to_us, c
             FROM h WHERE valid_to_us IS NOT NULL
             ORDER BY user_id, version"""))
@@ -1259,6 +1271,13 @@ object StreamingOps {
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("us"))
+      // seed the output dir with a zero-row frame of the result schema:
+      // if the purchase stream yields no micro-batch (empty fixture),
+      // the post-drain read returns empty instead of missing-path
+      AggOps.scd2Lookup(
+        s.createDataFrame(s.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], stream.schema), hist)
+        .write.mode("append").parquet(out)
       val q = graft.streaming.Runner.toBatchSink(stream, ck) { (batch, _) =>
         AggOps.scd2Lookup(batch, hist)
           .write.mode("append").parquet(out)

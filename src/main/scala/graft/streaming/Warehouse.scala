@@ -156,18 +156,87 @@ object Warehouse {
     }
   }
 
-  /** The far-future watermark driver: one page line for [[SentinelMid]] an
-    * hour past the corpus horizon. Written AFTER the real data has flowed
-    * through the DWM layers so the bounce timers fire exactly once — the
-    * operational analog of the reference's forever-running clock. */
+  /** Event-time horizon every sentinel anchors past: one hour beyond the
+    * LAST event of the log timeline. The db timeline (orders, 1995-2001)
+    * lies years before it, so one anchor clears both — and with per-leg
+    * watermarks + min policy, EVERY leg must see a row past this anchor
+    * before any window at the log timeline's tail can close. */
+  def sentinelTs(spark: SparkSession, sfDir: String): Long =
+    graft.core.Tables.load(spark, sfDir, "events")
+      .agg(max(unix_millis(col("ts")))).collect()(0).getLong(0) + 3600000L
+
+  /** The watermark drivers for every LOG-derived leg: three page lines for
+    * [[SentinelMid]] an hour past the corpus horizon, written AFTER the
+    * real data has flowed through the DWM layers — the operational analog
+    * of the reference's forever-running clock (in production the next
+    * day's traffic plays this role). Append mode closes a window only when
+    * the leg-min watermark passes its end, so each line is shaped to
+    * SURVIVE one shaped leg's filters and advance its watermark node:
+    *   - entry `home` line → pv leg; kept by UniqueVisit (first entry of
+    *     its day) → uv leg; left as a >10s-gap pending in Bounce, so the
+    *     NEXT line's arrival emits it as a bounce → uj leg;
+    *   - `search` line 60s later (the gap that bounces the home line) with
+    *     a sentinel item → the keyword leg's search filter;
+    *   - `good_detail` line with a sku item AND one displays[] element →
+    *     the product clicks leg and the otherwise-EMPTY displays leg
+    *     (an empty leg pins its watermark at zero and the min policy would
+    *     hold every product window open forever).
+    * All three lines share one far-future hour, so their own windows stay
+    * OPEN (never emitted — sentinel rows never reach the DWS tables) while
+    * every real window closes. Per-mid ts stay unique (Bounce contract). */
   def genSentinel(spark: SparkSession, sfDir: String, lay: Layout): Unit = {
     import spark.implicits._
-    val horizon = graft.core.Tables.load(spark, sfDir, "events")
-      .agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
-    val line =
-      s"""{"common":{"ar":"1","ba":"-1","ch":"$SentinelMid","is_new":"0","md":"md","mid":"$SentinelMid","os":"os","uid":"-1","vc":"v1"},"page":{"page_id":"home","during_time":0},"ts":${horizon + 3600000L}}"""
-    Seq(line).toDF("value").coalesce(1)
+    val t0 = sentinelTs(spark, sfDir)
+    def common =
+      s""""common":{"ar":"1","ba":"-1","ch":"$SentinelMid","is_new":"0","md":"md","mid":"$SentinelMid","os":"os","uid":"-1","vc":"v1"}"""
+    val lines = Seq(
+      s"""{$common,"page":{"page_id":"home","during_time":0},"ts":$t0}""",
+      s"""{$common,"page":{"page_id":"good_list","last_page_id":"search","item":"$SentinelMid","during_time":0},"ts":${t0 + 60000L}}""",
+      s"""{$common,"page":{"page_id":"good_detail","last_page_id":"good_list","item":"-1","item_type":"sku_id","during_time":0},"displays":[{"display_type":"query","item":"-1","item_type":"sku_id","pos_id":0,"order":0}],"ts":${t0 + 120000L}}""")
+    lines.toDF("value").coalesce(1)
       .write.mode("append").parquet(topicDir(lay, OdsBaseLog))
+  }
+
+  /** The watermark drivers for every CDC-derived leg: one far-future CDC
+    * envelope per routed fact table, all keyed to the sentinel order id /
+    * sku -1 / province -1. The order_info + order_detail pair shares a
+    * create_time so the ±5s interval join emits one sentinel row to the
+    * order-wide topic (→ province leg + product orders leg); the payment
+    * lands 60s later, inside the −15min/+5s bound, so the payment join
+    * emits to the payment-wide topic (→ product payments leg); favor /
+    * cart / comment / refund cover their four sku legs. Without these,
+    * the db legs' watermarks stall at the ORDERS timeline (2001) and the
+    * min policy would hold every 2024 log-side product window open. */
+  def genDbSentinel(spark: SparkSession, sfDir: String, lay: Layout): Unit = {
+    import spark.implicits._
+    val t0 = sentinelTs(spark, sfDir)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val ct = fmt.format(java.time.Instant.ofEpochMilli(t0))
+    val pct = fmt.format(java.time.Instant.ofEpochMilli(t0 + 60000L))
+    val id = "900000001"
+    def env(table: String, kv: (String, String)*): String = {
+      val after = kv.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+      s"""{"database":"gmall","tableName":"$table","before":{},"after":{$after},"type":"insert"}"""
+    }
+    Seq(
+      env("order_info", "id" -> id, "province_id" -> "-1", "user_id" -> "-1",
+        "order_status" -> "1001", "total_amount" -> "0.00",
+        "create_time" -> ct),
+      env("order_detail", "id" -> id, "order_id" -> id, "sku_id" -> "-1",
+        "sku_num" -> "1", "sku_name" -> "sku--1", "order_price" -> "0.00",
+        "split_total_amount" -> "0.00", "create_time" -> ct),
+      env("payment_info", "id" -> id, "order_id" -> id, "user_id" -> "-1",
+        "total_amount" -> "0.00", "subject" -> "order",
+        "payment_type" -> "1102", "create_time" -> pct),
+      env("favor_info", "id" -> id, "sku_id" -> "-1", "ts" -> t0.toString),
+      env("cart_info", "id" -> id, "sku_id" -> "-1", "ts" -> t0.toString),
+      env("comment_info", "id" -> id, "sku_id" -> "-1", "appraise" -> "1202",
+        "ts" -> t0.toString),
+      env("refund_payment", "id" -> id, "order_id" -> id, "sku_id" -> "-1",
+        "refund_amount" -> "0.00", "ts" -> t0.toString))
+      .toDF("value").coalesce(1)
+      .write.mode("append").parquet(topicDir(lay, OdsBaseDb))
   }
 
   /** The CDC fact subset: every 10th order (deterministic by key), joined
@@ -355,19 +424,30 @@ object Warehouse {
       lit(if (measure == "uj") 1L else 0L).as("uj_ct"),
       lit(0L).as("dur_sum"), col("ts"))
 
+  /** The eight shaped product legs. `wrap` is applied to EACH leg before
+    * the union: the live chain passes WindowStats.leg(_, delay) so every
+    * leg carries its own watermark node (min policy — see WindowStats.leg
+    * scaladoc for why a post-union watermark drops slow-leg rows); batch
+    * twins use the identity. */
+  private def productLegs(page: DataFrame, favor: DataFrame,
+      cart: DataFrame, ow: DataFrame, pw: DataFrame, refund: DataFrame,
+      comment: DataFrame): Seq[DataFrame] = Seq(
+    ProductStatsShaping.fromPageClicks(page),
+    ProductStatsShaping.fromDisplays(page),
+    ProductStatsShaping.fromFavor(favor),
+    ProductStatsShaping.fromCart(cart),
+    ProductStatsShaping.fromOrders(
+      ow.withColumnRenamed("create_ts", "ts")),
+    ProductStatsShaping.fromPayments(pw),
+    ProductStatsShaping.fromRefunds(refund),
+    ProductStatsShaping.fromComments(comment))
+
   private def productInputs(page: DataFrame, favor: DataFrame,
       cart: DataFrame, ow: DataFrame, pw: DataFrame, refund: DataFrame,
-      comment: DataFrame): DataFrame =
-    ProductStatsShaping.unionAll(Seq(
-      ProductStatsShaping.fromPageClicks(page),
-      ProductStatsShaping.fromDisplays(page),
-      ProductStatsShaping.fromFavor(favor),
-      ProductStatsShaping.fromCart(cart),
-      ProductStatsShaping.fromOrders(
-        ow.withColumnRenamed("create_ts", "ts")),
-      ProductStatsShaping.fromPayments(pw),
-      ProductStatsShaping.fromRefunds(refund),
-      ProductStatsShaping.fromComments(comment)))
+      comment: DataFrame,
+      wrap: DataFrame => DataFrame = identity): DataFrame =
+    ProductStatsShaping.unionAll(
+      productLegs(page, favor, cart, ow, pw, refund, comment).map(wrap))
 
   private def provinceInput(ow: DataFrame): DataFrame =
     ow.select(col("province_id"), col("province_name"),
@@ -511,17 +591,25 @@ object Warehouse {
           lay.topic(DwmPaymentWide))
       }.start()
 
-    // --- DWS: the four summary apps through the K5 path — complete-mode
-    // foreachBatch appends versioned by batch id to durable parquet dirs
-    // (the ClickHouse ReplacingMergeTree shape; dwsTable is the RMT
-    // reader). Unlike the memory sinks these replaced, the tables survive
-    // a full chain stop with no post-restart batch needed, and a replayed
-    // batch appends the same rows under the same _ver — reader-dedup'd,
-    // the reference's own exactly-once story for its ClickHouse sink.
+    // --- DWS: the four summary apps through the K5 path — APPEND-mode
+    // foreachBatch appends each window ONCE, when the watermark closes it,
+    // versioned by batch id to durable parquet dirs (the ClickHouse
+    // ReplacingMergeTree shape; dwsTable is the RMT reader — exactly the
+    // reference's insert-on-window-close ClickHouse contract). State holds
+    // OPEN windows only (watermark-evicted on emit), so state size and
+    // per-batch write volume are bounded by the windows in flight, not by
+    // stream uptime — the complete-mode shape this replaced re-emitted
+    // every window since stream start on every batch (VERDICT r14: the
+    // one scale-killer left). A replayed batch appends the same closed
+    // windows under the same _ver — reader-dedup'd, the reference's own
+    // exactly-once story for its ClickHouse sink. Multi-leg inputs are
+    // watermarked PER LEG before the union (WindowStats.leg): append mode
+    // drops rows behind the watermark, and a single post-union node would
+    // run ahead of the slower dwm topics and drop their rows as late.
     def dwsSink(name: String, df: DataFrame): StreamingQuery =
       df.writeStream
         .option("checkpointLocation", lay.ck(name))
-        .outputMode("complete")
+        .outputMode("append")
         .foreachBatch { (batch: DataFrame, id: Long) =>
           batch.withColumn("_ver", lit(id))
             .coalesce(1).write.mode("append").parquet(lay.dws(name))
@@ -532,8 +620,10 @@ object Warehouse {
       valueStream(spark, lay.topic(DwmUniqueVisit))), "uv")
     val uj = oneHot(KafkaTopology.parsePageLog(
       valueStream(spark, lay.topic(DwmUserJumpDetail))), "uj")
+    val vLeg = (df: DataFrame) => WindowStats.leg(df, "11 seconds")
     val visitorQ = dwsSink("visitor",
-      WindowStats.visitorStats(pv.unionByName(uv).unionByName(uj)))
+      WindowStats.visitorStats(
+        vLeg(pv).unionByName(vLeg(uv)).unionByName(vLeg(uj))))
 
     val provinceQ = dwsSink("province",
       WindowStats.provinceStats(provinceInput(
@@ -552,7 +642,8 @@ object Warehouse {
         skuTsFrame(valueStream(spark, lay.dbTopic("dwd_refund_payment")),
           "order_id" -> "long", "refund_amount" -> "decimal(16,2)"),
         skuTsFrame(valueStream(spark, lay.dbTopic("dwd_comment_info")),
-          "appraise" -> "string"))))
+          "appraise" -> "string"),
+        wrap = WindowStats.leg(_, "2 seconds"))))
 
     Map(
       "base_log" -> baseLogQ, "base_db" -> baseDbQ,
@@ -565,9 +656,12 @@ object Warehouse {
   /** Drain the chain topologically: upstream processAllAvailable barriers
     * release downstream file sources batch by batch, while every query
     * stays live (the barriers are observation points, not lifecycle —
-    * all ten queries hold their checkpoints and state across them). The
-    * sentinel written between the two DWM drains advances the page-stream
-    * watermark so bounce timers fire exactly once. */
+    * all ten queries hold their checkpoints and state across them). After
+    * the real corpus has flowed, the log + db sentinels advance every
+    * leg's watermark an hour past the horizon, so the bounce timers fire
+    * exactly once and every real DWS window CLOSES (append mode emits a
+    * window only at watermark passage; processAllAvailable waits for the
+    * watermark-advancing no-data batch that does the emitting). */
   def drainAll(spark: SparkSession, sfDir: String, lay: Layout,
       qs: Map[String, StreamingQuery]): Unit = {
     qs("base_log").processAllAvailable()
@@ -575,9 +669,13 @@ object Warehouse {
     Seq("unique_visit", "order_wide").foreach(qs(_).processAllAvailable())
     qs("payment_wide").processAllAvailable()
     genSentinel(spark, sfDir, lay)
+    genDbSentinel(spark, sfDir, lay)
     qs("base_log").processAllAvailable()
+    qs("base_db").processAllAvailable()
     qs("unique_visit").processAllAvailable()
     qs("user_jump").processAllAvailable() // sentinel batch + timer batches
+    qs("order_wide").processAllAvailable()
+    qs("payment_wide").processAllAvailable()
     Seq("visitor", "province", "keyword", "product")
       .foreach(qs(_).processAllAvailable())
   }
@@ -593,14 +691,44 @@ object Warehouse {
       .crossJoin(broadcast(b.exceptAll(a).agg(count(lit(1)).as("_y"))))
       .select((col("_x") === 0 && col("_y") === 0).as(name))
 
+  /** The final global watermark of an append-mode streaming agg, restated
+    * in batch: min over the query's watermark nodes (one per unioned leg)
+    * of max(event time) − delay — Spark's multipleWatermarkPolicy=min. A
+    * leg with no rows pins the watermark at −∞ and no window ever closes,
+    * exactly like the live query (that is why every leg gets a sentinel).
+    * `ts` column, delay in ms. */
+  private def finalWatermarkMs(legs: Seq[(DataFrame, Long)]): Option[Long] = {
+    val row = legs.map { case (df, d) =>
+      df.agg((max(col("ts")) - d).as("wm")) }
+      .reduce(_.unionByName(_))
+      .agg(min(col("wm")), count(col("wm"))).collect()(0)
+    if (row.isNullAt(0) || row.getLong(1) < legs.size) None
+    else Some(row.getLong(0))
+  }
+
+  /** Batch restatement of append-mode emission: keep only windows the
+    * final watermark closed (edt ≤ wm; Spark's boundary predicate differs
+    * by at most 1 ms, irrelevant under the 1-hour sentinel margin). Open
+    * windows — the sentinels' own, and any genuinely-late stragglers —
+    * never reached the live table and are excluded from the twin too. */
+  private def closedOnly(stats: DataFrame, wm: Option[Long]): DataFrame =
+    wm match {
+      case Some(w) =>
+        stats.filter(unix_millis(to_timestamp(col("edt"))) <= w)
+      case None => stats.limit(0)
+    }
+
   /** The seven per-layer equivalence booleans, one 1-row broadcastable
     * frame. Each compares the LIVE chain's committed wire/memory output
     * against the same shaping code run as a batch composition over the
     * same upstream inputs — engine mode (keyed state machines, stream-
-    * stream joins, complete-mode window state, checkpointed fan-out
-    * under concurrency) is the only variable. The batch compositions'
-    * own external parity is what the a1-a5/c1/j1/j2 oracle rows already
-    * pin, so TRUE here extends those proofs to the concurrent chain. */
+    * stream joins, append-mode watermark-evicted window state,
+    * checkpointed fan-out under concurrency) is the only variable. The
+    * batch compositions' own external parity is what the a1-a5/c1/j1/j2
+    * oracle rows already pin, so TRUE here extends those proofs to the
+    * concurrent chain. The three DWS twins are filtered to watermark-
+    * closed windows ([[closedOnly]]) — the append-mode contract the live
+    * tables now hold. */
   def equivalenceGate(spark: SparkSession, lay: Layout): DataFrame = {
     import graft.core.Materialize.StageSyntax
     val uvStream = KafkaTopology.parsePageLog(
@@ -609,10 +737,15 @@ object Warehouse {
       .select(col("common.mid").as("mid"), col("ts"))
     val ujStream = KafkaTopology.parsePageLog(
       valueBatch(spark, lay.topic(DwmUserJumpDetail)))
+      .filter(col("common.mid") =!= SentinelMid)
       .select(col("common.mid").as("mid"), col("ts"))
     // staged once: the ODS re-parse feeds uv/uj/keyword/product twins and
-    // the CDC re-parse + join feeds both the order_ok and payment_ok legs
-    val pg = batchPage(spark, lay).staged
+    // the CDC re-parse + join feeds both the order_ok and payment_ok legs.
+    // pgAll keeps the sentinel lines (they drive the leg watermarks); pg
+    // is the twin-content view without them.
+    val pgAll = BaseLog.pageLog(BaseLog.clean(BaseLog.parse(
+      valueBatch(spark, lay.topic(OdsBaseLog))))).staged
+    val pg = pgAll.filter(col("common.mid") =!= SentinelMid)
     val owFull = batchOrderWide(spark, lay).staged
     val owWire = orderWideView(valueBatch(spark, lay.topic(DwmOrderWide)))
       .staged
@@ -631,19 +764,32 @@ object Warehouse {
         col("p_create_ts").as("ts"), col("ow_sku_id").as("sku_id"),
         col("ow_split_total_amount").as("split_total_amount"))
     // DWS batch twins: ow/pw consumed from the committed wire (their own
-    // wire≡batch proof is order_ok/payment_ok) — provenance stays layered
+    // wire≡batch proof is order_ok/payment_ok) — provenance stays layered.
+    // Each twin is cut to the windows its live query's final watermark
+    // closed, with leg watermarks computed over the sentinel-INCLUSIVE
+    // wire frames (the live watermark nodes saw the sentinels too).
     implicit val s: SparkSession = spark
-    val provinceBatch = WindowStats.provinceStats(provinceInput(owWire))
-    val keywordBatch = WindowStats.keywordStats(pg)
-    val productBatch = WindowStats.productStats(productInputs(
-      pg,
-      skuTsFrame(valueBatch(spark, lay.dbTopic("dwd_favor_info"))),
-      skuTsFrame(valueBatch(spark, lay.dbTopic("dwd_cart_info"))),
-      owWire, pwWire,
-      skuTsFrame(valueBatch(spark, lay.dbTopic("dwd_refund_payment")),
-        "order_id" -> "long", "refund_amount" -> "decimal(16,2)"),
-      skuTsFrame(valueBatch(spark, lay.dbTopic("dwd_comment_info")),
-        "appraise" -> "string")))
+    val favorB = skuTsFrame(valueBatch(spark, lay.dbTopic("dwd_favor_info")))
+    val cartB = skuTsFrame(valueBatch(spark, lay.dbTopic("dwd_cart_info")))
+    val refundB = skuTsFrame(
+      valueBatch(spark, lay.dbTopic("dwd_refund_payment")),
+      "order_id" -> "long", "refund_amount" -> "decimal(16,2)")
+    val commentB = skuTsFrame(
+      valueBatch(spark, lay.dbTopic("dwd_comment_info")),
+      "appraise" -> "string")
+    val provinceWm = finalWatermarkMs(
+      Seq((provinceInput(owWire), 1000L)))
+    val keywordWm = finalWatermarkMs(Seq((
+      pgAll.filter(col("page.last_page_id") === "search" &&
+        col("page.item").isNotNull).select(col("ts")), 2000L)))
+    val productWm = finalWatermarkMs(
+      productLegs(pgAll, favorB, cartB, owWire, pwWire, refundB, commentB)
+        .map(leg => (leg, 2000L)))
+    val provinceBatch = closedOnly(
+      WindowStats.provinceStats(provinceInput(owWire)), provinceWm)
+    val keywordBatch = closedOnly(WindowStats.keywordStats(pg), keywordWm)
+    val productBatch = closedOnly(WindowStats.productStats(productInputs(
+      pg, favorB, cartB, owWire, pwWire, refundB, commentB)), productWm)
     Seq(
       same(uvStream, batchUv(pg), "uv_ok"),
       same(ujStream, batchUj(pg), "uj_ok"),

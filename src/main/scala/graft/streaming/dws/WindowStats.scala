@@ -23,9 +23,25 @@ object WindowStats {
   private def exactDistinct(c: org.apache.spark.sql.Column) =
     graft.functions.TopK.boundedDistinct(distinctCap)(c.cast("string"))
 
-  private def windowed(df: DataFrame, delay: String): DataFrame =
+  /** Tag ONE input leg with its event-time watermark BEFORE a multi-source
+    * union. Required for append-mode correctness: a single watermark node
+    * placed AFTER a union tracks max(event time) over ALL rows seen so far,
+    * so a slow leg's rows (e.g. a dwm topic that commits one batch behind
+    * its upstream) arrive behind the watermark and are silently dropped as
+    * late. One watermark node per leg + Spark's default min policy
+    * (spark.sql.streaming.multipleWatermarkPolicy=min) makes the global
+    * watermark wait for the slowest leg — Flink's per-source watermark
+    * semantics, which is what the reference's multi-stream unions assume.
+    * Batch compositions skip this (watermark is a no-op there). */
+  def leg(df: DataFrame, delay: String): DataFrame =
     df.withColumn("rt", timestamp_millis(col("ts")))
       .withWatermark("rt", delay)
+
+  /** Idempotent: a caller that pre-watermarked its legs (see [[leg]])
+    * already carries `rt`; single-source callers and batch twins get the
+    * watermark added here. */
+  private def windowed(df: DataFrame, delay: String): DataFrame =
+    if (df.columns.contains("rt")) df else leg(df, delay)
 
   /** A1 — VisitorStats (RT/app/dws/VisitorStatsApp.java:95-149): union of
     * one-hot pv/uv/uj measure rows (P7) pre-shaped by the caller, keyed by

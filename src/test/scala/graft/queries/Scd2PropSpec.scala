@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions._
   *     overlap, and exactly one is_current;
   *  3. the lookup is a FUNCTION: every probe time matches ≤1 version,
   *     and equals the last version with valid_from ≤ t whose interval
-  *     is non-empty (the tie rule Scd2LookupSpec pins by hand).
+  *     is non-empty (the tie rule Scd2LookupSpec pins by hand);
+  *  4. no-op-change collapse: no two ADJACENT versions of a key carry
+  *     an equal tracked value, and the kept versions are exactly the
+  *     arrival sequence with consecutive equal values dropped (the
+  *     corpus draws c from a 4-value domain, so ~25% of consecutive
+  *     pairs are genuine CDC re-writes the build must collapse).
   */
 class Scd2PropSpec extends SparkTestBase {
   import spark.implicits._
@@ -25,7 +30,17 @@ class Scd2PropSpec extends SparkTestBase {
       // coarse timestamp grid → plenty of same-us ties across AND
       // within users, exercising the zero-width-interval rule
       (id, 1L + rnd.nextInt(nUsers),
-        (1 + rnd.nextInt(12)) * 1000000L, rnd.nextInt(1000).toLong)
+        (1 + rnd.nextInt(12)) * 1000000L, rnd.nextInt(4).toLong)
+    }
+  }
+
+  /** The arrival sequence with consecutive equal values dropped — the
+    * no-op collapse restated independently of the build under test. */
+  private def collapsed(rows: Seq[(Long, Long, Long, Long)], u: Long)
+      : Seq[(Long, Long)] = {
+    val arrival = rows.filter(_._2 == u).sortBy(t => (t._3, t._1))
+    arrival.foldLeft(Vector.empty[(Long, Long)]) { case (acc, r) =>
+      if (acc.nonEmpty && acc.last._2 == r._4) acc else acc :+ (r._1 -> r._4)
     }
   }
 
@@ -53,9 +68,17 @@ class Scd2PropSpec extends SparkTestBase {
         assert(byVer.last._5.isEmpty && byVer.init.forall(_._5.nonEmpty),
           s"user $u open-tail shape")
         assert(vs.count(_._7 == 1L) == 1, s"user $u is_current count")
-        // chained order ≡ the (us, event_id) arrival order
-        val arrival = rows.filter(_._2 == u).sortBy(t => (t._3, t._1)).map(_._1)
-        assert(byVer.map(_._3) == arrival, s"user $u version order")
+        // 4: adjacent versions differ, and the kept versions are exactly
+        // the arrival order with consecutive equal values collapsed
+        byVer.sliding(2).foreach {
+          case Seq(a, b) =>
+            assert(a._6 != b._6,
+              s"user $u: v${a._2} and v${b._2} carry equal c=${a._6} — " +
+                "no-op change not collapsed")
+          case _ =>
+        }
+        assert(byVer.map(t => (t._3, t._6)) == collapsed(rows, u),
+          s"user $u kept-version sequence")
       }
 
       // 3: the lookup is a function equal to the literal
