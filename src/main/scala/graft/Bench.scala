@@ -46,8 +46,12 @@ import org.apache.spark.sql.SparkSession
   * neighbors. Three gates guard every measurement:
   *   - the suite REFUSES to start until the host is quiet (other-process
   *     CPU below QUIET_OTHER_CORES over a 3 s sample), waiting up to
-  *     SPARK_GRAFT_BENCH_QUIET_WAIT seconds (default 600) and recording
-  *     how long it waited (`quiet_wait_sec`);
+  *     SPARK_GRAFT_BENCH_QUIET_WAIT seconds (default 1200 since r15) and
+  *     recording how long it waited (`quiet_wait_sec`); exhausting either
+  *     wait is recorded suite-level as `gate_exhausted` (VERDICT r14 #6:
+  *     three degraded driver artifacts in a row — the adjudicator needs
+  *     the weather verdict in the artifact, not reconstructed from
+  *     per-query causes);
   *   - other-process CPU is measured ACROSS every query's timed window;
   *     queries whose window saw ≥ QUIET_OTHER_CORES of foreign CPU are
   *     listed in `load_hot` (name → foreign cores) so a polluted stretch
@@ -252,15 +256,23 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINES_DIR", "/root/repo")
-    val quietWaitBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT", "600").toInt
+    // r15 defaults raised (VERDICT r14 #6 — three degraded driver
+    // artifacts in a row at floor 25): demand a genuinely healthy disk
+    // (60 MB/s; the known-good windows measured 41-97) and wait up to
+    // 20 min for it. If the window never opens the suite proceeds and
+    // the artifact says so explicitly (gate_exhausted below) so the
+    // adjudicator reads suite-level weather, not just per-query causes.
+    val quietWaitBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT", "1200").toInt
     // refuse to measure on a busy host: a degraded stretch records 2-10x
     // inflated medians for whatever alphabetical run of the suite it covers
     val quietWaitSec = waitForQuiet(quietWaitBudget, "pre-suite")
+    val quietExhausted = quietWaitSec >= quietWaitBudget
     // second gate, same budget class: hypervisor I/O weather (see
     // HostProbe.waitForIoFloor — invisible to the foreign-CPU signal)
-    val ioFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_IO_FLOOR_MBPS", "25").toDouble
+    val ioFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_IO_FLOOR_MBPS", "60").toDouble
     val (ioWaitSec, ioPre) =
       waitForIoFloor(ioFloor, quietWaitBudget, "pre-suite")
+    val ioExhausted = ioFloor > 0 && ioPre >= 0 && ioPre < ioFloor
     val loadPre = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -516,7 +528,7 @@ object Bench {
     // registry_at_run: measurement records must say how many queries the
     // registry held when the number was taken (VERDICT r10: a SCALING.md
     // snapshot said "160 queries, 226.3 s" against a shipped 165/280.8)
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"registry_at_run":${SparkEntry.queries.size},"failed":$failedJson,"load_pre":"$loadPre","load_post":"$loadPost","io_probe_pre_mbps":$ioPre%.1f,"io_probe_post_mbps":$ioPost%.1f,"io_floor_mbps":$ioFloor%.1f,"io_wait_sec":$ioWaitSec%.1f,"quiet_wait_sec":$quietWaitSec%.1f,"load_hot":$loadHotJson,"adjudication":$adjJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"registry_at_run":${SparkEntry.queries.size},"failed":$failedJson,"load_pre":"$loadPre","load_post":"$loadPost","io_probe_pre_mbps":$ioPre%.1f,"io_probe_post_mbps":$ioPost%.1f,"io_floor_mbps":$ioFloor%.1f,"io_wait_sec":$ioWaitSec%.1f,"quiet_wait_sec":$quietWaitSec%.1f,"gate_exhausted":{"quiet":$quietExhausted,"io":$ioExhausted},"load_hot":$loadHotJson,"adjudication":$adjJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the full record goes to a file: the stdout line is buried in the
     // sbt log tail, which left the driver's artifact with "parsed": null
@@ -533,7 +545,7 @@ object Bench {
     val slow = results.collect { case (k, Some(v)) => (k, v) }
       .sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"registry_at_run":${SparkEntry.queries.size},"n_failed":${failed.size},"n_adjudicated":${adjudicated.size},"n_load_hot":${loadHot.size},"io_floor_mbps":$ioFloor%.1f,"quiet_wait_sec":$quietWaitSec%.1f,"slowest10":$slow,"full_record":"$outFile (committed)","sf":"$sfDir"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"registry_at_run":${SparkEntry.queries.size},"n_failed":${failed.size},"n_adjudicated":${adjudicated.size},"n_load_hot":${loadHot.size},"io_floor_mbps":$ioFloor%.1f,"quiet_wait_sec":$quietWaitSec%.1f,"gate_exhausted":{"quiet":$quietExhausted,"io":$ioExhausted},"slowest10":$slow,"full_record":"$outFile (committed)","sf":"$sfDir"}"""
     println(compact)
     // second channel for the same line: stderr is never run through sbt's
     // [info]-prefixing logger regardless of outputStrategy, so a driver

@@ -83,11 +83,18 @@ object SelectTrainScaleProbe {
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _), d10, "documents")
       writeSingle((0 until 10).map { k =>
+        // ±5e-3 perturbation, pure function of (SHIFTED id, dim) with a
+        // per-tile offset term: vec_id below is the INPUT column (the
+        // shifted alias in the same select is not visible to the lambda
+        // — the r14 advice bug: without the k terms all 10 tiles got
+        // byte-identical embeddings), and k*37 guarantees tiles j != k
+        // differ in EVERY dimension ((k-j)*37 is never 0 mod the prime
+        // 101 for |k-j| <= 9), so the tiled corpus has no zero-distance
+        // duplicates and k-center's argmax stays meaningfully contested
         emb.select((col("vec_id") + lit(k * maxV)).as("vec_id"),
-          // ±5e-3 perturbation, pure function of (vec_id, dim): no
-          // zero-distance duplicates across tiles
-          expr("""transform(embedding, (x, d) ->
-                 |  CAST(x + (CAST((vec_id * 31 + d) % 101 AS DOUBLE) - 50.0)
+          expr(s"""transform(embedding, (x, d) ->
+                 |  CAST(x + (CAST(((vec_id + ${k * maxV}L) * 31 + d
+                 |    + ${k * 37}L) % 101 AS DOUBLE) - 50.0)
                  |    / 10000.0 AS FLOAT))""".stripMargin).as("embedding"),
           col("label"))
       }.reduce(_ unionByName _), d10, "embeddings")

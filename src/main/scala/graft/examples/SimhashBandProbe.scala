@@ -49,11 +49,22 @@ object SimhashBandProbe {
         .agg(coalesce(sum(expr("n * (n - 1) / 2")), lit(0.0)))
         .collect()(0).getDouble(0).toLong
       println(s"[simhashband] $dir docs=$nDocs identical_sketch_pairs=$dupMass")
+      // the r15 pipeline bands one representative per distinct sketch
+      // (identical-sketch pre-collapse) — measure the banding mass it
+      // actually pays next to the all-members mass it replaced
+      val reps = sh.groupBy("simhash")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("simhash")).staged
       val counts = for (d <- Seq(4, 6)) yield {
-        val bucketMass = Dedup
-          .simhashBandKeys(sh, "doc_id", bits = 64, maxHam = 3, nBlocks = d)
+        def mass(frame: org.apache.spark.sql.DataFrame): Long = Dedup
+          .simhashBandKeys(frame, "doc_id", bits = 64, maxHam = 3, nBlocks = d)
           .groupBy("b", "key").agg(count(lit(1)).as("n"))
-          .agg(sum(expr("n * (n - 1) / 2"))).collect()(0).getDouble(0).toLong
+          .agg(coalesce(sum(expr("n * (n - 1) / 2")), lit(0.0)))
+          .collect()(0).getDouble(0).toLong
+        val bucketMass = mass(sh)
+        val repMass = mass(reps)
+        println(f"[simhashband] $dir docs=$nDocs nBlocks=$d " +
+          f"bucket_mass_all=$bucketMass bucket_mass_collapsed=$repMass")
         if (bucketMass > JoinBudget) {
           println(f"[simhashband] $dir docs=$nDocs nBlocks=$d " +
             f"bucket_mass=$bucketMass JOIN SKIPPED (mass > $JoinBudget: " +
@@ -72,6 +83,13 @@ object SimhashBandProbe {
             .collect()(0)
           val nCand = agg.getLong(0)
           val verified = agg.getLong(1)
+          // emitted-set-unchanged gate: the shipped collapsed pipeline
+          // (rep banding + analytic intra pairs + cross expansion) must
+          // emit EXACTLY the raw all-members verified count
+          val emitted = Dedup.simhashNeardupPairs(docs, "text", "doc_id",
+            bits = 64, maxHam = 3, fast = true, nBlocks = d).count()
+          require(emitted == verified,
+            s"collapsed pipeline emitted $emitted != raw verified $verified")
           val walls = (1 to 2).map { _ =>
             val t0 = System.nanoTime()
             Dedup.simhashNeardupPairs(docs, "text", "doc_id",
@@ -80,7 +98,8 @@ object SimhashBandProbe {
             (System.nanoTime() - t0) / 1e9
           }
           println(f"[simhashband] $dir docs=$nDocs nBlocks=$d " +
-            f"bucket_mass=$bucketMass cand_pairs=$nCand verified=$verified " +
+            f"bucket_mass=$bucketMass collapsed=$repMass cand_pairs=$nCand " +
+            f"verified=$verified emitted=$emitted " +
             f"wall_cold=${walls.head}%.2f wall_warm=${walls.last}%.2f")
           Some(verified)
         }

@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   *     The sort runs through Spark's external sorter (execution memory,
   *     spills to disk) and the fold's live state is three scalars, so the
   *     same corpus completes in the same starved heap.
+  *   - `stream` — the shipped STREAMING shape (VERDICT r14 #2's ask):
+  *     the whole corpus lands as ONE micro-batch (the hot key alone is
+  *     SKEW_FOLD_ROWS/2 rows in one batch — 4x the r14 breaker budget),
+  *     folded through graft.streaming.WatermarkFold: rows buffer in
+  *     RocksDB-backed MapState keyed by event-time (off-heap, spills),
+  *     the fold fires on the event-time timer after a sentinel advances
+  *     the watermark, and emission is lazy — so the same starved heap
+  *     that OOMs the old shape completes, where the r14 twins' loud
+  *     2M-row budget breaker would simply have refused to run.
   *
   * Both children run the IDENTICAL fold logic (the spec gates the shipped
   * registry query against a sequential reference; this probe isolates the
@@ -65,6 +74,36 @@ object SkewFoldProbe {
                 } else None
             }.iterator
           }.count()
+      case "stream" =>
+        graft.streaming.Runner.useRocksDBStateStore(spark)
+        val typed = spark.readStream
+          .schema("event_id LONG, user_id LONG, event_type STRING, us LONG")
+          .parquet(dir)
+          .select(col("event_id"), col("user_id"),
+            col("event_type").as("sub"), col("us"), lit(0L).as("c"),
+            timestamp_micros(col("us")).as("ts"))
+          .withWatermark("ts", "0 seconds")
+          .as[graft.streaming.WatermarkFold.FoldEv]
+        val out = graft.streaming.WatermarkFold(typed,
+          graft.queries.StreamingOps.debounceStep(GapUs, keptOnly = true))
+        val keptAcc = spark.sparkContext.longAccumulator("kept")
+        val ck = java.nio.file.Files.createTempDirectory("skew_stream_ck")
+        val q = out.writeStream
+          .option("checkpointLocation", ck.toString)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            keptAcc.add(df.filter(col("user_id") >= 0L).count())
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          val maxUs = spark.read.parquet(dir)
+            .agg(max("us")).collect()(0).getLong(0)
+          Seq((-1L, -1L, "click", maxUs + 600000000L))
+            .toDF("event_id", "user_id", "event_type", "us")
+            .coalesce(1).write.mode("append").parquet(dir)
+          q.processAllAvailable() // sentinel batch + timer batches
+        } finally q.stop()
+        keptAcc.value: Long
       case "new" =>
         e.repartition(col("user_id"), col("event_type"))
           .sortWithinPartitions("user_id", "event_type", "us", "event_id")
@@ -143,18 +182,24 @@ object SkewFoldProbe {
     val dir = java.nio.file.Files.createTempDirectory("skew_fold_corpus").toString
     buildCorpus(spark, dir, n)
     spark.stop()
-    val results = Seq("new", "old").map { mode =>
-      val (status, kept, peak, wall) = fork(mode, dir, xmx, timeoutMin = 10L)
+    val results = Seq("new", "stream", "old").map { mode =>
+      // the stream shape pays RocksDB write amplification per buffered
+      // row — correct-but-slower by design; give it a wider wall budget
+      val budget = if (mode == "stream") 25L else 10L
+      val (status, kept, peak, wall) = fork(mode, dir, xmx, timeoutMin = budget)
       mode -> ((status, kept, peak, wall))
     }.toMap
     val (nS, nK, nP, nW) = results("new")
+    val (sS, sK, sP, sW) = results("stream")
     val (oS, oK, oP, oW) = results("old")
     val agree = nS == "ok" && oS == "ok" && nK == oK
+    val streamAgree = nS == "ok" && sS == "ok" && nK == sK
     val json =
       f"""{"rows":$n,"hot_share":0.5,"xmx_mb":$xmx,""" +
         f""""new":{"status":"$nS","kept":$nK,"peak_heap_mb":$nP,"wall_sec":$nW%.1f},""" +
+        f""""stream":{"status":"$sS","kept":$sK,"peak_heap_mb":$sP,"wall_sec":$sW%.1f},""" +
         f""""old":{"status":"$oS","kept":$oK,"peak_heap_mb":$oP,"wall_sec":$oW%.1f},""" +
-        f""""kept_agree_when_both_ok":$agree}"""
+        f""""kept_agree_when_both_ok":$agree,"stream_agrees_with_batch":$streamAgree}"""
     println(json)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(

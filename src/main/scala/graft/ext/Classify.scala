@@ -73,16 +73,20 @@ object Classify {
       (acc, b) => acc + coalesce(element_at(weightMap, b), lit(0L)))
   }
 
-  /** One full-batch epoch: margin per doc under the current weights (a
-    * missing bucket weighs 0), misclassified docs (y·s ≤ 0 — note a
-    * zero margin counts as wrong, which is what makes the all-zero
-    * initial model update on every doc in epoch 1), per-bucket gradient
-    * Σy over their features, weights += gradient. */
-  private def epochStep(f: DataFrame, w: DataFrame): DataFrame = {
-    val mis = f.join(broadcast(w), Seq("bucket"), "left")
+  /** Misclassified docs under the current weights: margin per doc (a
+    * missing bucket weighs 0), kept where y·s ≤ 0 — note a zero margin
+    * counts as wrong, which is what makes the all-zero initial model
+    * update on every doc in epoch 1. */
+  private def misclassified(f: DataFrame, w: DataFrame): DataFrame =
+    f.join(broadcast(w), Seq("bucket"), "left")
       .groupBy("doc_id", "y").agg(sum(coalesce(col("w"), lit(0L))).as("s"))
       .filter(col("y") * col("s") <= 0L)
       .select("doc_id")
+
+  /** Gradient + update for one full-batch epoch: per-bucket Σy over the
+    * misclassified docs' features, weights += gradient. */
+  private def updateStep(f: DataFrame, w: DataFrame,
+      mis: DataFrame): DataFrame = {
     val g = f.join(mis, Seq("doc_id"))
       .groupBy("bucket").agg(sum(col("y")).as("g"))
     w.join(g, Seq("bucket"), "full")
@@ -90,16 +94,47 @@ object Classify {
         (coalesce(col("w"), lit(0L)) + coalesce(col("g"), lit(0L))).as("w"))
   }
 
+  private def epochStep(f: DataFrame, w: DataFrame): DataFrame =
+    updateStep(f, w, misclassified(f, w))
+
+  private def zeroModel(f: DataFrame): DataFrame = {
+    val s = f.sparkSession
+    import s.implicits._
+    Seq.empty[(Long, Long)].toDF("bucket", "w")
+  }
+
   /** Train `epochs` full-batch rounds from the zero model. Returns the
     * weight table (bucket, w) — ≤ dims rows. */
   def perceptronTrain(features: DataFrame, epochs: Int): DataFrame = {
     require(epochs >= 1, s"epochs must be positive, got $epochs")
-    val s = features.sparkSession
-    import s.implicits._
     val f = features.staged
-    var w = Seq.empty[(Long, Long)].toDF("bucket", "w")
+    var w = zeroModel(f)
     for (_ <- 1 to epochs) w = epochStep(f, w).staged
     w
+  }
+
+  /** Train with EARLY STOP: before each update, check whether the current
+    * model already classifies every doc correctly — a zero-misclassified
+    * epoch means every further epoch is the identity (empty gradient), so
+    * the model is FROZEN and training ends. Returns (weights, epochs
+    * actually run). Equivalent to perceptronTrain(f, maxEpochs) in the
+    * MODEL (frozen means converged), cheaper when the corpus separates
+    * early; the per-epoch convergence probe is one isEmpty on the staged
+    * misclassified frame (bounded driver cost). epochs-run ≤ maxEpochs is
+    * the quality signal a training pipeline logs. */
+  def perceptronTrainConverged(features: DataFrame,
+      maxEpochs: Int): (DataFrame, Int) = {
+    require(maxEpochs >= 1, s"maxEpochs must be positive, got $maxEpochs")
+    val f = features.staged
+    var w = zeroModel(f)
+    var e = 0
+    var frozen = false
+    while (e < maxEpochs && !frozen) {
+      val mis = misclassified(f, w).staged
+      if (mis.isEmpty) frozen = true
+      else { w = updateStep(f, w, mis).staged; e += 1 }
+    }
+    (w, e)
   }
 
   /** Score a feature frame under a (frozen) weight table: per-doc integer

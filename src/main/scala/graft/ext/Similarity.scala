@@ -674,6 +674,14 @@ object Similarity {
         (col("id") === col("component")).as("is_kept"))
   }
 
+  /** Fixed-point element quantization floor(v·scale) as BIGINT — the
+    * [[labelCentroids]] discipline, built with Column-level functions so
+    * arbitrary (backtick-needing) column names resolve safely. */
+  private def quantizeVec(vec: org.apache.spark.sql.Column, scale: Long)
+      : org.apache.spark.sql.Column =
+    transform(vec, x =>
+      floor(x.cast("double") * lit(scale.toDouble)).cast("bigint"))
+
   /** k-center greedy / farthest-point traversal (Gonzalez 1985, public
     * method) — DIVERSE subset selection over an embedding column: start
     * from a deterministic seed (min id), then repeatedly pick the vector
@@ -689,28 +697,46 @@ object Similarity {
     * SQL restatement hash-gates with no epsilon.
     *
     * Scale shape: the textbook streaming form, NOT the quadratic one.
-    * The corpus frame carries a RUNNING min-distance column; each of the
-    * k rounds does (1) one bounded argmax — an orderBy(…).limit(1), a
-    * map-side top-1 reduce, k driver rows total — and (2) one map-only
-    * `least(mind, dist-to-newest-center)` update against the single new
-    * center (a broadcast literal). Total cost k map passes + k top-1
-    * reduces; per-round state on the driver is one (id, vector) pair.
+    * The corpus frame carries a RUNNING min-distance column; each ROUND
+    * does (1) one bounded argmax — an orderBy(…).limit(batch+1), a
+    * map-side top-(batch+1) reduce — and (2) one map-only
+    * `least(mind, dist-to-accepted-centers)` update (broadcast
+    * literals). Driver state per round is ≤ batch+1 (id, vector) rows.
     * At 100 TB the passes read a cached/columnar projection of (id, qv),
-    * never the documents. */
+    * never the documents.
+    *
+    * Batched rounds (exact over-selection): sequential greedy pays k
+    * driver barriers — fine at k=8, painful at k=1024. Each round
+    * collects the top batch+1 candidates by current mind and accepts
+    * them GREEDILY ON THE DRIVER, correcting each remaining candidate's
+    * mind against the centers accepted this round; acceptance stops the
+    * moment the best corrected candidate no longer STRICTLY beats the
+    * (batch+1)-th candidate's uncorrected mind (the upper bound on every
+    * out-of-batch point — correction only lowers minds, so any in-batch
+    * pick strictly above that bound is the true global argmax). The
+    * first pick of a round is always exact (it IS the global top-1), so
+    * every round accepts ≥ 1 and barriers ≤ k; on spread data rounds
+    * accept ~batch and barriers ≈ k/batch. The output is BIT-IDENTICAL
+    * to batch=1 sequential greedy (KcenterSpec proves equality on random
+    * corpora) — this is a latency optimization, not an approximation. */
   def kcenterSelect(embeddings: DataFrame, idCol: String, vecCol: String,
-      k: Int, scale: Long = 1000L): DataFrame = {
+      k: Int, scale: Long = 1000L, batch: Int = 8): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    require(batch >= 1, s"batch must be positive, got $batch")
     val s = embeddings.sparkSession
     import s.implicits._
-    def distTo(center: Seq[Long]): org.apache.spark.sql.Column = {
-      val arr = center.map(v => s"${v}L").mkString("array(", ", ", ")")
-      expr(s"aggregate(zip_with(qv, $arr, (x, y) -> (x - y) * (x - y)), " +
-        "0L, (a, x) -> a + x)")
+    def d2(a: Seq[Long], b: Seq[Long]): Long = {
+      var i = 0; var acc = 0L
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
     }
+    def distTo(center: Seq[Long]): org.apache.spark.sql.Column =
+      aggregate(
+        zip_with(col("qv"), typedLit(center), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, x) => a + x)
     val qv = embeddings
       .select(col(idCol).cast("long").as("vid"),
-        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * " +
-          s"CAST($scale AS DOUBLE)) AS BIGINT))").as("qv"))
+        quantizeVec(col(vecCol), scale).as("qv"))
       .persist()
     var cur: DataFrame = null
     try {
@@ -723,24 +749,52 @@ object Similarity {
         .select(col("vid"), col("qv"),
           distTo(seed(0).getSeq[Long](1)).as("mind"))
         .persist()
-      var r = 2
       var exhausted = false
-      while (r <= k && !exhausted) {
-        val top = cur.orderBy(col("mind").desc, col("vid")).limit(1).collect()
+      while (picks.size < k && !exhausted) {
+        val top = cur.orderBy(col("mind").desc, col("vid"))
+          .limit(batch + 1).collect()
         if (top.isEmpty) exhausted = true // k exceeded the corpus
         else {
-          val t = top(0)
-          picks += ((r.toLong, t.getLong(0), Some(t.getLong(2))))
-          if (r < k) {
-            val next = cur.filter(col("vid") =!= t.getLong(0))
-              .select(col("vid"), col("qv"),
-                least(col("mind"), distTo(t.getSeq[Long](1))).as("mind"))
+          // every point outside the collected candidates has
+          // mind <= outsideBound (the (batch+1)-th candidate's value)
+          val outsideBound =
+            if (top.length == batch + 1) top.last.getLong(2) else Long.MinValue
+          val cand = scala.collection.mutable.ArrayBuffer(
+            top.take(batch).map(r =>
+              (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2))): _*)
+          val accepted = scala.collection.mutable
+            .ArrayBuffer.empty[(Long, Seq[Long], Long)]
+          var go = true
+          while (go && picks.size + accepted.size < k && cand.nonEmpty) {
+            val bi = cand.indices.minBy(i => (-cand(i)._3, cand(i)._1))
+            val b = cand(bi)
+            // the round's first pick is the exact global argmax; later
+            // picks are exact only while STRICTLY above the bound (a tie
+            // could hide a smaller-id point outside the batch)
+            if (accepted.isEmpty || b._3 > outsideBound) {
+              accepted += b
+              cand.remove(bi)
+              for (i <- cand.indices) {
+                val (v, vec, m) = cand(i)
+                cand(i) = (v, vec, math.min(m, d2(vec, b._2)))
+              }
+            } else go = false
+          }
+          accepted.foreach { case (vid, _, m) =>
+            picks += ((picks.size + 1L, vid, Some(m)))
+          }
+          if (picks.size < k) {
+            val ids = accepted.map(_._1).toSeq
+            val newMind = accepted.foldLeft(col("mind")) {
+              case (c, (_, vec, _)) => least(c, distTo(vec))
+            }
+            val next = cur.filter(!col("vid").isInCollection(ids))
+              .select(col("vid"), col("qv"), newMind.as("mind"))
               .persist()
             next.count() // materialize before dropping the parent cache
             cur.unpersist()
             cur = next
           }
-          r += 1
         }
       }
       s.createDataset(picks.toSeq).toDF("sel_rank", "vec_id", "mind")
@@ -763,24 +817,30 @@ object Similarity {
   def kcenterAssign(embeddings: DataFrame, idCol: String, vecCol: String,
       centers: Seq[(Long, Seq[Long])], scale: Long = 1000L): DataFrame = {
     require(centers.nonEmpty, "kcenterAssign: empty center set")
-    val s = embeddings.sparkSession
     // fold (center, dist) pairs through least-by-(dist, id): one struct
-    // comparison chain, codegen-friendly, deterministic ties
-    val qvExpr = s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * " +
-      s"CAST($scale AS DOUBLE)) AS BIGINT))"
-    val pairs = centers.map { case (cid, cv) =>
-      val arr = cv.map(v => s"${v}L").mkString("array(", ", ", ")")
-      s"named_struct('d', aggregate(zip_with(qv, $arr, " +
-        s"(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x), 'cid', ${cid}L)"
-    }.mkString("array(", ", ", ")")
-    val best = s"array_sort($pairs, (l, r) -> CASE WHEN l.d < r.d THEN -1 " +
-      "WHEN l.d > r.d THEN 1 WHEN l.cid < r.cid THEN -1 " +
-      "WHEN l.cid > r.cid THEN 1 ELSE 0 END)[0]"
+    // comparison chain, codegen-friendly, deterministic ties. Built with
+    // Column-level functions (no SQL-string splicing: a column name
+    // needing backticks would break expr()-parsed identifiers — ADVICE
+    // r14)
+    val pairs = array(centers.map { case (cid, cv) =>
+      struct(
+        aggregate(
+          zip_with(col("qv"), typedLit(cv), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, x) => a + x).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val best = array_sort(pairs, (l, r) =>
+      when(l.getField("d") < r.getField("d"), -1)
+        .when(l.getField("d") > r.getField("d"), 1)
+        .when(l.getField("cid") < r.getField("cid"), -1)
+        .when(l.getField("cid") > r.getField("cid"), 1)
+        .otherwise(0)).getItem(0)
     embeddings
-      .select(col(idCol).cast("long").as("vec_id"), expr(qvExpr).as("qv"))
-      .withColumn("_b", expr(best))
-      .select(col("vec_id"), col("_b.cid").as("center_id"),
-        col("_b.d").as("dist"))
+      .select(col(idCol).cast("long").as("vec_id"),
+        quantizeVec(col(vecCol), scale).as("qv"))
+      .withColumn("_b", best)
+      .select(col("vec_id"), col("_b").getField("cid").as("center_id"),
+        col("_b").getField("d").as("dist"))
   }
 
   // ---------- recall gating (bounds-style oracle promotion) ----------

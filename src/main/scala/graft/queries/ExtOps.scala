@@ -3867,6 +3867,50 @@ object ExtOps {
       |  CAST((CASE WHEN score > 0 THEN 1 ELSE -1 END) = y AS BIGINT) AS correct
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** The eval oracle: the SAME 3-epoch chain trained on the TRAIN slice
+    * (doc_id % 5 ≠ 0), scored on the HOLDOUT slice, plus the early-stop
+    * epoch count restated declaratively — epochs_run = the first epoch
+    * whose model misclassifies nothing (further epochs are the identity,
+    * so the trainer freezes there), else the cap. */
+  private val perceptronEvalSql =
+    s"""WITH $perceptronFeatCte,
+      |ft AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 <> 0),
+      |fh AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 = 0),
+      |w1 AS MATERIALIZED (
+      |  SELECT bucket, CAST(sum(y) AS BIGINT) AS w FROM ft GROUP BY bucket),
+      |m2 AS MATERIALIZED (
+      |  SELECT ft.doc_id, ft.y, CAST(sum(coalesce(w1.w, 0)) AS BIGINT) AS s
+      |  FROM ft LEFT JOIN w1 USING (bucket) GROUP BY ft.doc_id, ft.y),
+      |g2 AS (SELECT ft.bucket, CAST(sum(ft.y) AS BIGINT) AS g
+      |       FROM ft JOIN m2 USING (doc_id)
+      |       WHERE m2.y * m2.s <= 0 GROUP BY ft.bucket),
+      |w2 AS MATERIALIZED (
+      |  SELECT bucket, coalesce(w1.w, 0) + coalesce(g2.g, 0) AS w
+      |  FROM w1 FULL JOIN g2 USING (bucket)),
+      |m3 AS MATERIALIZED (
+      |  SELECT ft.doc_id, ft.y, CAST(sum(coalesce(w2.w, 0)) AS BIGINT) AS s
+      |  FROM ft LEFT JOIN w2 USING (bucket) GROUP BY ft.doc_id, ft.y),
+      |g3 AS (SELECT ft.bucket, CAST(sum(ft.y) AS BIGINT) AS g
+      |       FROM ft JOIN m3 USING (doc_id)
+      |       WHERE m3.y * m3.s <= 0 GROUP BY ft.bucket),
+      |w3 AS MATERIALIZED (
+      |  SELECT bucket, coalesce(w2.w, 0) + coalesce(g3.g, 0) AS w
+      |  FROM w2 FULL JOIN g3 USING (bucket)),
+      |sc AS (SELECT fh.doc_id, fh.y,
+      |         CAST(sum(coalesce(w3.w, 0)) AS BIGINT) AS score
+      |       FROM fh LEFT JOIN w3 USING (bucket) GROUP BY fh.doc_id, fh.y)
+      |SELECT CAST(count(*) AS BIGINT) AS n_holdout,
+      |  CAST(sum(CASE WHEN (CASE WHEN score > 0 THEN 1 ELSE -1 END) = y
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  CAST((CAST(sum(CASE WHEN (CASE WHEN score > 0 THEN 1 ELSE -1 END)
+      |      = y THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // CAST(count(*) AS BIGINT) AS BIGINT) AS acc_ppm,
+      |  CAST(CASE
+      |    WHEN (SELECT count(*) FROM m2 WHERE y * s <= 0) = 0 THEN 1
+      |    WHEN (SELECT count(*) FROM m3 WHERE y * s <= 0) = 0 THEN 2
+      |    ELSE 3 END AS BIGINT) AS epochs_run
+      |FROM sc""".stripMargin
+
   /** Trained quality/language filter — see [[graft.ext.Classify]] for the
     * determinism argument (full-batch integer updates, order-independent)
     * and the per-epoch cost shape (one broadcast join + two keyed aggs).
@@ -3893,6 +3937,39 @@ object ExtOps {
       graft.ext.Classify.score(f, w).orderBy("doc_id")
     },
     Some(perceptronScoreSql))
+
+  /** The trained filter EVALUATED: a deterministic 80/20 train/holdout
+    * split (doc_id % 5), the early-stopping trainer
+    * ([[graft.ext.Classify.perceptronTrainConverged]]) on the train
+    * slice, held-out accuracy in exact ppm (integer floor-division — no
+    * float compare), and the EPOCH COUNT the early stop actually ran —
+    * the quality number a training pipeline logs next to the model. On
+    * this corpus (no lexical signal — see xPerceptronTrain's
+    * honest-power note) the model never separates, so epochs_run = the
+    * cap and accuracy ≈ the majority class; ClassifySpec drives the
+    * early-stop path itself (epochs_run < cap, frozen model) on a
+    * separable corpus. */
+  val xPerceptronEval = OpQuery(
+    "x_perceptron_eval",
+    "held-out perceptron eval: accuracy ppm + early-stop epoch count",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val y = when(col("lang") === "en", 1L).otherwise(-1L)
+      val f = graft.ext.Classify.hashedFeatures(docs, "doc_id", "text", y,
+        dims = 32)
+      val fTrain = f.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val fHold = f.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val (w, e) = graft.ext.Classify.perceptronTrainConverged(fTrain,
+        maxEpochs = 3)
+      graft.ext.Classify.score(fHold, w)
+        .agg(count(lit(1)).as("n_holdout"),
+          sum(col("correct")).as("n_correct"))
+        .select(col("n_holdout"), col("n_correct"),
+          ((col("n_correct") * 1000000L) / col("n_holdout")).cast("long")
+            .as("acc_ppm"),
+          lit(e.toLong).as("epochs_run"))
+    },
+    Some(perceptronEvalSql))
 
   /** The trained filter as it DEPLOYS: weights frozen after offline
     * training (≤ 32 rows collected — bounded by the model width, the
@@ -3969,7 +4046,7 @@ object ExtOps {
     xDecontaminateBloom,
     stDecontaminate, xLmQuality, xLmBigram,
     xDsirWeights, xDsirSelect, xNbClassify, xCcnetBuckets,
-    xPerceptronTrain, stPerceptronScore,
+    xPerceptronTrain, xPerceptronEval, stPerceptronScore,
     xBpePairStats, xBpeVocab, xBpeVocabToy, xBpeEncode,
     xCurationE2e, stCurationGate, xMultimodalFeatures)
 }

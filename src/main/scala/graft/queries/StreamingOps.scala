@@ -756,10 +756,9 @@ object StreamingOps {
 
   case class DebEv(event_id: Long, user_id: Long, event_type: String,
       us: Long)
-  case class DebState(lastUs: Long)
 
-  /** Per-key-per-batch row budget for the stateful sorted folds
-    * (debounce / ratelimit / ewma). flatMapGroupsWithState guarantees
+  /** Per-key-per-batch row budget for the remaining flatMapGroupsWithState
+    * sorted fold (scd2Transform). flatMapGroupsWithState guarantees
     * grouping but NOT secondary order, so each key's batch rows must be
     * buffered to restore (event-time, id) order — and an in-task buffer
     * cannot spill (VERDICT r13: one hot key with millions of batch events
@@ -767,9 +766,11 @@ object StreamingOps {
     * LOUD instead of assumed: past the budget the transform fails naming
     * the key-skew mitigations. 2M boxed rows ≈ 150–250 MB — inside one
     * task's headroom at the default executor sizing, far beyond any sane
-    * per-key micro-batch. The batch twins (a22/a24/a25/a26) don't need
-    * this: they secondary-sort through Spark's external sorter, which
-    * spills. */
+    * per-key micro-batch. The MONITORING folds no longer need this: they
+    * run on [[graft.streaming.WatermarkFold]] (state-store-backed reorder
+    * buffer + event-time timers — spills through RocksDB, VERDICT r14
+    * #2); the batch twins (a22/a24/a25/a26) secondary-sort through
+    * Spark's external sorter, which spills. */
   private[graft] val MaxKeyBatchRows: Int = 2000000
 
   private def bufferBounded[T](rows: Iterator[T], cap: Int,
@@ -787,264 +788,232 @@ object StreamingOps {
     buf
   }
 
-  /** The st_debounce_stream / st_ratelimit_stream state machine, factored
-    * out so RestartResilienceSpec drives the REAL transform: keyed state
-    * is one reference time per (user, type) — ONE long per key, the
-    * smallest state shape in the registry — and each batch's events fold
-    * through it in (event-time, id) order.
-    *
-    * `keptOnly = false` (default) is a20_debounce's previous-EVENT
-    * contract: `last` advances on every event, kept or dropped.
-    * `keptOnly = true` is a22_ratelimit's previous-KEPT contract — the
-    * true rate limiter: `last` advances only on KEPT events, so a
-    * sustained burst trickles one event per gap instead of going silent
-    * after its first event. */
-  private[graft] def debounceTransform(
-      typed: org.apache.spark.sql.Dataset[DebEv], gapUs: Long,
-      keptOnly: Boolean = false,
-      maxKeyBatchRows: Int = MaxKeyBatchRows): DataFrame = {
-    val s = typed.sparkSession
-    import s.implicits._
-    typed.groupByKey(e => (e.user_id, e.event_type))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: (Long, String), rows: Iterator[DebEv],
-            state: GroupState[DebState]) => {
-          var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
-          val buf = bufferBounded(rows, maxKeyBatchRows, "debounceTransform")
-          buf.sortInPlaceBy(e => (e.us, e.event_id))
-          val out = buf.flatMap { e =>
-            val keep = last == Long.MinValue || e.us - last >= gapUs
-            if (keep || !keptOnly) last = e.us
-            if (keep) Some((e.event_id, e.user_id, e.event_type, e.us))
-            else None
-          }
-          state.update(DebState(last))
-          out.iterator
-        })
-      .toDF("event_id", "user_id", "event_type", "us")
+  // ------------------------------------------------------------------
+  // the monitoring folds on the PRODUCTION reorder buffer
+  // (graft.streaming.WatermarkFold: state-store-backed buffering +
+  // event-time timers; VERDICT r14 #2) — each machine is a pure Step
+  // shared by the registry twin and the restart/probe harnesses
+  // ------------------------------------------------------------------
+
+  /** st_debounce / st_ratelimit step: state = one reference time per
+    * (user, type) — the smallest state shape in the registry.
+    * `keptOnly = false` is a20_debounce's previous-EVENT contract:
+    * `last` advances on every event, kept or dropped. `keptOnly = true`
+    * is a22_ratelimit's previous-KEPT contract — the true rate limiter:
+    * `last` advances only on KEPT events, so a sustained burst trickles
+    * one event per gap instead of going silent after its first event. */
+  private[graft] def debounceStep(gapUs: Long,
+      keptOnly: Boolean): graft.streaming.WatermarkFold.Step =
+    (st, e) => {
+      val last = st.map(_(0)).getOrElse(Long.MinValue)
+      val keep = last == Long.MinValue || e.us - last >= gapUs
+      val next = if (keep || !keptOnly) e.us else last
+      (Array(next), if (keep) Some((0L, 0L, 0L)) else None)
+    }
+
+  /** st_ewma step: state = the last smoothed reading per user, advanced
+    * by the same integer-exact recurrence as a24_ewma:
+    * s ← ⌊(c + (den−1)·s) / den⌋ (den = 2 is a24's halving; den = 8 is
+    * a26's production α — three composed halvings). */
+  private[graft] def ewmaStep(den: Long): graft.streaming.WatermarkFold.Step =
+    (st, e) => {
+      // same guard as the batch twin: the floorDiv-vs-`//` parity only
+      // holds for non-negative cents — fail loudly, don't diverge
+      AggOps.requireNonNegCents("ewmaStep", e.event_id, e.c)
+      val acc = st match {
+        case Some(a) => Math.floorDiv(e.c + (den - 1L) * a(0), den)
+        case None => e.c
+      }
+      (Array(acc), Some((acc, 0L, 0L)))
+    }
+
+  /** st_cusum step: state = the pair of post-reset CUSUM accumulators per
+    * user, advanced by the literally-shared [[AggOps.cusumStep]]. */
+  private[graft] def cusumFoldStep(
+      tgt: Long): graft.streaming.WatermarkFold.Step =
+    (st, e) => {
+      val gp = st.map(_(0)).getOrElse(0L)
+      val gn = st.map(_(1)).getOrElse(0L)
+      val (gpRaw, gnRaw, alarm, gpN, gnN) = AggOps.cusumStep(gp, gn, e.c, tgt)
+      (Array(gpN, gnN), Some((gpRaw, gnRaw, alarm)))
+    }
+
+  /** st_monitor_e2e step: state = (smoothed reading, last alert time) per
+    * user, advanced by the literally-shared [[AggOps.monitorStep]];
+    * emits only the alert rows. */
+  private[graft] def monitorFoldStep: graft.streaming.WatermarkFold.Step =
+    (st, e) => {
+      AggOps.requireNonNegCents("monitorFoldStep", e.event_id, e.c)
+      val s0 = st.map(_(0)).getOrElse(Long.MinValue)
+      val l0 = st.map(_(1)).getOrElse(Long.MinValue)
+      val (sN, laN, alert) = AggOps.monitorStep(s0, l0, e.us, e.c)
+      (Array(sN, laN), if (alert) Some((sN, 0L, 0L)) else None)
+    }
+
+  /** Restore the session's state-store provider after running a
+    * transformWithState query (which requires RocksDB). */
+  private[graft] def withRocksDB[T](s: SparkSession)(body: => T): T = {
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val ck = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevP = s.conf.getOption(pk)
+    val prevC = s.conf.getOption(ck)
+    graft.streaming.Runner.useRocksDBStateStore(s)
+    try body finally {
+      prevP.fold(s.conf.unset(pk))(s.conf.set(pk, _))
+      prevC.fold(s.conf.unset(ck))(s.conf.set(ck, _))
+    }
   }
+
+  /** Run one monitoring fold over the events fixture through the
+    * production reorder buffer: the shaped corpus is staged into scratch
+    * (one file = one batch), streamed with a 0-second watermark into
+    * [[graft.streaming.WatermarkFold]], and the tail is flushed by ONE
+    * far-future sentinel row appended after the corpus drains — the
+    * stCepNegation / Warehouse.genSentinel discipline (append-mode
+    * emission needs a watermark past the last real event). `shape`
+    * projects events to (event_id, user_id, sub, us, c); the sentinel's
+    * own row never emits (its event-time IS the final watermark) and is
+    * filtered anyway. */
+  private def runWmFold(s: SparkSession, dir: String, name: String,
+      shape: DataFrame => DataFrame,
+      step: graft.streaming.WatermarkFold.Step): DataFrame =
+    withRocksDB(s) {
+      import s.implicits._
+      val scratch = graft.core.Scratch.tempDir(s"graft_${name}_")
+      val in = s"$scratch/in"
+      val base = shape(graft.core.Tables.load(s, dir, "events"))
+        .select(col("event_id"), col("user_id"), col("sub"), col("us"),
+          col("c"), timestamp_micros(col("us")).as("ts"))
+      base.coalesce(1).write.parquet(in)
+      val maxUs = base.agg(max("us")).collect()(0).getLong(0)
+      val typed = s.readStream
+        .schema("event_id LONG, user_id LONG, sub STRING, us LONG, c LONG, ts TIMESTAMP")
+        .parquet(in)
+        .withWatermark("ts", "0 seconds")
+        .as[graft.streaming.WatermarkFold.FoldEv]
+      val out = graft.streaming.WatermarkFold(typed, step)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Seq((-1L, -1L, "", maxUs + 120000000L, 0L,
+          new java.sql.Timestamp(maxUs / 1000L + 120000L)))
+          .toDF("event_id", "user_id", "sub", "us", "c", "ts")
+          .coalesce(1).write.mode("append").parquet(in)
+        q.processAllAvailable() // sentinel batch + timer batches
+      } finally q.stop()
+      s.table(name).filter(col("user_id") >= 0L)
+    }
+
+  private def debShape(df: DataFrame): DataFrame =
+    df.select(col("event_id"), col("user_id"),
+      col("event_type").as("sub"), unix_micros(col("ts")).as("us"),
+      lit(0L).as("c"))
 
   /** Streaming twin of a20_debounce — the PRODUCTION debounce shape: the
     * batch form's lag() window needs the full history per key; this one
-    * carries a single long of state per (user, type) across micro-batches
-    * forever. Equality with the batch run needs per-key event-time-
-    * ordered arrival across batches (within a batch the transform sorts);
-    * the corpus arrives as one file batch here, so the oracle gate is
-    * exact, and RestartResilienceSpec drives the genuinely incremental
-    * multi-batch + kill/restart paths. */
+    * carries a single long of keyed state per (user, type) plus a
+    * WATERMARK-ORDERED reorder buffer (graft.streaming.WatermarkFold:
+    * rows buffer in RocksDB-backed MapState keyed by event-time and fold
+    * on event-time timers, so arrival order across batches no longer
+    * matters — only rows behind the watermark are dropped, the standard
+    * streaming lateness contract). The r14 shape sorted each key's batch
+    * rows in a task-heap buffer behind a LOUD 2M-row breaker; this is
+    * the breaker's named production fix, and SkewFoldProbe's --stream
+    * case drives the 8M-row hot-key batch through it in a 512 MiB JVM. */
   val stDebounce = OpQuery(
     "st_debounce_stream",
-    "streaming min-gap debounce: one long of keyed state per (user, type)",
+    "streaming min-gap debounce: watermark-ordered fold, RocksDB reorder buffer",
     (s, dir) => withStatePartitions(s, 8) {
-      import s.implicits._
-      val typed = eventStream(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-        .as[DebEv]
-      drain(debounceTransform(typed, gapUs = 60000000L), "st_deb_out")
+      runWmFold(s, dir, "st_deb_out", debShape,
+        debounceStep(gapUs = 60000000L, keptOnly = false))
+        .select(col("event_id"), col("user_id"),
+          col("sub").as("event_type"), col("us"))
         .orderBy("event_id")
     },
     AggOps.a20Debounce.oracle)
 
-  /** Streaming twin of a22_ratelimit — the same single-long-per-key state
-    * machine as st_debounce_stream with `keptOnly = true`: the reference
-    * time advances only on KEPT events, making this the production
+  /** Streaming twin of a22_ratelimit — the same watermark-ordered fold as
+    * st_debounce_stream with `keptOnly = true`: the reference time
+    * advances only on KEPT events, making this the production
     * rate-limiter shape (one emitted event per gap under a sustained
-    * burst). Same batch-equality caveat as st_debounce_stream (per-key
-    * event-time-ordered arrival across batches; exact here because the
-    * corpus arrives as one file batch), same oracle as a22_ratelimit. */
+    * burst). Same oracle as a22_ratelimit. */
   val stRateLimit = OpQuery(
     "st_ratelimit_stream",
-    "streaming previous-KEPT rate limiter: one long of keyed state per (user, type)",
+    "streaming previous-KEPT rate limiter: watermark-ordered fold, RocksDB buffer",
     (s, dir) => withStatePartitions(s, 8) {
-      import s.implicits._
-      val typed = eventStream(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-        .as[DebEv]
-      drain(debounceTransform(typed, gapUs = 60000000L, keptOnly = true),
-        "st_rate_out")
+      runWmFold(s, dir, "st_rate_out", debShape,
+        debounceStep(gapUs = 60000000L, keptOnly = true))
+        .select(col("event_id"), col("user_id"),
+          col("sub").as("event_type"), col("us"))
         .orderBy("event_id")
     },
     AggOps.a22RateLimit.oracle)
 
   case class EwEv(event_id: Long, user_id: Long, us: Long, c: Long)
-  case class EwState(s: Long)
 
-  /** The st_ewma_stream / st_ewma_alpha8_stream state machine, factored
-    * out so RestartResilienceSpec drives the REAL transform: keyed state
-    * is the last smoothed reading per user — one long per key, like
-    * debounce — and each batch's events fold through it in (event-time,
-    * id) order with the same integer-exact recurrence as a24_ewma:
-    * s ← ⌊(c + (den−1)·s) / den⌋, i.e. α = 1/den (den = 2 is a24's
-    * halving; den = 8 is a26's production α — three composed halvings). */
-  private[graft] def ewmaTransform(
-      typed: org.apache.spark.sql.Dataset[EwEv], den: Long = 2L,
-      maxKeyBatchRows: Int = MaxKeyBatchRows): DataFrame = {
-    val s = typed.sparkSession
-    import s.implicits._
-    typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: Long, rows: Iterator[EwEv], state: GroupState[EwState]) => {
-          var acc = state.getOption.map(_.s).getOrElse(Long.MinValue)
-          val buf = bufferBounded(rows, maxKeyBatchRows, "ewmaTransform")
-          buf.sortInPlaceBy(e => (e.us, e.event_id))
-          val out = buf.map { e =>
-            // same guard as the batch twin: the floorDiv-vs-`//` parity
-            // only holds for non-negative cents, so fail loudly instead
-            // of silently diverging from the shared oracle
-            AggOps.requireNonNegCents("ewmaTransform", e.event_id, e.c)
-            acc = if (acc == Long.MinValue) e.c
-              else Math.floorDiv(e.c + (den - 1L) * acc, den)
-            (e.event_id, e.user_id, e.us, acc)
-          }
-          state.update(EwState(acc))
-          out.iterator
-        })
-      .toDF("event_id", "user_id", "us", "ewma_c")
-  }
+  private def centsShape(df: DataFrame): DataFrame =
+    df.select(col("event_id"), col("user_id"), lit("").as("sub"),
+      unix_micros(col("ts")).as("us"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
 
   /** Streaming twin of a24_ewma — the monitoring smoother as it actually
-    * deploys: one long of keyed state per user carried across
-    * micro-batches forever. Same batch-equality caveat as
-    * st_debounce_stream (per-key event-time-ordered arrival across
-    * batches; exact here because the corpus arrives as one file batch);
-    * RestartResilienceSpec proves the smoothed reading resumes from the
+    * deploys: one long of keyed state per user plus the watermark-ordered
+    * reorder buffer (see st_debounce_stream — the r14 heap-buffer
+    * breaker's named production fix). RestartResilienceSpec proves the
+    * smoothed reading AND the buffered/unfolded tail resume from the
     * checkpoint, not from a cold start. */
   val stEwma = OpQuery(
     "st_ewma_stream",
-    "streaming integer-exact EWMA: one long of keyed state per user",
+    "streaming integer-exact EWMA: watermark-ordered fold, RocksDB buffer",
     (s, dir) => withStatePartitions(s, 8) {
-      import s.implicits._
-      val typed = eventStream(s, dir)
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("us"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
-        .as[EwEv]
-      drain(ewmaTransform(typed), "st_ewma_out").orderBy("event_id")
+      runWmFold(s, dir, "st_ewma_out", centsShape, ewmaStep(den = 2L))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("v1").as("ewma_c"))
+        .orderBy("event_id")
     },
     AggOps.a24Ewma.oracle)
 
   /** Streaming twin of a26_ewma_alpha8 — the production-α smoother as it
-    * deploys: the SAME one-long-per-user state machine as st_ewma_stream
-    * with den = 8 (α = 1/8, three composed halvings per step — see
-    * a26's exactness argument). Same batch-equality caveat (per-key
-    * event-time-ordered arrival across batches; exact here because the
-    * corpus arrives as one file batch), same oracle as a26. */
+    * deploys: the SAME watermark-ordered fold as st_ewma_stream with
+    * den = 8 (α = 1/8, three composed halvings per step — see a26's
+    * exactness argument), same oracle as a26. */
   val stEwmaAlpha8 = OpQuery(
     "st_ewma_alpha8_stream",
-    "streaming integer-exact EWMA at alpha=1/8: one long of keyed state per user",
+    "streaming integer-exact EWMA at alpha=1/8: watermark-ordered fold",
     (s, dir) => withStatePartitions(s, 8) {
-      import s.implicits._
-      val typed = eventStream(s, dir)
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("us"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
-        .as[EwEv]
-      drain(ewmaTransform(typed, den = 8L), "st_ewma8_out")
+      runWmFold(s, dir, "st_ewma8_out", centsShape, ewmaStep(den = 8L))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("v1").as("ewma_c"))
         .orderBy("event_id")
     },
     AggOps.a26EwmaAlpha8.oracle)
-
-  case class CuEv(event_id: Long, user_id: Long, us: Long, c: Long)
-  case class CuState(gp: Long, gn: Long)
-
-  /** The st_cusum_stream state machine, factored out so restart tests can
-    * drive the REAL transform: keyed state is the pair of post-reset
-    * CUSUM accumulators per user — TWO longs per key — and each batch's
-    * events fold through [[AggOps.cusumStep]] in (event-time, id) order,
-    * the literally-shared step function that makes batch/stream drift
-    * impossible. The target level arrives FROZEN (calibrated offline,
-    * like a production chart's μ₀), so the recurrence is self-contained
-    * per key. */
-  private[graft] def cusumTransform(
-      typed: org.apache.spark.sql.Dataset[CuEv], tgt: Long,
-      maxKeyBatchRows: Int = MaxKeyBatchRows): DataFrame = {
-    val s = typed.sparkSession
-    import s.implicits._
-    typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: Long, rows: Iterator[CuEv], state: GroupState[CuState]) => {
-          var gp = state.getOption.map(_.gp).getOrElse(0L)
-          var gn = state.getOption.map(_.gn).getOrElse(0L)
-          val buf = bufferBounded(rows, maxKeyBatchRows, "cusumTransform")
-          buf.sortInPlaceBy(e => (e.us, e.event_id))
-          val out = buf.map { e =>
-            val (gpRaw, gnRaw, alarm, gpN, gnN) =
-              AggOps.cusumStep(gp, gn, e.c, tgt)
-            gp = gpN; gn = gnN
-            (e.event_id, e.user_id, e.us, gpRaw, gnRaw, alarm)
-          }
-          state.update(CuState(gp, gn))
-          out.iterator
-        })
-      .toDF("event_id", "user_id", "us", "gp", "gn", "is_alarm")
-  }
 
   /** Streaming twin of a28_cusum — change-point detection as it deploys:
     * the reference level is frozen before the stream starts (one
     * metadata-cheap batch sum/count with the same `div` truncation as
     * the batch query; a production chart calibrates μ₀ offline the same
     * way — the st_trend_decay frozen-reference argument), then every
-    * micro-batch folds through two longs of keyed state per user via the
-    * SAME [[AggOps.cusumStep]] the batch fold calls. Same batch-equality
-    * caveat as st_ewma_stream (per-key event-time-ordered arrival across
-    * batches; exact here because the corpus arrives as one file batch);
-    * a28's oracle gates this query verbatim. */
+    * event folds through two longs of keyed state per user via the SAME
+    * [[AggOps.cusumStep]] the batch fold calls, under the watermark-
+    * ordered reorder buffer (see st_debounce_stream). a28's oracle gates
+    * this query verbatim. */
   val stCusum = OpQuery(
     "st_cusum_stream",
-    "streaming two-sided CUSUM vs frozen target: two longs of keyed state per user",
+    "streaming two-sided CUSUM vs frozen target: watermark-ordered fold",
     (s, dir) => withStatePartitions(s, 8) {
-      import s.implicits._
       val tRow = graft.core.Tables.load(s, dir, "events")
         .select((col("value").cast("decimal(18,2)") * 100)
           .cast("long").as("c"))
         .agg(sum("c").as("sc"), count(lit(1)).as("n"))
         .select(expr("sc div n")).collect()(0)
       val tgt = tRow.getLong(0)
-      val typed = eventStream(s, dir)
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("us"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
-        .as[CuEv]
-      drain(cusumTransform(typed, tgt), "st_cusum_out").orderBy("event_id")
+      runWmFold(s, dir, "st_cusum_out", centsShape, cusumFoldStep(tgt))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("v1").as("gp"), col("v2").as("gn"), col("v3").as("is_alarm"))
+        .orderBy("event_id")
     },
     AggOps.a28Cusum.oracle)
-
-  case class MoState(s: Long, last: Long)
-
-  /** The st_monitor_e2e_stream state machine, factored out for restart
-    * tests: keyed state is (smoothed reading, last alert time) per user —
-    * two longs — and each batch's SCRUBBED events fold through the
-    * literally-shared [[AggOps.monitorStep]] in (event-time, id) order,
-    * emitting only the alert rows. The scrub happened row-locally
-    * upstream (frozen med/mad literals), so this transform is the whole
-    * stateful tail of the monitoring pipeline in one pass. */
-  private[graft] def monitorTransform(
-      typed: org.apache.spark.sql.Dataset[EwEv],
-      maxKeyBatchRows: Int = MaxKeyBatchRows): DataFrame = {
-    val s = typed.sparkSession
-    import s.implicits._
-    typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: Long, rows: Iterator[EwEv], state: GroupState[MoState]) => {
-          var sAcc = state.getOption.map(_.s).getOrElse(Long.MinValue)
-          var last = state.getOption.map(_.last).getOrElse(Long.MinValue)
-          val buf = bufferBounded(rows, maxKeyBatchRows, "monitorTransform")
-          buf.sortInPlaceBy(e => (e.us, e.event_id))
-          val out = buf.flatMap { e =>
-            // same guard as batch a30: the EWMA stage's floorDiv-vs-`//`
-            // parity only holds for non-negative cents
-            AggOps.requireNonNegCents("monitorTransform", e.event_id, e.c)
-            val (sN, laN, alert) = AggOps.monitorStep(sAcc, last, e.us, e.c)
-            sAcc = sN; last = laN
-            if (alert) Some((e.event_id, e.user_id, e.us, sAcc)) else None
-          }
-          state.update(MoState(sAcc, last))
-          out.iterator
-        })
-      .toDF("event_id", "user_id", "us", "ewma_c")
-  }
 
   /** Streaming twin of a30_monitor_e2e — the monitoring pipeline as it
     * deploys: the scrub thresholds (per-type median and MAD) are FROZEN
@@ -1059,9 +1028,8 @@ object StreamingOps {
     * this query verbatim. */
   val stMonitorE2e = OpQuery(
     "st_monitor_e2e_stream",
-    "streaming monitoring pipeline: frozen med/mad scrub, (ewma, lastAlert) keyed state",
+    "streaming monitoring pipeline: frozen med/mad scrub, watermark-ordered fold",
     (s, dir) => withStatePartitions(s, 8) {
-      import s.implicits._
       val batch = graft.core.Tables.load(s, dir, "events")
         .select(col("event_id"), col("event_type"),
           (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
@@ -1071,15 +1039,20 @@ object StreamingOps {
         Seq(lit(r.getString(0)), lit(r.getLong(1)))).toIndexedSeq: _*)
       val madMap = map(frozen.flatMap(r =>
         Seq(lit(r.getString(0)), lit(r.getLong(2)))).toIndexedSeq: _*)
-      val typed = eventStream(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"),
+      // the scrub is row-local (frozen literals), applied in `shape`
+      // BEFORE the fold — the whole stateful tail then runs under the
+      // watermark-ordered reorder buffer (see st_debounce_stream)
+      val shaped = (df: DataFrame) =>
+        df.select(col("event_id"), col("user_id"), lit("").as("sub"),
+          unix_micros(col("ts")).as("us"), col("event_type"),
           (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
-        .filter(abs(col("c") - element_at(medMap, col("event_type"))) <=
-          lit(3L) * element_at(madMap, col("event_type")))
-        .select(col("event_id"), col("user_id"), col("us"), col("c"))
-        .as[EwEv]
-      drain(monitorTransform(typed), "st_monitor_out").orderBy("event_id")
+          .filter(abs(col("c") - element_at(medMap, col("event_type"))) <=
+            lit(3L) * element_at(madMap, col("event_type")))
+          .drop("event_type")
+      runWmFold(s, dir, "st_monitor_out", shaped, monitorFoldStep)
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("v1").as("ewma_c"))
+        .orderBy("event_id")
     },
     AggOps.a30MonitorE2e.oracle)
 

@@ -33,6 +33,28 @@ class ClassifySpec extends SparkTestBase {
     assert(acc == 1.0, s"separable corpus not learned: accuracy $acc")
   }
 
+  test("early stop freezes on the first zero-misclassified epoch and the " +
+      "frozen model equals the fixed-epoch model") {
+    val (w, e) = Classify.perceptronTrainConverged(feats, maxEpochs = 10)
+    assert(e < 10, s"separable corpus should converge before the cap, ran $e")
+    val acc = Classify.score(feats, w)
+      .agg(avg(col("correct"))).collect()(0).getDouble(0)
+    assert(acc == 1.0, s"converged model must classify perfectly, got $acc")
+    // convergence means further epochs are the identity: the frozen model
+    // equals the fixed-count trainer run past the convergence point
+    val wFixed = Classify.perceptronTrain(feats, epochs = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val wConv = w.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(wConv == wFixed, "frozen model diverged from the fixed-epoch run")
+  }
+
+  test("a non-separating cap reports epochs_run == cap") {
+    // cap the separable corpus BELOW its convergence point: the trainer
+    // must run exactly cap epochs and report it
+    val (_, e1) = Classify.perceptronTrainConverged(feats, maxEpochs = 1)
+    assert(e1 == 1)
+  }
+
   test("full-batch updates are partitioning-independent") {
     val w1 = Classify.perceptronTrain(feats.repartition(1), epochs = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq

@@ -42,6 +42,27 @@ class KcenterSpec extends SparkTestBase {
       s"maximin sequence must be non-increasing: ${minds.mkString(",")}")
   }
 
+  test("batched over-selection is BIT-identical to sequential greedy") {
+    // small coordinate domain → heavy mind ties, the case where the
+    // bound check must STOP a round rather than accept a tied in-batch
+    // candidate (an out-of-batch point could share the value with a
+    // smaller id); three corpora, k chosen to not divide the batch
+    for (seed <- Seq(0, 5, 11)) {
+      val pts = (1L to 120L).map(i =>
+        (i, Seq.tabulate(3)(d => ((i * 13 + d * 5 + seed) % 7).toFloat)))
+      val e = pts.toDF("vec_id", "embedding")
+      def run(b: Int) = Similarity
+        .kcenterSelect(e, "vec_id", "embedding", k = 17, batch = b)
+        .orderBy("sel_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      val sequential = run(1)
+      for (b <- Seq(4, 6, 32))
+        assert(run(b) == sequential,
+          s"batch=$b diverged from sequential greedy (seed $seed)")
+    }
+  }
+
   test("k past the corpus size stops at n picks") {
     val e = vecs(1L -> Seq(0f, 1f), 2L -> Seq(1f, 0f))
     val got = Similarity.kcenterSelect(e, "vec_id", "embedding", k = 5)

@@ -29,7 +29,8 @@ class RestartResilienceSpec extends SparkTestBase {
   private case class RCase(
       name: String,
       batches: Seq[() => DataFrame],        // bean-shaped rows per batch
-      build: String => DataFrame)           // input dir → streaming output
+      build: String => DataFrame,           // input dir → streaming output
+      rocksDb: Boolean = false)             // transformWithState contract
 
   private def beanStream(inDir: String, schema: String): DataFrame =
     spark.readStream.schema(schema)
@@ -81,6 +82,19 @@ class RestartResilienceSpec extends SparkTestBase {
   private val timesPat = Pattern
     .begin[StreamingOps.CepVEv]("v", _ => true).times(3)
     .within(1000L * 1000000L)
+
+  private val foldCols =
+    Seq("event_id", "user_id", "sub", "us", "c", "ts")
+  private def foldEv(id: Long, user: Long, sub: String, us: Long, c: Long) =
+    (id, user, sub, us, c, new java.sql.Timestamp(us / 1000L))
+  private def wmFoldBuild(step: graft.streaming.WatermarkFold.Step)
+      (in: String): DataFrame =
+    graft.streaming.WatermarkFold(
+      beanStream(in,
+        "event_id LONG, user_id LONG, sub STRING, us LONG, c LONG, ts TIMESTAMP")
+        .withWatermark("ts", "0 seconds")
+        .as[graft.streaming.WatermarkFold.FoldEv], step)
+      .filter(col("user_id") >= 0L)
 
   private def negEv(sec: Long, id: Long, user: Long, typ: String) =
     (id, user, sec * 1000000L, typ, f"t$id", ts(sec))
@@ -160,87 +174,87 @@ class RestartResilienceSpec extends SparkTestBase {
               86400L * 1000000L) _)
           .toDF("uid", "stage_idx")
       }),
+    // the five monitoring folds run on the production reorder buffer
+    // (graft.streaming.WatermarkFold): rows buffer in RocksDB-backed
+    // MapState and fold on event-time timers, so the kill/restart must
+    // ALSO recover the buffered-but-unfolded tail and the armed timer —
+    // strictly more state surface than the old heap-sorted transforms.
+    // Each case ends with a far-future sentinel batch that advances the
+    // watermark past the last real row (append-mode emission contract).
     RCase("debounce",
       Seq(
-        // batch 1: u1/click at t=100s — kept, state lastUs=100s
-        () => Seq((1L, 1L, "click", 100000000L))
-          .toDF("event_id", "user_id", "event_type", "us"),
+        // batch 1: u1/click at t=100s — kept once folded, state
+        // lastUs=100s; under the wm fold it is still BUFFERED at kill
+        // time (watermark has not passed it), so the restart must
+        // recover the pending buffer itself
+        () => Seq(foldEv(1L, 1L, "click", 100000000L, 0L)).toDF(foldCols: _*),
         // batch 2 (post-restart): t=130s within the 60s gap of the
-        // PRE-KILL event (must drop — state loss would keep it), then
+        // pre-kill event (must drop — buffer loss would keep it), then
         // t=200s clears the gap (kept)
-        () => Seq((2L, 1L, "click", 130000000L),
-          (3L, 1L, "click", 200000000L))
-          .toDF("event_id", "user_id", "event_type", "us")),
-      in => StreamingOps.debounceTransform(
-        beanStream(in,
-          "event_id LONG, user_id LONG, event_type STRING, us LONG")
-          .as[StreamingOps.DebEv], gapUs = 60000000L)),
+        () => Seq(foldEv(2L, 1L, "click", 130000000L, 0L),
+          foldEv(3L, 1L, "click", 200000000L, 0L)).toDF(foldCols: _*),
+        () => Seq(foldEv(-1L, -1L, "", 800000000000L, 0L)).toDF(foldCols: _*)),
+      wmFoldBuild(StreamingOps.debounceStep(gapUs = 60000000L,
+        keptOnly = false)),
+      rocksDb = true),
     RCase("ratelimit",
       Seq(
-        // batch 1: u1/click at t=0 — kept, state lastKept=0
-        () => Seq((1L, 1L, "click", 0L))
-          .toDF("event_id", "user_id", "event_type", "us"),
-        // batch 2 (post-restart): t=30s drops against the PRE-KILL kept
+        // batch 1: u1/click at t=0 — kept once folded, lastKept=0
+        () => Seq(foldEv(1L, 1L, "click", 0L, 0L)).toDF(foldCols: _*),
+        // batch 2 (post-restart): t=30s drops against the pre-kill kept
         // event (state loss would keep it as a first event); t=60s keeps
         // against lastKept=0 — under previous-EVENT state (the debounce
         // contract) the reference would be t=30s and 60s would DROP, so
         // this batch also discriminates the keptOnly state machine across
         // the restart; t=90s drops against the new lastKept=60s
-        () => Seq((2L, 1L, "click", 30000000L),
-          (3L, 1L, "click", 60000000L),
-          (4L, 1L, "click", 90000000L))
-          .toDF("event_id", "user_id", "event_type", "us")),
-      in => StreamingOps.debounceTransform(
-        beanStream(in,
-          "event_id LONG, user_id LONG, event_type STRING, us LONG")
-          .as[StreamingOps.DebEv], gapUs = 60000000L, keptOnly = true)),
+        () => Seq(foldEv(2L, 1L, "click", 30000000L, 0L),
+          foldEv(3L, 1L, "click", 60000000L, 0L),
+          foldEv(4L, 1L, "click", 90000000L, 0L)).toDF(foldCols: _*),
+        () => Seq(foldEv(-1L, -1L, "", 800000000000L, 0L)).toDF(foldCols: _*)),
+      wmFoldBuild(StreamingOps.debounceStep(gapUs = 60000000L,
+        keptOnly = true)),
+      rocksDb = true),
     RCase("ewma",
       Seq(
         // batch 1: u1 value 100 cents at t=1s — reading 100, state s=100
-        () => Seq((1L, 1L, 1000000L, 100L))
-          .toDF("event_id", "user_id", "us", "c"),
+        () => Seq(foldEv(1L, 1L, "", 1000000L, 100L)).toDF(foldCols: _*),
         // batch 2 (post-restart): value 50 must smooth against the
         // PRE-KILL state (floor((50+100)/2)=75); a cold start would
         // emit 50, so the value itself discriminates state recovery
-        () => Seq((2L, 1L, 2000000L, 50L))
-          .toDF("event_id", "user_id", "us", "c")),
-      in => StreamingOps.ewmaTransform(
-        beanStream(in, "event_id LONG, user_id LONG, us LONG, c LONG")
-          .as[StreamingOps.EwEv])),
+        () => Seq(foldEv(2L, 1L, "", 2000000L, 50L)).toDF(foldCols: _*),
+        () => Seq(foldEv(-1L, -1L, "", 800000000000L, 0L)).toDF(foldCols: _*)),
+      wmFoldBuild(StreamingOps.ewmaStep(den = 2L)),
+      rocksDb = true),
     RCase("cusum",
       Seq(
         // batch 1: c=15000 vs tgt=5000, K=1000 → gp accumulates
         // 15000−6000 = 9000, below the 20000 threshold — state gp=9000
-        () => Seq((1L, 1L, 1000000L, 15000L))
-          .toDF("event_id", "user_id", "us", "c"),
+        () => Seq(foldEv(1L, 1L, "", 1000000L, 15000L)).toDF(foldCols: _*),
         // batch 2 (post-restart): c=18000 adds 12000 → gpRaw=21000 ≥ H,
         // ALARM — a cold start would sit at 12000 and stay silent, so
         // the alarm itself discriminates recovery of the PRE-KILL
         // accumulator
-        () => Seq((2L, 1L, 2000000L, 18000L))
-          .toDF("event_id", "user_id", "us", "c")),
-      in => StreamingOps.cusumTransform(
-        beanStream(in, "event_id LONG, user_id LONG, us LONG, c LONG")
-          .as[StreamingOps.CuEv], tgt = 5000L)),
+        () => Seq(foldEv(2L, 1L, "", 2000000L, 18000L)).toDF(foldCols: _*),
+        () => Seq(foldEv(-1L, -1L, "", 800000000000L, 0L)).toDF(foldCols: _*)),
+      wmFoldBuild(StreamingOps.cusumFoldStep(tgt = 5000L)),
+      rocksDb = true),
     RCase("monitor",
       Seq(
         // batch 1: seed reading 10000, then 20000 spikes (|Δ|≥5000) and
         // ALERTS (first spike per key) — state after batch: s=15000,
         // lastAlert=2000s
-        () => Seq((1L, 1L, 1000000000L, 10000L),
-          (2L, 1L, 2000000000L, 20000L))
-          .toDF("event_id", "user_id", "us", "c"),
+        () => Seq(foldEv(1L, 1L, "", 1000000000L, 10000L),
+          foldEv(2L, 1L, "", 2000000000L, 20000L)).toDF(foldCols: _*),
         // batch 2 (post-restart): 25000 at t=3000s spikes but sits
         // INSIDE the 7-day gap of the PRE-KILL alert — must be
         // SUPPRESSED (a lost lastAlert would page again); 40000 one
         // microsecond past the gap must alert, and its suppression
         // decision also depends on the recovered smoothed value
-        () => Seq((3L, 1L, 3000000000L, 25000L),
-          (4L, 1L, 606800000001L, 40000L))
-          .toDF("event_id", "user_id", "us", "c")),
-      in => StreamingOps.monitorTransform(
-        beanStream(in, "event_id LONG, user_id LONG, us LONG, c LONG")
-          .as[StreamingOps.EwEv])),
+        () => Seq(foldEv(3L, 1L, "", 3000000000L, 25000L),
+          foldEv(4L, 1L, "", 606800000001L, 40000L)).toDF(foldCols: _*),
+        () => Seq(foldEv(-1L, -1L, "", 800000000000L, 0L)).toDF(foldCols: _*)),
+      wmFoldBuild(StreamingOps.monitorFoldStep),
+      rocksDb = true),
     RCase("scd2",
       Seq(
         // batch 1: u1's first dim version opens (nothing emitted — the
@@ -272,6 +286,11 @@ class RestartResilienceSpec extends SparkTestBase {
       }))
 
   private def runCase(rc: RCase): Unit = {
+    if (rc.rocksDb) { StreamingOps.withRocksDB(spark)(runCaseBody(rc)); return }
+    runCaseBody(rc)
+  }
+
+  private def runCaseBody(rc: RCase): Unit = {
     val root = tmpDir()
     val staged = stage(root, rc.batches)
 

@@ -134,19 +134,38 @@ class SkewFoldSpec extends SparkTestBase {
       s"unexpected failure: $e")
   }
 
-  test("streaming sorted folds fail loudly past the per-key-per-batch budget") {
+  test("st_ratelimit_stream (watermark fold) matches the sequential " +
+      "previous-KEPT fold under 50% key skew") {
+    // the registry twin now runs on the RocksDB reorder buffer
+    // (graft.streaming.WatermarkFold) — this drives the 20k-row hot key
+    // through it and gates against the same independent sequential fold
+    // the batch query is held to
+    val dir = skewDir()
+    val expected = corpus().groupBy(_._2).flatMap { case (_, rows) =>
+      var lastKept = Long.MinValue
+      rows.sortBy(r => (r._3, r._1)).flatMap { case (id, _, us, _) =>
+        if (lastKept == Long.MinValue || us - lastKept >= 60000000L) {
+          lastKept = us; Some(id)
+        } else None
+      }
+    }.toSeq.sorted
+    val got = Registry.byName("st_ratelimit_stream").run(spark, dir)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got.size === expected.size)
+    assert(got === expected)
+  }
+
+  test("the remaining heap-buffered fold (scd2) fails loudly past the " +
+      "per-key-per-batch budget") {
     val in = s"${tmpDir()}/in"
-    (1 to 10).map(i => (i.toLong, new java.sql.Timestamp(i * 1000L), 1L, "click"))
-      .toDF("event_id", "ts", "user_id", "event_type")
+    (1 to 10).map(i => (i.toLong, 1L, i * 1000000L, i.toLong))
+      .toDF("event_id", "user_id", "us", "c")
       .coalesce(1).write.parquet(in)
     val typed = spark.readStream
-      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+      .schema("event_id LONG, user_id LONG, us LONG, c LONG")
       .parquet(in)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-      .as[StreamingOps.DebEv]
-    val out = StreamingOps.debounceTransform(typed, gapUs = 1L,
-      maxKeyBatchRows = 5)
+      .as[StreamingOps.EwEv]
+    val out = StreamingOps.scd2Transform(typed, maxKeyBatchRows = 5)
     val q = out.writeStream.format("memory").queryName("skew_budget_out")
       .outputMode("append").start()
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {

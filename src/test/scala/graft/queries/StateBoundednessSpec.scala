@@ -184,37 +184,51 @@ class StateBoundednessSpec extends SparkTestBase {
     assert(out.agg(sum($"ct")).as[Long].head() == 40L)
   }
 
-  test("cusum/monitor keyed state is user-bounded, not input-bounded") {
-    // the round-14 monitoring twins carry NoTimeout flatMapGroupsWithState
-    // state — the boundedness contract is BY KEY CARDINALITY (two longs
-    // per user, the active-population working set a monitor holds by
-    // definition), never by input volume: 4 batches × the same 10 users
-    // (25 rows per user per batch = 1,000 input rows) must hold exactly
-    // 10 state rows throughout, driving the REAL factored transforms
+  test("cusum/monitor state is reorder-window-bounded, not input-bounded") {
+    // the round-15 monitoring twins run on the watermark-ordered fold
+    // (graft.streaming.WatermarkFold): state = per-key accumulators PLUS
+    // the reorder buffer of rows the watermark has not yet released. The
+    // boundedness contract is therefore BY KEY CARDINALITY + ONE
+    // watermark window of in-flight rows — never by cumulative input:
+    // across 4 equal 250-row batches (cumulative input 250 → 1,000) the
+    // post-batch state footprint must hit a STEADY STATE (folded rows
+    // purge, buffered rows bounded by one batch's span), not grow with
+    // the total rows seen
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    for ((nm, build) <- Seq[(String, DataFrame => DataFrame)](
-      ("cusum", df =>
-        StreamingOps.cusumTransform(df.as[StreamingOps.CuEv], tgt = 5000L)),
-      ("monitor", df =>
-        StreamingOps.monitorTransform(df.as[StreamingOps.EwEv])))) {
-      val ms = MemoryStream[(Long, Long, Long, Long)]
-      val out = build(ms.toDF().toDF("event_id", "user_id", "us", "c"))
-      val name = s"sb_${nm}_${System.nanoTime()}"
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      val sizes = try (0 until 4).map { i =>
-        ms.addData((0 until 250).map { j =>
-          val id = i * 1000L + j
-          (id, j % 10L, id * 1000000L, (id % 300L) * 100L)
-        }: _*)
-        q.processAllAvailable()
-        q.recentProgress.reverse.collectFirst {
-          case p if p.stateOperators.nonEmpty =>
-            p.stateOperators.map(_.numRowsTotal).sum
-        }.getOrElse(0L)
-      } finally q.stop()
-      assert(sizes == Seq(10L, 10L, 10L, 10L), s"$nm state rows: $sizes")
+    StreamingOps.withRocksDB(spark) {
+      for ((nm, step) <- Seq[(String, graft.streaming.WatermarkFold.Step)](
+        ("cusum", StreamingOps.cusumFoldStep(tgt = 5000L)),
+        ("monitor", StreamingOps.monitorFoldStep))) {
+        val ms = MemoryStream[(Long, Long, String, Long, Long, java.sql.Timestamp)]
+        val typed = ms.toDF()
+          .toDF("event_id", "user_id", "sub", "us", "c", "ts")
+          .withWatermark("ts", "0 seconds")
+          .as[graft.streaming.WatermarkFold.FoldEv]
+        val out = graft.streaming.WatermarkFold(typed, step)
+        val name = s"sb_${nm}_${System.nanoTime()}"
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        val sizes = try (0 until 4).map { i =>
+          ms.addData((0 until 250).map { j =>
+            val id = i * 1000L + j
+            val us = id * 1000000L
+            (id, j % 10L, "", us, (id % 300L) * 100L,
+              new java.sql.Timestamp(us / 1000L))
+          }: _*)
+          q.processAllAvailable()
+          q.recentProgress.reverse.collectFirst {
+            case p if p.stateOperators.nonEmpty =>
+              p.stateOperators.map(_.numRowsTotal).sum
+          }.getOrElse(0L)
+        } finally q.stop()
+        // steady state from batch 2 on (batch 1 has no prior watermark so
+        // nothing folds yet); identical batch sizes => identical footprint
+        assert(sizes.drop(1).distinct.size == 1,
+          s"$nm state must reach a steady state across equal batches: $sizes")
+        assert(sizes.max < 1000L,
+          s"$nm state footprint tracked cumulative input: $sizes")
+      }
     }
   }
 

@@ -60,9 +60,12 @@ def main():
     n_large = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
     # optional third decade (e.g. 200000 -> sfXL) for the 1x/10x/100x law
     n_xl = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    # optional fourth decade (e.g. 2000000 -> sfXXL; VERDICT r14 #4)
+    n_xxl = int(sys.argv[4]) if len(sys.argv) > 4 else None
     rng = np.random.default_rng(42)
     sizes = [("sfS", n_small), ("sfL", n_large)] + (
-        [("sfXL", n_xl)] if n_xl else [])
+        [("sfXL", n_xl)] if n_xl else []) + (
+        [("sfXXL", n_xxl)] if n_xxl else [])
     for name, n in sizes:
         v, labels = gen(rng, n)
         write(os.path.join("target/ann_rehearsal", name), v, labels)
