@@ -205,12 +205,14 @@ object Bench {
     * (a streaming query that materializes to scratch and returns a read
     * fingerprints as that read), and tracking starts at r11 — earlier
     * changes are seeded from VERDICT r10's findings in bench_defs.json.
-    * Known residual instability: x_nb_classify and x_text_stats toggle
-    * between two values across FULL-SUITE runs while isolated fresh JVMs
-    * (local[8] and local[32] both) are deterministic — suite-order
-    * dependent, diagnosable with examples.FpDump. The failure mode is
-    * conservative: a spurious definition_changed=true widens scrutiny on
-    * those entries, it never hides a change. */
+    * Known residual instability: x_nb_classify, x_text_stats, and (the
+    * r15 diagnosis of r14's silent flips — ADVICE r14) a29_robust_outliers,
+    * a30_monitor_e2e, x_multimodal_features toggle across FULL-SUITE runs
+    * while isolated fresh JVMs (local[8] and local[32]; re-verified r15
+    * with two fresh dumps each, byte-identical) are deterministic —
+    * suite-order/JVM-launch dependent, diagnosable with examples.FpDump.
+    * The failure mode is conservative: a spurious definition_changed=true
+    * widens scrutiny on those entries, it never hides a change. */
   private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): Option[String] =
     try {
       val norm = df.queryExecution.analyzed.canonicalized.toString

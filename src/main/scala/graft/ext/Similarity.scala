@@ -745,10 +745,16 @@ object Similarity {
       val seedId = seed(0).getLong(0)
       val picks = scala.collection.mutable.ArrayBuffer[
         (Long, Long, Option[Long])]((1L, seedId, None))
+      // localCheckpoint (eager), not persist: the running-min frame is
+      // re-derived every round, and a persist chain keeps the whole
+      // nested lineage in the plan — at k ≳ 200 rounds the analyzer
+      // overflows the stack. Checkpointing truncates the lineage to the
+      // materialized blocks, keeping plan depth O(1) in the round count
+      // (KcenterBatchProbe drives k = 256).
       cur = qv.filter(col("vid") =!= seedId)
         .select(col("vid"), col("qv"),
           distTo(seed(0).getSeq[Long](1)).as("mind"))
-        .persist()
+        .localCheckpoint(true)
       var exhausted = false
       while (picks.size < k && !exhausted) {
         val top = cur.orderBy(col("mind").desc, col("vid"))
@@ -788,12 +794,9 @@ object Similarity {
             val newMind = accepted.foldLeft(col("mind")) {
               case (c, (_, vec, _)) => least(c, distTo(vec))
             }
-            val next = cur.filter(!col("vid").isInCollection(ids))
+            cur = cur.filter(!col("vid").isInCollection(ids))
               .select(col("vid"), col("qv"), newMind.as("mind"))
-              .persist()
-            next.count() // materialize before dropping the parent cache
-            cur.unpersist()
-            cur = next
+              .localCheckpoint(true) // truncate lineage (see seed note)
           }
         }
       }

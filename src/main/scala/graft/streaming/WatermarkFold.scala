@@ -29,12 +29,17 @@ import org.apache.spark.sql.streaming._
   * hot-key batch that trips the r14 breaker streams through this operator
   * in a 512 MiB JVM (SkewFoldProbe --stream).
   *
-  * Emission contract: a row is folded+emitted only when the watermark
-  * strictly passes its event-time MILLISECOND (Spark's late filter drops
-  * rows with eventTime < watermark, so a not-yet-folded timestamp can
-  * still receive rows; one folded never can). The tail of a bounded
-  * replay therefore needs one watermark-advancing sentinel row — the
-  * stCepNegation / Warehouse.genSentinel discipline. Rows the fold emits
+  * Emission contract: a row is folded+emitted once the watermark REACHES
+  * its event-time millisecond. This is safe because Spark's late filter
+  * is INCLUSIVE — measured empirically (WmFold boundary probes, r15): a
+  * row arriving with eventTime == the current watermark is dropped, at
+  * watermark 0 (stream start — so epoch-0 event times never enter ANY
+  * watermarked stateful operator) and at steady state alike. A folded
+  * timestamp can therefore never receive another row. With a 0-second
+  * watermark delay the final no-data batch folds the whole tail; a
+  * far-future sentinel row (the stCepNegation / Warehouse.genSentinel
+  * discipline) is still the right production-shaped flush for nonzero
+  * delays and for replay harnesses. Rows the fold emits
   * per firing are produced LAZILY (pass 2 re-reads the buffered rows and
   * re-derives the deterministic fold from the pre-firing accumulator), so
   * a firing that releases millions of rows never materializes them; all
@@ -86,13 +91,14 @@ object WatermarkFold {
 
     /** Physically remove timestamps folded by the PREVIOUS firing (their
       * rows were already emitted from the lazy pass — kept until now so
-      * that pass could re-read them). */
+      * that pass could re-read them). Inclusive bound, matching the fold
+      * (and Spark's inclusive late filter: no ms ≤ cut row can arrive). */
     private def purgeFolded(): Unit = {
       if (vcut.exists()) {
         val cut = vcut.get()
         val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
         val it = pend.keys()
-        while (it.hasNext) { val k = it.next(); if (msOf(k) < cut) dead += k }
+        while (it.hasNext) { val k = it.next(); if (msOf(k) <= cut) dead += k }
         dead.foreach(pend.removeKey)
         vcut.clear()
       }
@@ -126,13 +132,14 @@ object WatermarkFold {
         expiredTimerInfo: ExpiredTimerInfo): Iterator[FoldOut] = {
       purgeFolded()
       val wm = timerValues.getCurrentWatermarkInMs()
-      // foldable timestamps: strictly before the watermark millisecond
+      // foldable timestamps: at or before the watermark millisecond —
+      // Spark's late filter is inclusive, so none can receive more rows
       val ready = scala.collection.mutable.ArrayBuffer.empty[Long]
       var pendingLater = false
       val it = pend.keys()
       while (it.hasNext) {
         val k = it.next()
-        if (msOf(k) < wm) ready += k else pendingLater = true
+        if (msOf(k) <= wm) ready += k else pendingLater = true
       }
       if (pendingLater) arm(timerValues)
       if (ready.isEmpty) return Iterator.empty

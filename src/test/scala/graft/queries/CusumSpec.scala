@@ -13,11 +13,15 @@ class CusumSpec extends SparkTestBase {
   import spark.implicits._
 
   /** Single-file events.parquet in the driver layout: one user, 2n
-    * readings at 1s spacing; first half at `vLo`, second at `vHi`. */
+    * readings at 1s spacing; first half at `vLo`, second at `vHi`.
+    * Times start a day past the epoch: Spark's (inclusive) late filter
+    * drops eventTime <= watermark, and the initial watermark is 0 — an
+    * epoch-0 row never enters any watermarked stateful operator (the
+    * wm-fold twins; measured in r15's boundary probes). */
   private def corpusDir(n: Int, vLo: Double, vHi: Double): String =
     writeEventsParquet((0 until 2 * n).map { i =>
       val v = if (i < n) vLo else vHi
-      (i.toLong, new java.sql.Timestamp(i * 1000L), 1L, "click", v, "{}")
+      (i.toLong, new java.sql.Timestamp(86400000L + i * 1000L), 1L, "click", v, "{}")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
 
   test("a level shift trips alarms only after the change point, and the chart re-arms") {
@@ -27,7 +31,7 @@ class CusumSpec extends SparkTestBase {
     // half ABOVE by 25000−13375−1000 = 10625/step (alarm every 2 steps).
     val dir = writeEventsParquet((0 until 80).map { i =>
       val v = if (i < 60) 95.0 else 250.0
-      (i.toLong, new java.sql.Timestamp(i * 1000L), 1L, "click", v, "{}")
+      (i.toLong, new java.sql.Timestamp(86400000L + i * 1000L), 1L, "click", v, "{}")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
 
     val out = Registry.byName("a28_cusum").run(spark, dir)

@@ -25,7 +25,8 @@ class MonitorE2eSpec extends SparkTestBase {
       val typ = if (i % 2 == 0) "hi" else "lo"
       val base = if (typ == "hi") nxt() % 30000L else nxt() % 3000L
       val c = if (i % 97 == 96) 10000000L else base
-      Ev(i.toLong, typ, 1L + i % 5, i.toLong * 43200L * 1000000L, c)
+      // (i+2): a day past the epoch — see CusumSpec's late-filter note
+      Ev(i.toLong, typ, 1L + i % 5, (i.toLong + 2L) * 43200L * 1000000L, c)
     }
   }
 

@@ -31,7 +31,9 @@ class RateLimitSpec extends SparkTestBase {
     val dir = tmpDir()
     val rows = Seq(0L, 30L, 60L, 90L, 120L).zipWithIndex.map {
       case (sec, i) =>
-        (i + 1L, new java.sql.Timestamp(sec * 1000L), 1L, "click", 1.0, "{}")
+        // a day past the epoch: eventTime <= the initial watermark (0) is
+        // dropped by Spark's inclusive late filter (see CusumSpec note)
+        (i + 1L, new java.sql.Timestamp(86400000L + sec * 1000L), 1L, "click", 1.0, "{}")
     }
     // the driver ships events.parquet as a single FILE (and eventStream's
     // pathGlobFilter matches that layout), so unwrap Spark's directory

@@ -85,8 +85,12 @@ class RestartResilienceSpec extends SparkTestBase {
 
   private val foldCols =
     Seq("event_id", "user_id", "sub", "us", "c", "ts")
+  /** All fold-case event times sit a day past the epoch (the +DayUs):
+    * Spark's inclusive late filter drops eventTime <= watermark, and the
+    * initial watermark is 0 — a t=0 fixture row would silently vanish. */
+  private val DayUs = 86400000000L
   private def foldEv(id: Long, user: Long, sub: String, us: Long, c: Long) =
-    (id, user, sub, us, c, new java.sql.Timestamp(us / 1000L))
+    (id, user, sub, us + DayUs, c, new java.sql.Timestamp((us + DayUs) / 1000L))
   private def wmFoldBuild(step: graft.streaming.WatermarkFold.Step)
       (in: String): DataFrame =
     graft.streaming.WatermarkFold(
