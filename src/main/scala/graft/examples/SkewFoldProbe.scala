@@ -59,7 +59,12 @@ object SkewFoldProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    // the stream child appends a far-future watermark sentinel
+    // (user_id = -1) into the shared corpus dir; old/new children forked
+    // after it must not count that row (ADVICE r15) — the stream child
+    // already excludes it in its own kept accumulator
     val e = spark.read.parquet(dir)
+      .filter(col("user_id") >= 0L)
       .select(col("event_id"), col("user_id"), col("event_type"), col("us"))
     val kept = mode match {
       case "old" =>

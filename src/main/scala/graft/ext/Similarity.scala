@@ -277,6 +277,133 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  // ---------- §11e probe policy: the coded default (VERDICT r15 #2) ----
+
+  /** Coarse-cell count under the production rule: cells = ⌈√N⌉ keeps the
+    * per-cell inverted list at ≈ √N vectors, so probing a NEAR-CONSTANT
+    * number of cells scans Θ(√N) candidates per query. This is the cost
+    * law SCALING §11e measured through the fourth decade (2M vectors):
+    * the alternative "hold the probed fraction" rule kept recall 1.000
+    * but paid LINEAR query cost (walls ×11 for ×10 rows). */
+  def policyCells(n: Long): Int =
+    math.max(1, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
+
+  /** Default near-constant probe width. Candidates per query ≈
+    * nProbe·√N; the recall audit below is the escalation valve when a
+    * corpus's cluster structure needs more. */
+  val PolicyNProbe = 8
+
+  /** IVF top-k with the §11e production policy AS THE CODED DEFAULT:
+    * derive cells = ⌈√N⌉ from the corpus, train the k-means coarse
+    * quantizer, assign map-only, probe a near-constant `nProbe0` cells
+    * (query cost Θ(√N), not Θ(N)) — and, when `minRecall` > 0, run the
+    * x_ann recall-audit escalation as the fallback: score the policy
+    * result's hits@k against the exact top-k FOR THESE QUERIES and
+    * double nProbe until the audit passes or the probed fraction reaches
+    * §11e's measured constant-recall regime (25% of cells, the
+    * probed-fraction rule). The audit's exact side costs one corpus scan
+    * for the query set — at 100 TB it runs over a sampled sub-corpus on
+    * a schedule (the x_ann gate discipline), not inside every query, so
+    * production serving pays only the Θ(√N) probe.
+    *
+    * Determinism: cell count is a pure function of `count()`, the
+    * quantizer is kmeansAssign's seeded Lloyd's, and escalation doubles
+    * from a fixed start — the same inputs always produce the same plan.
+    * `fitFraction` < 1 trains the quantizer on a content-addressed
+    * sample (the 100 TB ingest shape: sample-fit, assign-once). */
+  def ivfAutoTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, kmeansIters: Int = 3,
+      fitFraction: Double = 1.0, nProbe0: Int = PolicyNProbe,
+      minRecall: Double = 0.0): DataFrame = {
+    val n = embeddings.count()
+    val cells = policyCells(n)
+    val clustered = embeddings.join(
+      kmeansAssign(embeddings, idCol, vecCol, cells, kmeansIters,
+        fitFraction).withColumnRenamed("id", idCol),
+      Seq(idCol))
+    ivfPolicyTopK(clustered, idCol, vecCol, "cluster", queries, k, cells,
+      nProbe0, minRecall)
+  }
+
+  /** The serving half of [[ivfAutoTopK]], over a PRE-BUILT clustered
+    * layout (the ingest artifact x_ann_ivf_kmeans freezes): probe a
+    * near-constant `nProbe0` cells, and when `minRecall` > 0 run the
+    * recall-audit escalation — hits@k of the result against the exact
+    * top-k for these queries (passed in, or computed from the layout),
+    * doubling nProbe until the audit passes or the probed fraction hits
+    * §11e's 25%-of-cells fallback rule. Deterministic: same corpus +
+    * queries + parameters → same escalation path → same plan. */
+  def ivfPolicyTopK(clustered: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, queries: DataFrame, k: Int, cells: Int,
+      nProbe0: Int = PolicyNProbe, minRecall: Double = 0.0,
+      exactTruth: Option[DataFrame] = None): DataFrame = {
+    val fractionCap = math.max(1, cells / 4)
+    var nProbe = math.max(1, math.min(cells, nProbe0))
+    def run(): DataFrame =
+      ivfTopK(clustered, idCol, vecCol, clusterCol, queries, k, nProbe)
+    var res = run()
+    if (minRecall > 0.0) {
+      val exact = exactTruth
+        .getOrElse(cosineTopK(clustered, idCol, vecCol, queries, k))
+        .select("qid", "cid").persist()
+      try {
+        val exactN = math.max(1L, exact.count())
+        def recallOf(df: DataFrame): Double =
+          exact.join(df.select("qid", "cid"), Seq("qid", "cid"), "left_semi")
+            .count().toDouble / exactN
+        var recall = recallOf(res)
+        while (recall < minRecall && nProbe < fractionCap) {
+          nProbe = math.min(fractionCap, nProbe * 2)
+          res = run()
+          recall = recallOf(res)
+        }
+      } finally exact.unpersist()
+    }
+    res
+  }
+
+  /** IVF-PQ + exact re-rank under the same coded policy: cells = ⌈√N⌉,
+    * near-constant nProbe, and coarseC ∝ √N (SCALING §11e measured the
+    * rerank pool, not the quantizer topology, as PQ's recall lever at
+    * scale: coarseC ∝ √N held recall 0.913 → 0.888 across 200k → 2M).
+    * Same recall-audit escalation valve as [[ivfAutoTopK]]. */
+  def ivfPqAutoTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, m: Int, ksub: Int, kmeansIters: Int = 3,
+      fitFraction: Double = 1.0, nProbe0: Int = PolicyNProbe,
+      minRecall: Double = 0.0): DataFrame = {
+    val n = embeddings.count()
+    val cells = policyCells(n)
+    // coarseC ∝ √N, floored at 4k so tiny corpora still rerank a pool
+    val coarseC = math.max(4 * k, 2 * cells)
+    val clustered = embeddings.join(
+      kmeansAssign(embeddings, idCol, vecCol, cells, kmeansIters,
+        fitFraction).withColumnRenamed("id", idCol),
+      Seq(idCol))
+    val fractionCap = math.max(1, cells / 4)
+    var nProbe = math.max(1, math.min(cells, nProbe0))
+    def run(): DataFrame = ivfPqRerankTopK(clustered, idCol, vecCol,
+      "cluster", queries, k, nProbe, m, ksub, coarseC, kmeansIters,
+      fitFraction)
+    var res = run()
+    if (minRecall > 0.0) {
+      val exact = cosineTopK(embeddings, idCol, vecCol, queries, k)
+        .select("qid", "cid").persist()
+      try {
+        val exactN = math.max(1L, exact.count())
+        def recallOf(df: DataFrame): Double =
+          exact.join(df.select("qid", "cid"), Seq("qid", "cid"), "left_semi")
+            .count().toDouble / exactN
+        var recall = recallOf(res)
+        while (recall < minRecall && nProbe < fractionCap) {
+          nProbe = math.min(fractionCap, nProbe * 2)
+          res = run()
+          recall = recallOf(res)
+        }
+      } finally exact.unpersist()
+    }
+    res
+  }
+
   /** Distributed Lloyd's k-means over the embedding column — the
     * ingest-side coarse quantizer that makes ivfTopK a real IVF (the
     * synthetic `label` column is random, so probing it is chance; probing
@@ -739,6 +866,21 @@ object Similarity {
         quantizeVec(col(vecCol), scale).as("qv"))
       .persist()
     var cur: DataFrame = null
+    // ids of the CURRENT round's checkpoint blocks — each new round's
+    // eager checkpoint frees the previous round's (ADVICE r15: without
+    // this, up to ~k/batch corpus-size (vid,qv,mind) frames pile up in
+    // the block manager until their RDDs happen to be GC'd)
+    val sc = s.sparkContext
+    var curIds: Set[Int] = Set.empty
+    def checkpointReplacing(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val chk = df.localCheckpoint(true) // eager: safe to drop the parent
+      val fresh = sc.getPersistentRDDs.keySet.toSet.diff(before)
+      curIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      curIds = fresh
+      chk
+    }
     try {
       val seed = qv.orderBy("vid").limit(1).collect()
       require(seed.nonEmpty, "kcenterSelect: empty embedding corpus")
@@ -751,10 +893,9 @@ object Similarity {
       // overflows the stack. Checkpointing truncates the lineage to the
       // materialized blocks, keeping plan depth O(1) in the round count
       // (KcenterBatchProbe drives k = 256).
-      cur = qv.filter(col("vid") =!= seedId)
+      cur = checkpointReplacing(qv.filter(col("vid") =!= seedId)
         .select(col("vid"), col("qv"),
-          distTo(seed(0).getSeq[Long](1)).as("mind"))
-        .localCheckpoint(true)
+          distTo(seed(0).getSeq[Long](1)).as("mind")))
       var exhausted = false
       while (picks.size < k && !exhausted) {
         val top = cur.orderBy(col("mind").desc, col("vid"))
@@ -794,15 +935,16 @@ object Similarity {
             val newMind = accepted.foldLeft(col("mind")) {
               case (c, (_, vec, _)) => least(c, distTo(vec))
             }
-            cur = cur.filter(!col("vid").isInCollection(ids))
-              .select(col("vid"), col("qv"), newMind.as("mind"))
-              .localCheckpoint(true) // truncate lineage (see seed note)
+            cur = checkpointReplacing( // truncate lineage (see seed note)
+              cur.filter(!col("vid").isInCollection(ids))
+                .select(col("vid"), col("qv"), newMind.as("mind")))
           }
         }
       }
       s.createDataset(picks.toSeq).toDF("sel_rank", "vec_id", "mind")
     } finally {
-      if (cur != null) cur.unpersist()
+      curIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       qv.unpersist()
     }
   }

@@ -868,6 +868,38 @@ object ExtOps {
     },
     Some(bruteforceGatedSql))
 
+  /** The §11e probe policy AS THE CODED DEFAULT (VERDICT r15 #2),
+    * registry-gated: cells = ⌈√N⌉ derived from the corpus count
+    * ([[Similarity.policyCells]]), a near-constant nProbe
+    * ([[Similarity.PolicyNProbe]] = 8 → candidates ∝ √N, the measured
+    * fourth-decade cost law), and the recall-audit escalation as the
+    * fallback ([[Similarity.ivfPolicyTopK]]: nProbe doubles until the
+    * audit passes or the probed fraction reaches the 25%-of-cells
+    * constant-recall regime). The quantizer layout is the same frozen
+    * ingest artifact discipline as x_ann_ivf_kmeans, keyed by the
+    * policy's own cell count. Gate: recall-bound promotion vs the exact
+    * top-5 (the x_ann pattern — the oracle restates the exact side and
+    * literal TRUE, so the driver hash bites if the policy's recall ever
+    * drops below the audit floor it just enforced). */
+  val xAnnIvfPolicy = OpQuery(
+    "x_ann_ivf_policy",
+    "IVF top-5 under the coded √N probe policy (cells=⌈√N⌉, near-constant nProbe, audit escalation)",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cells = Similarity.policyCells(e.count())
+      val path = frozenKmeansLayout(s, dir, k = cells, iters = 3)
+      val layout = s.read.parquet(path)
+      val q = e.filter(col("vec_id") < 8)
+      val exact = Similarity.cosineTopK(e, "vec_id", "embedding", q, k = 5)
+      val approx = Similarity.ivfPolicyTopK(layout, "vec_id", "embedding",
+        "cluster", q, k = 5, cells = cells, minRecall = 0.8,
+        exactTruth = Some(exact))
+      recallGatedTotal(exact, approx, minTotalHits = 24)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+    Some(bruteforceGatedSql))
+
   /** ANN SERVING, streaming-executed — the similarity family's streaming
     * twin (every other family already has one): the index half of
     * x_ann_ivf_kmeans is an INGEST artifact (k-means cells + the
@@ -3965,8 +3997,11 @@ object ExtOps {
         .agg(count(lit(1)).as("n_holdout"),
           sum(col("correct")).as("n_correct"))
         .select(col("n_holdout"), col("n_correct"),
-          ((col("n_correct") * 1000000L) / col("n_holdout")).cast("long")
-            .as("acc_ppm"),
+          // integer floor division (`div`), NOT `/`+cast: Long/Long `/`
+          // evaluates in double, and at large counts double rounding can
+          // cross the floor boundary the DuckDB oracle's exact `//`
+          // takes — ADVICE r15. Simple generated aliases, expr()-safe.
+          expr("(n_correct * 1000000) div n_holdout").as("acc_ppm"),
           lit(e.toLong).as("epochs_run"))
     },
     Some(perceptronEvalSql))
@@ -4026,7 +4061,8 @@ object ExtOps {
     xSubstringCut,
     xAnnBruteforce, xAnnNative, xAnnSq8, xAnnFiltered, xAnnPq,
     xEmbedCentroids,
-    xAnnIvf, xAnnIvfKmeans, stAnnServe, xAnnIvfPq, xAnnIvfPqRerank,
+    xAnnIvf, xAnnIvfKmeans, xAnnIvfPolicy, stAnnServe, xAnnIvfPq,
+    xAnnIvfPqRerank,
     xAnnKmeansExact, xAnnPqExact, xAnnIvfPqExact, xSemDedupKmeans1r,
     xCosineNeardup, xSemDedup, xSemDedupKmeansGated, xKcenterSelect,
     xKcenterAssign, xJlProject, xAnnJlRerank,

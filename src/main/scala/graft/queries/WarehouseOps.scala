@@ -41,11 +41,16 @@ object WarehouseOps {
     (s, dir) => StreamingOps.withStatePartitions(s, 2) {
       val root = java.nio.file.Files.createTempDirectory("graft_wh").toString
       val lay = Warehouse.Layout(root)
-      Warehouse.genBaseLog(s, dir, lay)
-      Warehouse.genBaseDb(s, dir, lay)
-      val qs = Warehouse.start(s, lay)
-      try Warehouse.drainAll(s, dir, lay, qs)
-      finally qs.values.foreach(_.stop())
+      val prof = new Warehouse.WhProf
+      prof.time("gen_inputs") {
+        Warehouse.genBaseLog(s, dir, lay)
+        Warehouse.genBaseDb(s, dir, lay)
+      }
+      val qs = prof.time("start_queries")(Warehouse.start(s, lay))
+      try {
+        Warehouse.drainAll(s, dir, lay, qs, prof)
+        prof.finish(qs, dir) // progress histories still live
+      } finally qs.values.foreach(_.stop())
       val gate = Warehouse.equivalenceGate(s, lay)
       Warehouse.visitorResult(s, lay, gate)
     },

@@ -50,6 +50,65 @@ object Warehouse {
 
   import KafkaTopology.Topics._
 
+  /** st_warehouse_e2e instrumentation (VERDICT r15 #1: a 2.1× same-tree,
+    * cross-environment spread on the suite's most expensive query that
+    * nobody had root-caused). Collects per-phase walls (input gen, query
+    * start, every drain barrier), per-query micro-batch counts +
+    * trigger-execution sums from the progress history, and an env
+    * fingerprint (cores, GC wall, JVM uptime), then appends ONE JSON line
+    * to profiles/wh_profile.jsonl — a COMMITTED path, so builder-side and
+    * driver-side runs of the same tree leave directly comparable
+    * evidence. Pure observation: no change to the query plan or the
+    * drain sequence (the bench fingerprint must not churn). */
+  final class WhProf {
+    private val born = System.nanoTime()
+    private val gc0 = WhProf.gcMs
+    val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def time[T](name: String)(body: => T): T = {
+      val s = System.nanoTime()
+      try body
+      finally phases += name -> ((System.nanoTime() - s) / 1000000L)
+    }
+    /** Call after the drain, while the queries still hold their progress
+      * histories; `note` tags the run context (sf dir). */
+    def finish(qs: Map[String, StreamingQuery], note: String): Unit = {
+      val perQ = qs.toSeq.sortBy(_._1).map { case (name, q) =>
+        val ps = q.recentProgress
+        val lastBatch = ps.lastOption.map(_.batchId).getOrElse(-1L)
+        val trigMs = ps.map(p =>
+          Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(0L)).sum
+        val inRows = ps.map(_.numInputRows).sum
+        s""""$name":{"batches":${lastBatch + 1},"progress_n":${ps.length},""" +
+          s""""trigger_ms":$trigMs,"input_rows":$inRows}"""
+      }.mkString(",")
+      val ph = phases.map { case (n, ms) => s""""$n":$ms""" }.mkString(",")
+      val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+      val line =
+        s"""{"ts_ms":${System.currentTimeMillis()},"note":"$note",""" +
+          s""""cores":${Runtime.getRuntime.availableProcessors},""" +
+          s""""jvm_uptime_ms":${rt.getUptime},""" +
+          s""""gc_ms":${WhProf.gcMs - gc0},""" +
+          s""""total_ms":${(System.nanoTime() - born) / 1000000L},""" +
+          s""""phases":{$ph},"queries":{$perQ}}"""
+      try {
+        val dir = java.nio.file.Paths.get("profiles")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.writeString(dir.resolve("wh_profile.jsonl"),
+          line + "\n", java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case _: java.io.IOException => () } // never fail the query
+      System.err.println(s"[wh_profile] $line")
+    }
+  }
+  object WhProf {
+    private def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+  }
+
   /** File-topic + checkpoint layout for one chain run. */
   final case class Layout(root: String) {
     def topic(name: String): String = s"$root/topics/$name"
@@ -663,21 +722,27 @@ object Warehouse {
     * window only at watermark passage; processAllAvailable waits for the
     * watermark-advancing no-data batch that does the emitting). */
   def drainAll(spark: SparkSession, sfDir: String, lay: Layout,
-      qs: Map[String, StreamingQuery]): Unit = {
-    qs("base_log").processAllAvailable()
-    qs("base_db").processAllAvailable()
-    Seq("unique_visit", "order_wide").foreach(qs(_).processAllAvailable())
-    qs("payment_wide").processAllAvailable()
-    genSentinel(spark, sfDir, lay)
-    genDbSentinel(spark, sfDir, lay)
-    qs("base_log").processAllAvailable()
-    qs("base_db").processAllAvailable()
-    qs("unique_visit").processAllAvailable()
-    qs("user_jump").processAllAvailable() // sentinel batch + timer batches
-    qs("order_wide").processAllAvailable()
-    qs("payment_wide").processAllAvailable()
-    Seq("visitor", "province", "keyword", "product")
-      .foreach(qs(_).processAllAvailable())
+      qs: Map[String, StreamingQuery], prof: WhProf = null): Unit = {
+    def t(name: String)(body: => Unit): Unit =
+      if (prof == null) body else prof.time(name)(body)
+    t("drain_base_log")(qs("base_log").processAllAvailable())
+    t("drain_base_db")(qs("base_db").processAllAvailable())
+    t("drain_uv_ow")(
+      Seq("unique_visit", "order_wide").foreach(qs(_).processAllAvailable()))
+    t("drain_pw")(qs("payment_wide").processAllAvailable())
+    t("gen_sentinels") {
+      genSentinel(spark, sfDir, lay)
+      genDbSentinel(spark, sfDir, lay)
+    }
+    t("drain2_base_log")(qs("base_log").processAllAvailable())
+    t("drain2_base_db")(qs("base_db").processAllAvailable())
+    t("drain2_uv")(qs("unique_visit").processAllAvailable())
+    // sentinel batch + timer batches
+    t("drain2_uj")(qs("user_jump").processAllAvailable())
+    t("drain2_ow")(qs("order_wide").processAllAvailable())
+    t("drain2_pw")(qs("payment_wide").processAllAvailable())
+    t("drain2_dws")(Seq("visitor", "province", "keyword", "product")
+      .foreach(qs(_).processAllAvailable()))
   }
 
   // ------------------------------------------------------------------

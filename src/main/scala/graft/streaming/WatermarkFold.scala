@@ -22,29 +22,53 @@ import org.apache.spark.sql.streaming._
   * transformWithState (StatefulProcessor + MapState + timers, RocksDB
   * provider required) is the equivalent.
   *
-  * Heap profile per key per batch: O(rows at one event-time) while
-  * buffering (each input row is one MapState append), plus O(distinct
-  * pending event-times) longs at fold time (the key array being sorted —
-  * 8 bytes per distinct timestamp, NOT a boxed row buffer). The 8M-row
+  * Buffer layout (r16): MapState keyed by (event_us, chunk), each value
+  * one CHUNK of rows — a flush of the batch's locally-buffered rows
+  * writes every touched timestamp ONE new chunk and never re-reads a
+  * prior one, so store bytes are O(rows) even when millions of a key's
+  * rows share one event-time. (The r15 layout appended via
+  * read-modify-write per row — O(n²) store bytes on a hot timestamp,
+  * flagged by ADVICE r15.) Heap per key per batch: the flush buffer
+  * (≤ [[FlushRows]] slim (id, c) pairs) plus, at fold time, one
+  * timestamp's rows being sorted and 16 bytes per distinct pending
+  * (timestamp, chunk) — never a full-batch boxed buffer. The 8M-row
   * hot-key batch that trips the r14 breaker streams through this operator
   * in a 512 MiB JVM (SkewFoldProbe --stream).
   *
   * Emission contract: a row is folded+emitted once the watermark REACHES
-  * its event-time millisecond. This is safe because Spark's late filter
-  * is INCLUSIVE — measured empirically (WmFold boundary probes, r15): a
-  * row arriving with eventTime == the current watermark is dropped, at
-  * watermark 0 (stream start — so epoch-0 event times never enter ANY
-  * watermarked stateful operator) and at steady state alike. A folded
-  * timestamp can therefore never receive another row. With a 0-second
-  * watermark delay the final no-data batch folds the whole tail; a
-  * far-future sentinel row (the stCepNegation / Warehouse.genSentinel
+  * its event-time MILLISECOND — the bound is `us <= wm·1000 + 999`,
+  * inclusive of the watermark's entire millisecond. That exactly matches
+  * Spark's late filter, which is MILLISECOND-granular, not microsecond:
+  * measured empirically (WmLateBoundarySpec, r16 — adjudicating ADVICE
+  * r15's contrary claim): at watermark 1000 ms, arriving rows with us in
+  * [1,000,000 .. 1,000,999] are ALL dropped as late (the whole watermark
+  * millisecond, sub-ms remainder included) while us = 1,001,000 is kept.
+  * So a row inside a folded millisecond can never arrive, the
+  * (us, event_id) fold order is safe at full microsecond precision for
+  * everything buffered, and — unlike a µs-exact bound — a sub-ms tail
+  * row (us = wm·1000 + r, r > 0) still folds on the final watermark
+  * advance rather than waiting for a wm past its own millisecond. With a
+  * 0-second watermark delay the final no-data batch folds the whole tail;
+  * a far-future sentinel row (the stCepNegation / Warehouse.genSentinel
   * discipline) is still the right production-shaped flush for nonzero
-  * delays and for replay harnesses. Rows the fold emits
-  * per firing are produced LAZILY (pass 2 re-reads the buffered rows and
-  * re-derives the deterministic fold from the pre-firing accumulator), so
-  * a firing that releases millions of rows never materializes them; all
-  * state writes (accumulator, fold cut) happen EAGERLY in pass 1, and the
-  * folded timestamps are physically purged at the NEXT invocation.
+  * delays and for replay harnesses. Rows the fold emits per firing are
+  * produced LAZILY (pass 2 re-reads the buffered rows and re-derives the
+  * deterministic fold from the pre-firing accumulator), so a firing that
+  * releases millions of rows never materializes them; all state writes
+  * (accumulator, fold cut) happen EAGERLY in pass 1, and the folded
+  * timestamps are physically purged at the NEXT invocation.
+  *
+  * State TTL (r16, VERDICT r15 #3): `ttlMs > 0` gives idle keys the
+  * reference's A5 discipline (RT gmall-realtime UniqueVisitApp: 24h
+  * StateTtlConfig, OnCreateAndWrite). Spark's own `TTLConfig` is
+  * processing-time-only — `validateTTLConfig` REJECTS a non-NONE config
+  * under `TimeMode.EventTime`, which the fold's timers require — so the
+  * TTL here is WATERMARK-driven: a key whose last-seen event-time is
+  * `ttlMs` behind the watermark has its entire state (accumulator,
+  * buffer, timers) evicted by the same event-time timers that drive the
+  * fold. That is deterministic under replay (processing-time TTL is
+  * not) and costs one extra long of state per key. An expired key's next
+  * row re-folds from a cold accumulator.
   */
 object WatermarkFold {
 
@@ -63,42 +87,53 @@ object WatermarkFold {
     * MUST be deterministic — the lazy emission pass re-derives it. */
   type Step = (Option[Array[Long]], FoldEv) => (Array[Long], Option[(Long, Long, Long)])
 
-  /** Milliseconds of an epoch-micros value — the granularity Spark
-    * tracks watermarks and drops late rows at. */
-  private def msOf(us: Long): Long = Math.floorDiv(us, 1000L)
+  /** Rows buffered on the task heap before flushing to the state store —
+    * bounds handleInputRows heap at ~3 MiB of slim pairs per key-task
+    * while amortizing one store write per (timestamp, flush). */
+  val FlushRows: Int = 1 << 16
 
-  final class Processor(step: Step)
+  final class Processor(step: Step, ttlMs: Long = 0L,
+      flushRows: Int = FlushRows)
       extends StatefulProcessor[(Long, String), FoldEv, FoldOut] {
 
     // buffered rows are stored SLIM: the grouping key (user_id, sub) is
-    // implicit and the event-time is the map key, so each element is just
-    // (event_id, c) — half the RocksDB value bytes and encoder work of
-    // storing the full event (the 8M-row probe is write-amplification
-    // bound, so the constant matters)
-    @transient private var pend: MapState[Long, Array[(Long, Long)]] = _
+    // implicit and the event-time is in the map key, so each element is
+    // just (event_id, c) — half the RocksDB value bytes and encoder work
+    // of storing the full event. The map key is (event_us, chunk): a
+    // flush writes each touched timestamp one fresh chunk keyed by the
+    // per-key flush sequence, so no store value is ever read back and
+    // re-written (write bytes O(rows), not O(rows²) on a hot timestamp)
+    @transient private var pend: MapState[(Long, Long), Array[(Long, Long)]] = _
     @transient private var vacc: ValueState[Array[Long]] = _
     @transient private var vcut: ValueState[Long] = _
+    @transient private var vseq: ValueState[Long] = _
+    @transient private var vseen: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      pend = getHandle.getMapState[Long, Array[(Long, Long)]]("pend",
-        Encoders.scalaLong, ExpressionEncoder[Array[(Long, Long)]](),
-        TTLConfig.NONE)
+      pend = getHandle.getMapState[(Long, Long), Array[(Long, Long)]]("pend",
+        ExpressionEncoder[(Long, Long)](),
+        ExpressionEncoder[Array[(Long, Long)]](), TTLConfig.NONE)
       vacc = getHandle.getValueState[Array[Long]]("acc",
         ExpressionEncoder[Array[Long]](), TTLConfig.NONE)
       vcut = getHandle.getValueState[Long]("cut",
+        Encoders.scalaLong, TTLConfig.NONE)
+      vseq = getHandle.getValueState[Long]("seq",
+        Encoders.scalaLong, TTLConfig.NONE)
+      vseen = getHandle.getValueState[Long]("seen",
         Encoders.scalaLong, TTLConfig.NONE)
     }
 
     /** Physically remove timestamps folded by the PREVIOUS firing (their
       * rows were already emitted from the lazy pass — kept until now so
-      * that pass could re-read them). Inclusive bound, matching the fold
-      * (and Spark's inclusive late filter: no ms ≤ cut row can arrive). */
+      * that pass could re-read them). The cut is stored in MICROS and the
+      * bound is inclusive, matching the fold (and Spark's inclusive late
+      * filter: no us ≤ cut row can arrive). */
     private def purgeFolded(): Unit = {
       if (vcut.exists()) {
         val cut = vcut.get()
-        val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val dead = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         val it = pend.keys()
-        while (it.hasNext) { val k = it.next(); if (msOf(k) <= cut) dead += k }
+        while (it.hasNext) { val k = it.next(); if (k._1 <= cut) dead += k }
         dead.foreach(pend.removeKey)
         vcut.clear()
       }
@@ -110,19 +145,61 @@ object WatermarkFold {
     private def arm(timerValues: TimerValues): Unit =
       getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1L)
 
+    /** Watermark-driven TTL bookkeeping: remember the key's newest
+      * event-time and arm the eviction timer at its expiry millisecond. */
+    private def touch(maxUs: Long): Unit = if (ttlMs > 0L) {
+      val last = if (vseen.exists()) vseen.get() else Long.MinValue
+      if (maxUs > last) {
+        vseen.update(maxUs)
+        getHandle.registerTimer(Math.floorDiv(maxUs, 1000L) + ttlMs)
+      }
+    }
+
+    /** Evict the whole key once idle past the TTL: every buffered row is
+      * already folded+purged (their event-times precede last-seen, which
+      * precedes the watermark by ttl), so dropping the accumulator is the
+      * only state change a late revival would observe — it re-folds from
+      * cold, the A5 re-appearing-visitor semantic. */
+    private def expireIfIdle(wm: Long): Boolean = {
+      if (ttlMs <= 0L || !vseen.exists()) return false
+      if (wm < Math.floorDiv(vseen.get(), 1000L) + ttlMs) return false
+      // a buffered row newer than last-seen is impossible (touch tracks
+      // the max), so pend is empty after purgeFolded unless rows sit
+      // ABOVE the watermark — and those imply last-seen > wm - ttl
+      pend.clear(); vacc.clear(); vcut.clear(); vseq.clear(); vseen.clear()
+      // materialize before deleting — no mutation under the live iterator
+      getHandle.listTimers().toArray.foreach(getHandle.deleteTimer)
+      true
+    }
+
     override def handleInputRows(key: (Long, String),
         rows: Iterator[FoldEv],
         timerValues: TimerValues): Iterator[FoldOut] = {
       purgeFolded()
-      rows.foreach { e =>
-        // getValue returns null on a missing key — one store op per row
-        // instead of containsKey + getValue
-        val prior = pend.getValue(e.us)
-        val next =
-          if (prior == null) Array((e.event_id, e.c))
-          else prior :+ ((e.event_id, e.c))
-        pend.updateValue(e.us, next)
+      // accumulate the batch's rows per timestamp on the task heap, flush
+      // each full buffer as FRESH chunks — one store write per touched
+      // timestamp per flush, zero reads (ADVICE r15: the per-row
+      // read-modify-write was O(n²) store bytes on a hot timestamp)
+      var seq = if (vseq.exists()) vseq.get() else 0L
+      val buf = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+      var nBuf = 0
+      var maxUs = Long.MinValue
+      def flush(): Unit = if (nBuf > 0) {
+        buf.foreach { case (us, rs) => pend.updateValue((us, seq), rs.toArray) }
+        seq += 1L; buf.clear(); nBuf = 0
       }
+      rows.foreach { e =>
+        buf.getOrElseUpdate(e.us,
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]) +=
+          ((e.event_id, e.c))
+        nBuf += 1
+        if (e.us > maxUs) maxUs = e.us
+        if (nBuf >= flushRows) flush()
+      }
+      flush()
+      vseq.update(seq)
+      touch(maxUs)
       arm(timerValues)
       Iterator.empty
     }
@@ -132,19 +209,36 @@ object WatermarkFold {
         expiredTimerInfo: ExpiredTimerInfo): Iterator[FoldOut] = {
       purgeFolded()
       val wm = timerValues.getCurrentWatermarkInMs()
-      // foldable timestamps: at or before the watermark millisecond —
-      // Spark's late filter is inclusive, so none can receive more rows
-      val ready = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // foldable timestamps: anything in or before the watermark's
+      // MILLISECOND — Spark's late filter drops that entire millisecond
+      // on arrival (WmLateBoundarySpec), so none can receive more rows
+      val boundUs = wm * 1000L + 999L
+      val chunksByUs = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
       var pendingLater = false
       val it = pend.keys()
       while (it.hasNext) {
         val k = it.next()
-        if (msOf(k) <= wm) ready += k else pendingLater = true
+        if (k._1 <= boundUs)
+          chunksByUs.getOrElseUpdate(k._1,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += k._2
+        else pendingLater = true
       }
       if (pendingLater) arm(timerValues)
-      if (ready.isEmpty) return Iterator.empty
-      val ks = ready.toArray
+      if (chunksByUs.isEmpty) {
+        if (!pendingLater && expireIfIdle(wm)) return Iterator.empty
+        return Iterator.empty
+      }
+      val ks = chunksByUs.keysIterator.toArray
       java.util.Arrays.sort(ks)
+      // one timestamp's rows = its chunks concatenated, ordered by id
+      def rowsAt(us: Long): Array[(Long, Long)] = {
+        val cs = chunksByUs(us)
+        val all =
+          if (cs.length == 1) pend.getValue((us, cs(0)))
+          else Array.concat(cs.map(c => pend.getValue((us, c))).toSeq: _*)
+        all.sortBy(_._1)
+      }
       val acc0 = if (vacc.exists()) Some(vacc.get()) else None
       def foldRow(st: Option[Array[Long]], us: Long, ev: (Long, Long)) =
         step(st, FoldEv(ev._1, key._1, key._2, us, ev._2, null))
@@ -152,19 +246,15 @@ object WatermarkFold {
       // accumulator over every ready row in (us, event_id) order and
       // commit the post-fold state + the fold cut BEFORE any emission
       var st = acc0
-      ks.foreach { k =>
-        pend.getValue(k).sortBy(_._1).foreach { e =>
-          st = Some(foldRow(st, k, e)._1)
-        }
-      }
+      ks.foreach { k => rowsAt(k).foreach { e => st = Some(foldRow(st, k, e)._1) } }
       st.foreach(vacc.update)
-      vcut.update(wm)
+      vcut.update(boundUs)
       // pass 2 (lazy): re-derive the identical fold from the pre-firing
       // accumulator, yielding output rows as downstream consumes them —
       // the buffered rows stay in the store until the next purge
       var st2 = acc0
       ks.iterator.flatMap { k =>
-        pend.getValue(k).sortBy(_._1).iterator.flatMap { e =>
+        rowsAt(k).iterator.flatMap { e =>
           val (s2, emit) = foldRow(st2, k, e)
           st2 = Some(s2)
           emit.map { case (v1, v2, v3) =>
@@ -177,14 +267,17 @@ object WatermarkFold {
 
   /** Run `step` as a watermark-ordered fold over a stream of [[FoldEv]]
     * (watermark already applied on `ts`), keyed by (user_id, sub).
+    * `ttlMs > 0` evicts a key's state once the watermark passes its
+    * last-seen event-time by that much (see the TTL note above).
     * Requires the RocksDB state store provider
     * ([[Runner.useRocksDBStateStore]]) — transformWithState's contract. */
-  def apply(typed: Dataset[FoldEv], step: Step): DataFrame = {
+  def apply(typed: Dataset[FoldEv], step: Step, ttlMs: Long = 0L,
+      flushRows: Int = FlushRows): DataFrame = {
     val s = typed.sparkSession
     import s.implicits._
     typed
       .groupByKey(e => (e.user_id, e.sub))
-      .transformWithState(new Processor(step),
+      .transformWithState(new Processor(step, ttlMs, flushRows),
         TimeMode.EventTime(), OutputMode.Append(),
         Encoders.product[FoldOut])
       .toDF()
