@@ -213,9 +213,9 @@ object Bench {
     * suite-order/JVM-launch dependent, diagnosable with examples.FpDump.
     * The failure mode is conservative: a spurious definition_changed=true
     * widens scrutiny on those entries, it never hides a change. */
-  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): Option[String] =
+  private[graft] def planNormalized(df: org.apache.spark.sql.DataFrame): Option[String] =
     try {
-      val norm = df.queryExecution.analyzed.canonicalized.toString
+      Some(df.queryExecution.analyzed.canonicalized.toString
         .replaceAll("/tmp/\\S*", "<tmp>")
         .replaceAll("file:\\S*", "<loc>")
         .replaceAll("/root/testdata/\\S*", "<sf>")
@@ -224,10 +224,14 @@ object Bench {
         // per JVM — the r11 bug that bumped 21 stable queries to
         // "changed": normalize both (BenchDefsSpec pins this)
         .replaceAll("@[0-9a-fA-F]{1,16}\\b", "@obj")
-        .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "<lambda>")
-      val md = java.security.MessageDigest.getInstance("MD5")
-      Some(md.digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "<lambda>"))
     } catch { case _: Throwable => None }
+
+  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): Option[String] =
+    planNormalized(df).map { norm =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
 
   /** bench_defs.json: per-query plan fingerprint + the round label at
     * which it last changed ("since"). Committed alongside the bench
@@ -303,8 +307,16 @@ object Bench {
     }
 
     // plan fingerprint per query, captured on its first successful build
-    // this run (feeds bench_defs.json / definition_changed_since_best_prior)
+    // this run (feeds bench_defs.json / definition_changed_since_best_prior).
+    // The NORMALIZED STRING is kept alongside (transient, dropped after
+    // the defs merge): when a fingerprint flips vs bench_defs.json, the
+    // string is dumped to profiles/fp_drift/<name>.txt — a committed
+    // path — so the next unexplained toggle (the a29/a30/
+    // x_multimodal_features family, stable isolated but flipping across
+    // full-suite runs — ADVICE r14/VERDICT r15 #8) leaves the actual
+    // plan text to diff instead of just two hashes.
     val planFps = scala.collection.mutable.Map.empty[String, String]
+    val planTexts = scala.collection.mutable.Map.empty[String, String]
     /** One timed run; None on failure (logged). */
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       // JMH-style hygiene, OUTSIDE the timed section: staged/checkpointed
@@ -318,7 +330,12 @@ object Bench {
       try {
         val df = fn(spark, sfDir)
         if (!planFps.contains(name))
-          planFingerprint(df).foreach(planFps(name) = _)
+          planNormalized(df).foreach { norm =>
+            planTexts(name) = norm
+            val md = java.security.MessageDigest.getInstance("MD5")
+            planFps(name) =
+              md.digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          }
         df.write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
       } catch {
@@ -383,7 +400,25 @@ object Bench {
         case None => (fp, runLabel)
       })
     }
-    if (!isChild) saveDefs(defsPath, runLabel, newDefs)
+    if (!isChild) {
+      saveDefs(defsPath, runLabel, newDefs)
+      // fingerprint flipped vs the recorded def → leave the plan text
+      // behind for the diff (see planTexts note above)
+      planFps.foreach { case (name, fp) =>
+        oldDefs.get(name) match {
+          case Some((oldFp, _)) if oldFp.nonEmpty && oldFp != fp =>
+            planTexts.get(name).foreach { txt =>
+              try {
+                val d = java.nio.file.Paths.get(baseDir, "profiles", "fp_drift")
+                java.nio.file.Files.createDirectories(d)
+                java.nio.file.Files.writeString(d.resolve(s"$name.txt"), txt)
+              } catch { case _: java.io.IOException => () }
+            }
+          case _ => ()
+        }
+      }
+    }
+    planTexts.clear()
     def defChangedSince(name: String, bestPriorSrc: String): Boolean =
       newDefs.get(name).exists { case (_, since) =>
         roundNum(since, maxBench) > roundNum(bestPriorSrc, maxBench) }

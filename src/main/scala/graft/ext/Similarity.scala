@@ -258,11 +258,20 @@ object Similarity {
       nProbe: Int = 2): DataFrame = {
     val (probedDf, probedCells) =
       probeCells(embeddings, idCol, vecCol, clusterCol, queries, nProbe)
+    scanProbed(embeddings, idCol, vecCol, clusterCol, queries, k,
+      probedDf, probedCells)
+  }
+
+  /** The candidate stage shared by [[ivfTopK]] and [[ivfTopKHier]]: scan
+    * only the probed cells, score with the native fused-loop expression
+    * (bit-identical to the composed zip_with form — x_ann_native_expr
+    * shares x_ann_bruteforce's oracle), bounded-heap rank to top-k. The
+    * centroid scoring in the probe stages stays composed: centroids are
+    * double arrays, vec_cosine reads floats. */
+  private def scanProbed(embeddings: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, queries: DataFrame, k: Int,
+      probedDf: DataFrame, probedCells: Seq[Any]): DataFrame = {
     val session = embeddings.sparkSession
-    // candidate scoring through the native fused-loop expression
-    // (bit-identical to the composed zip_with form — x_ann_native_expr
-    // shares x_ann_bruteforce's oracle). The centroid scoring above stays
-    // composed: centroids are double arrays, vec_cosine reads floats.
     graft.functions.VectorCosine.register(session)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
     val cand = embeddings
@@ -360,6 +369,145 @@ object Similarity {
       } finally exact.unpersist()
     }
     res
+  }
+
+  // ---------- two-level coarse quantizer groundwork (VERDICT r15 #6) --
+
+  /** Deterministic driver-side Lloyd's over the COLLECTED centroid rows
+    * (≤ nLists by contract — the set [[probeCells]] already holds on the
+    * driver): groups the cells into `g` super-cells by cosine argmax,
+    * seeds = the first g centroids in cluster order, ties → the smaller
+    * super id, zero-norm scores skipped with a group-0 fallback — the
+    * same determinism rules as [[kmeansAssign]], run on ≤ nLists rows of
+    * driver memory. Returns each centroid's super-group id. */
+  private def driverGroups(vecs: Array[Array[Double]], g: Int,
+      iters: Int = 4): Array[Int] = {
+    if (vecs.isEmpty) return Array.empty
+    val dims = vecs(0).length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var s = 0.0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    var sup: Array[Array[Double]] = vecs.take(g).map(_.clone())
+    val assign = new Array[Int](vecs.length)
+    for (_ <- 0 until iters) {
+      val supN = sup.map(v => math.sqrt(dot(v, v)))
+      var i = 0
+      while (i < vecs.length) {
+        var best = -1; var bestS = Double.NaN
+        var j = 0
+        while (j < sup.length) {
+          val s = dot(vecs(i), sup(j)) / supN(j)
+          if (!s.isNaN && (best < 0 || s > bestS)) { best = j; bestS = s }
+          j += 1
+        }
+        assign(i) = if (best < 0) 0 else best
+        i += 1
+      }
+      val sums = Array.fill(sup.length)(new Array[Double](dims))
+      val cnt = new Array[Long](sup.length)
+      i = 0
+      while (i < vecs.length) {
+        val a = assign(i); cnt(a) += 1
+        var d = 0
+        while (d < dims) { sums(a)(d) += vecs(i)(d); d += 1 }
+        i += 1
+      }
+      sup = sup.indices.map { j =>
+        if (cnt(j) == 0) sup(j) // empty group keeps its centroid
+        else sums(j).map(_ / cnt(j))
+      }.toArray
+    }
+    assign
+  }
+
+  /** Two-level IVF probe (SCALING §11e "next two decades" groundwork):
+    * when cells ≳ 10⁴ the FLAT coarse scan — every query scored against
+    * every cell centroid — stops being noise, especially at production
+    * query volume. This variant ranks ⌈√cells⌉ super-centroids first
+    * (built by [[driverGroups]] over the already-collected centroid
+    * rows), keeps the top `superProbe` groups per query, and scores only
+    * those groups' cell centroids: coarse work per query drops from
+    * Θ(cells) to Θ(√cells · superProbe). With superProbe ≥ the group
+    * count the probed cells — and therefore the output — equal
+    * [[ivfTopK]]'s exactly (HierProbeSpec pins it); smaller superProbe
+    * trades coarse-ranking recall for the √ cost, measured in
+    * examples.HierProbeRehearsal. The candidate stage is [[scanProbed]],
+    * shared verbatim with the flat path. */
+  def ivfTopKHier(embeddings: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, queries: DataFrame, k: Int, nProbe: Int = 2,
+      superProbe: Int = 4): DataFrame = {
+    val (probedDf, probedCells) = probeCellsHier(embeddings, idCol, vecCol,
+      clusterCol, queries, nProbe, superProbe)
+    scanProbed(embeddings, idCol, vecCol, clusterCol, queries, k,
+      probedDf, probedCells)
+  }
+
+  private def probeCellsHier(embeddings: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, queries: DataFrame,
+      nProbe: Int, superProbe: Int): (DataFrame, Seq[Any]) = {
+    val cents = centroids(embeddings, clusterCol, vecCol)
+    val centRows = cents.orderBy("cluster").collect()
+    val vecsD = centRows.map(_.getSeq[Double](1).toArray)
+    val g = math.max(1, math.ceil(math.sqrt(centRows.length.toDouble)).toInt)
+    val sup = driverGroups(vecsD, g)
+    // super-centroid table: mean of member cell centroids, dense ids
+    // over the non-empty groups only
+    val denseSid = sup.distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    val dims = if (vecsD.isEmpty) 0 else vecsD(0).length
+    val superVecs = sup.zipWithIndex.groupBy(_._1).toSeq
+      .map { case (s, members) =>
+        val acc = new Array[Double](dims)
+        members.foreach { case (_, i) =>
+          var d = 0; while (d < dims) { acc(d) += vecsD(i)(d); d += 1 } }
+        (denseSid(s), acc.map(_ / members.length).toSeq)
+      }
+    val spark0 = embeddings.sparkSession
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ceField = cents.schema.fields(1).copy(name = "ce")
+    val superDf = spark0.createDataFrame(
+      java.util.Arrays.asList(superVecs.map { case (sid, v) =>
+        org.apache.spark.sql.Row(sid, v) }: _*),
+      StructType(Seq(StructField("_sid", LongType), ceField)))
+    val localCent = spark0.createDataFrame(
+      java.util.Arrays.asList(centRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i + 1L, denseSid(sup(i)),
+          r.get(1)) }: _*),
+      StructType(Seq(
+        cents.schema.fields.head.copy(name = "cluster"),
+        StructField("_cidx", LongType), StructField("_sid", LongType),
+        ceField)))
+    val cidx = localCent.select(col("cluster"), col("_cidx"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
+      .withColumn("qn", norm("qe"))
+    // stage A: rank the ⌈√cells⌉ super-centroids per query
+    val sScored = q.crossJoin(broadcast(superDf.withColumn("cn", norm("ce"))))
+      .withColumn("cosine",
+        floor(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("cn"))) * 1000000.0)
+          / 1000000.0)
+    val pSup = rankTopK(
+        sScored.select(col("qid"), col("_sid").as("cid"), col("cosine")),
+        superProbe)
+      .select(col("qid"), col("cid").as("_sid"))
+    // stage B: score ONLY the probed groups' cell centroids (the _sid
+    // equi-join is the pruning — Θ(√cells · superProbe) rows per query)
+    val cScored = pSup
+      .join(q, Seq("qid"))
+      .join(broadcast(localCent.withColumn("cn", norm("ce"))), Seq("_sid"))
+      .withColumn("cosine",
+        floor(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("cn"))) * 1000000.0)
+          / 1000000.0)
+    val probed = rankTopK(
+        cScored.select(col("qid"), col("_cidx").as("cid"), col("cosine")),
+        nProbe)
+      .select(col("qid"), col("cid").as("_cidx"))
+      .join(broadcast(cidx), Seq("_cidx"))
+      .select("qid", "cluster")
+    val probedRows = probed.collect()
+    val probedDf = spark0.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probed.schema)
+    (probedDf, probedRows.map(_.get(1)).distinct.toSeq)
   }
 
   /** IVF-PQ + exact re-rank under the same coded policy: cells = ⌈√N⌉,
