@@ -80,7 +80,30 @@ object AnnScaleRehearsal {
         e.join(cells, Seq("vec_id"))
       }
 
+      // the CODED policy (VERDICT r15 #2): cells = ⌈√N⌉, near-constant
+      // nProbe. The layout is built ONCE per size OUTSIDE the timed
+      // section — the production split the policy encodes (quantizer =
+      // ingest artifact; the √N claim is about QUERY wall) — with a
+      // sample-fit at large N (the kmeansAssign 100 TB discipline).
+      val cellsPolicy = Similarity.policyCells(n)
+      lazy val policyLayout = {
+        val cells = Similarity.kmeansAssign(e, "vec_id", "embedding",
+          k = cellsPolicy, iters = 3,
+          fitFraction = math.min(1.0, 100000.0 / n))
+          .withColumnRenamed("id", "vec_id")
+        val l = e.join(cells, Seq("vec_id")).persist()
+        l.count()
+        l
+      }
+
       val variants: Seq[(String, () => DataFrame)] = Seq(
+        "ivf_policy" -> (() =>
+          Similarity.ivfPolicyTopK(policyLayout, "vec_id", "embedding",
+            "cluster", q, k = 5, cells = cellsPolicy)),
+        "ivf_policy_audit" -> (() =>
+          Similarity.ivfPolicyTopK(policyLayout, "vec_id", "embedding",
+            "cluster", q, k = 5, cells = cellsPolicy, minRecall = 0.9,
+            exactTruth = Some(exact))),
         "ivf_kmeans_fixed" -> (() =>
           Similarity.ivfTopK(kmeansClustered(cellsFixed), "vec_id",
             "embedding", "cluster", q, k = 5, nProbe = probeFixed)),
@@ -120,8 +143,19 @@ object AnnScaleRehearsal {
             dim = 64, kProj = 16, coarseC = coarseCScaled, k = 5)))
 
       out.append(s""","$size":{"n":$n,"cells_scaled":$cellsScaled""" +
-        s""","probe_scaled":$probeScaled,"coarseC_scaled":$coarseCScaled""")
-      for ((name, mk) <- variants) {
+        s""","probe_scaled":$probeScaled,"coarseC_scaled":$coarseCScaled""" +
+        s""","cells_policy":$cellsPolicy""")
+      // ANN_REHEARSAL_ONLY=<substring[,substring…]> narrows the variant
+      // set (e.g. "policy" re-measures just the r16 policy rows without
+      // re-paying the full §11e matrix at 2M)
+      val onlySel = sys.env.get("ANN_REHEARSAL_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      val selected = onlySel match {
+        case Some(subs) => variants.filter { case (nm, _) =>
+          subs.exists(nm.contains) }
+        case None => variants
+      }
+      for ((name, mk) <- selected) {
         HostProbe.waitForQuiet(quietBudget, s"ann-rehearsal:$name")
         val hits = exact
           .join(mk().select("qid", "cid"), Seq("qid", "cid"), "left_semi")
@@ -141,6 +175,7 @@ object AnnScaleRehearsal {
         System.err.println(f"[ann-rehearsal] $size $name%-20s recall=$recall%.3f median=${median(times)}%.3f s (foreign $others%.2f cores)")
       }
       out.append("}")
+      if (selected.exists(_._1.contains("policy"))) policyLayout.unpersist()
       e.unpersist(); exact.unpersist()
     }
     out.append("}")

@@ -84,11 +84,13 @@ object Warehouse {
       }.mkString(",")
       val ph = phases.map { case (n, ms) => s""""$n":$ms""" }.mkString(",")
       val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+      val (fsP50, fsMax) = WhProf.fsyncProbe()
       val line =
         s"""{"ts_ms":${System.currentTimeMillis()},"note":"$note",""" +
           s""""cores":${Runtime.getRuntime.availableProcessors},""" +
           s""""jvm_uptime_ms":${rt.getUptime},""" +
           s""""gc_ms":${WhProf.gcMs - gc0},""" +
+          f""""fsync_p50_ms":$fsP50%.2f,"fsync_max_ms":$fsMax%.2f,""" +
           s""""total_ms":${(System.nanoTime() - born) / 1000000L},""" +
           s""""phases":{$ph},"queries":{$perQ}}"""
       try {
@@ -107,6 +109,31 @@ object Warehouse {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    /** Small-file fsync latency (p50, max over 32 samples) on the same
+      * filesystem the chain's checkpoints live on (java.io.tmpdir). The
+      * warehouse commits ~45 micro-batches × 10 queries, each a handful
+      * of offset/commit-log fsyncs — an environment with slow DURABILITY
+      * (not slow throughput: the bench's MB/s io probe misses it) taxes
+      * exactly this query and nothing else in the suite. */
+    private[Warehouse] def fsyncProbe(): (Double, Double) = try {
+      val dir = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"), "graft_fsync_probe")
+      java.nio.file.Files.createDirectories(dir)
+      val samples = (0 until 32).map { i =>
+        val f = dir.resolve(s"s$i")
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          ch.write(java.nio.ByteBuffer.wrap(Array.fill(64)(i.toByte)))
+          ch.force(true)
+        } finally ch.close()
+        java.nio.file.Files.deleteIfExists(f)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      (samples(samples.length / 2), samples.last)
+    } catch { case _: java.io.IOException => (-1.0, -1.0) }
   }
 
   /** File-topic + checkpoint layout for one chain run. */
