@@ -100,13 +100,13 @@ object WatermarkFold {
     // implicit and the event-time is in the map key, so each element is
     // just (event_id, c) — half the RocksDB value bytes and encoder work
     // of storing the full event. The map key is (event_us, chunk): a
-    // flush writes each touched timestamp one fresh chunk keyed by the
-    // per-key flush sequence, so no store value is ever read back and
+    // flush writes each touched timestamp one fresh chunk keyed by its
+    // first buffered event_id (unique by contract — see
+    // handleInputRows), so no store value is ever read back and
     // re-written (write bytes O(rows), not O(rows²) on a hot timestamp)
     @transient private var pend: MapState[(Long, Long), Array[(Long, Long)]] = _
     @transient private var vacc: ValueState[Array[Long]] = _
     @transient private var vcut: ValueState[Long] = _
-    @transient private var vseq: ValueState[Long] = _
     @transient private var vseen: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
@@ -116,8 +116,6 @@ object WatermarkFold {
       vacc = getHandle.getValueState[Array[Long]]("acc",
         ExpressionEncoder[Array[Long]](), TTLConfig.NONE)
       vcut = getHandle.getValueState[Long]("cut",
-        Encoders.scalaLong, TTLConfig.NONE)
-      vseq = getHandle.getValueState[Long]("seq",
         Encoders.scalaLong, TTLConfig.NONE)
       vseen = getHandle.getValueState[Long]("seen",
         Encoders.scalaLong, TTLConfig.NONE)
@@ -166,7 +164,7 @@ object WatermarkFold {
       // a buffered row newer than last-seen is impossible (touch tracks
       // the max), so pend is empty after purgeFolded unless rows sit
       // ABOVE the watermark — and those imply last-seen > wm - ttl
-      pend.clear(); vacc.clear(); vcut.clear(); vseq.clear(); vseen.clear()
+      pend.clear(); vacc.clear(); vcut.clear(); vseen.clear()
       // materialize before deleting — no mutation under the live iterator
       getHandle.listTimers().toArray.foreach(getHandle.deleteTimer)
       true
@@ -179,15 +177,23 @@ object WatermarkFold {
       // accumulate the batch's rows per timestamp on the task heap, flush
       // each full buffer as FRESH chunks — one store write per touched
       // timestamp per flush, zero reads (ADVICE r15: the per-row
-      // read-modify-write was O(n²) store bytes on a hot timestamp)
-      var seq = if (vseq.exists()) vseq.get() else 0L
+      // read-modify-write was O(n²) store bytes on a hot timestamp).
+      // A chunk's map key is (us, FIRST event_id buffered for that us in
+      // this flush): event ids are unique by contract (the fold's own
+      // (us, event_id) tiebreak), so chunk keys never collide — across
+      // flushes, batches, or a replay (a failed attempt's writes roll
+      // back with the uncommitted state version). Content-derived ids
+      // cost ZERO extra state ops per (key, batch) — the r16.0 shape
+      // kept a persistent sequence counter, whose read+write per key per
+      // batch measurably taxed the many-keys/tiny-batches twins.
       val buf = scala.collection.mutable.HashMap
         .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
       var nBuf = 0
       var maxUs = Long.MinValue
       def flush(): Unit = if (nBuf > 0) {
-        buf.foreach { case (us, rs) => pend.updateValue((us, seq), rs.toArray) }
-        seq += 1L; buf.clear(); nBuf = 0
+        buf.foreach { case (us, rs) =>
+          pend.updateValue((us, rs.head._1), rs.toArray) }
+        buf.clear(); nBuf = 0
       }
       rows.foreach { e =>
         buf.getOrElseUpdate(e.us,
@@ -198,7 +204,6 @@ object WatermarkFold {
         if (nBuf >= flushRows) flush()
       }
       flush()
-      vseq.update(seq)
       touch(maxUs)
       arm(timerValues)
       Iterator.empty
@@ -213,30 +218,67 @@ object WatermarkFold {
       // MILLISECOND — Spark's late filter drops that entire millisecond
       // on arrival (WmLateBoundarySpec), so none can receive more rows
       val boundUs = wm * 1000L + 999L
-      val chunksByUs = scala.collection.mutable.HashMap
-        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      // pending (us, chunk) keys, UNBOXED: pairs packed flat into one
+      // growable long[] — at millions of pending entries (the 8M-row
+      // hot-key probe) a boxed tuple buffer is ~450 MB of header/ref
+      // overhead and alone breaks the 512 MiB contract; 16 bytes/entry
+      // keeps the fold inside the documented heap profile
+      var pairs = new Array[Long](2048)
+      var nPend = 0
       var pendingLater = false
       val it = pend.keys()
       while (it.hasNext) {
         val k = it.next()
-        if (k._1 <= boundUs)
-          chunksByUs.getOrElseUpdate(k._1,
-            scala.collection.mutable.ArrayBuffer.empty[Long]) += k._2
-        else pendingLater = true
+        if (k._1 <= boundUs) {
+          if (2 * nPend == pairs.length)
+            pairs = java.util.Arrays.copyOf(pairs, pairs.length * 2)
+          pairs(2 * nPend) = k._1; pairs(2 * nPend + 1) = k._2
+          nPend += 1
+        } else pendingLater = true
       }
       if (pendingLater) arm(timerValues)
-      if (chunksByUs.isEmpty) {
-        if (!pendingLater && expireIfIdle(wm)) return Iterator.empty
+      if (nPend == 0) {
+        if (!pendingLater) expireIfIdle(wm)
         return Iterator.empty
       }
-      val ks = chunksByUs.keysIterator.toArray
-      java.util.Arrays.sort(ks)
+      // in-place quicksort of the packed pairs by us (chunk order within
+      // a timestamp is irrelevant — rows re-sort by event_id below)
+      def qsort(lo: Int, hi: Int): Unit = if (lo < hi) {
+        val p = pairs(2 * (lo + (hi - lo) / 2))
+        var i = lo; var j = hi
+        while (i <= j) {
+          while (pairs(2 * i) < p) i += 1
+          while (pairs(2 * j) > p) j -= 1
+          if (i <= j) {
+            val a = pairs(2 * i); val b = pairs(2 * i + 1)
+            pairs(2 * i) = pairs(2 * j); pairs(2 * i + 1) = pairs(2 * j + 1)
+            pairs(2 * j) = a; pairs(2 * j + 1) = b
+            i += 1; j -= 1
+          }
+        }
+        qsort(lo, j); qsort(i, hi)
+      }
+      qsort(0, nPend - 1)
+      // run boundaries per distinct us, unboxed
+      var runStarts = new Array[Int](1024)
+      var nRuns = 0
+      var ri = 0
+      while (ri < nPend) {
+        if (nRuns == runStarts.length)
+          runStarts = java.util.Arrays.copyOf(runStarts, runStarts.length * 2)
+        runStarts(nRuns) = ri; nRuns += 1
+        val us = pairs(2 * ri)
+        while (ri < nPend && pairs(2 * ri) == us) ri += 1
+      }
+      if (nRuns == runStarts.length)
+        runStarts = java.util.Arrays.copyOf(runStarts, runStarts.length + 1)
+      runStarts(nRuns) = nPend
       // one timestamp's rows = its chunks concatenated, ordered by id
-      def rowsAt(us: Long): Array[(Long, Long)] = {
-        val cs = chunksByUs(us)
+      def rowsAt(i0: Int, i1: Int): Array[(Long, Long)] = {
+        def chunk(i: Int) = pend.getValue((pairs(2 * i), pairs(2 * i + 1)))
         val all =
-          if (cs.length == 1) pend.getValue((us, cs(0)))
-          else Array.concat(cs.map(c => pend.getValue((us, c))).toSeq: _*)
+          if (i1 - i0 == 1) chunk(i0)
+          else Array.concat((i0 until i1).map(chunk): _*)
         all.sortBy(_._1)
       }
       val acc0 = if (vacc.exists()) Some(vacc.get()) else None
@@ -246,19 +288,27 @@ object WatermarkFold {
       // accumulator over every ready row in (us, event_id) order and
       // commit the post-fold state + the fold cut BEFORE any emission
       var st = acc0
-      ks.foreach { k => rowsAt(k).foreach { e => st = Some(foldRow(st, k, e)._1) } }
+      var r = 0
+      while (r < nRuns) {
+        val i0 = runStarts(r); val us = pairs(2 * i0)
+        rowsAt(i0, runStarts(r + 1)).foreach { e =>
+          st = Some(foldRow(st, us, e)._1)
+        }
+        r += 1
+      }
       st.foreach(vacc.update)
       vcut.update(boundUs)
       // pass 2 (lazy): re-derive the identical fold from the pre-firing
       // accumulator, yielding output rows as downstream consumes them —
       // the buffered rows stay in the store until the next purge
       var st2 = acc0
-      ks.iterator.flatMap { k =>
-        rowsAt(k).iterator.flatMap { e =>
-          val (s2, emit) = foldRow(st2, k, e)
+      (0 until nRuns).iterator.flatMap { r2 =>
+        val i0 = runStarts(r2); val us = pairs(2 * i0)
+        rowsAt(i0, runStarts(r2 + 1)).iterator.flatMap { e =>
+          val (s2, emit) = foldRow(st2, us, e)
           st2 = Some(s2)
           emit.map { case (v1, v2, v3) =>
-            FoldOut(e._1, key._1, key._2, k, v1, v2, v3)
+            FoldOut(e._1, key._1, key._2, us, v1, v2, v3)
           }
         }
       }
