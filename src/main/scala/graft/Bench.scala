@@ -213,9 +213,57 @@ object Bench {
     * suite-order/JVM-launch dependent, diagnosable with examples.FpDump.
     * The failure mode is conservative: a spurious definition_changed=true
     * widens scrutiny on those entries, it never hides a change. */
+  /** Split `s` on commas at parenthesis depth 0. */
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var d = 0; var st = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      else if (c == ',' && d == 0) { out += s.substring(st, i).trim; st = i + 1 }
+      i += 1
+    }
+    out += s.substring(st).trim
+    out.result()
+  }
+
+  /** Rewrite every `token(...)` call in `s` (innermost first) by mapping
+    * its top-level argument list through `fix`. Paren-walking, so nested
+    * parens inside arguments are handled; on unbalanced text the rest of
+    * the string passes through untouched (deterministic either way —
+    * which is all fingerprinting needs). */
+  private[graft] def rewriteCalls(s: String, token: String)(
+      fix: Seq[String] => Seq[String]): String = {
+    val t = token + "("
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val j = s.indexOf(t, i)
+      if (j < 0) { sb.append(s.substring(i)); i = s.length }
+      else {
+        sb.append(s.substring(i, j))
+        var d = 1; var k = j + t.length
+        while (k < s.length && d > 0) {
+          val c = s.charAt(k)
+          if (c == '(') d += 1 else if (c == ')') d -= 1
+          k += 1
+        }
+        if (d != 0) { sb.append(s.substring(j)); i = s.length }
+        else {
+          val inner = rewriteCalls(s.substring(j + t.length, k - 1), token)(fix)
+          sb.append(token).append('(')
+            .append(fix(splitTopLevel(inner)).mkString(", ")).append(')')
+          i = k
+        }
+      }
+    }
+    sb.toString
+  }
+
   private[graft] def planNormalized(df: org.apache.spark.sql.DataFrame): Option[String] =
     try {
-      Some(df.queryExecution.analyzed.canonicalized.toString
+      val base = df.queryExecution.analyzed.canonicalized.toString
         .replaceAll("/tmp/\\S*", "<tmp>")
         .replaceAll("file:\\S*", "<loc>")
         .replaceAll("/root/testdata/\\S*", "<sf>")
@@ -224,7 +272,27 @@ object Bench {
         // per JVM — the r11 bug that bumped 21 stable queries to
         // "changed": normalize both (BenchDefsSpec pins this)
         .replaceAll("@[0-9a-fA-F]{1,16}\\b", "@obj")
-        .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "<lambda>"))
+        .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "<lambda>")
+      // r16: the two run-to-run toggle mechanisms, finally caught in the
+      // act by the fp_drift dumps and named (SCALING §12b):
+      // (1) MapObjects deserializers embed a LambdaVariable id drawn from
+      //     a JVM-GLOBAL counter (2 in a fresh JVM, thousands mid-suite)
+      //     that plan canonicalization does not normalize → blank the
+      //     trailing numeric id of every lambdavariable(...);
+      // (2) commutative-operand canonicalization orders by hashCode, and
+      //     MultiCommutativeOp carries a java.lang.Class reference whose
+      //     hashCode is JVM-IDENTITY-based → the printed operand order
+      //     flips between JVM launches → sort the operand list (all args
+      //     but the trailing opClass + evalContext pair) textually.
+      val lvFixed = rewriteCalls(base, "lambdavariable") { args =>
+        if (args.nonEmpty && args.last.nonEmpty && args.last.forall(_.isDigit))
+          args.init :+ "<lv>"
+        else args
+      }
+      Some(rewriteCalls(lvFixed, "multicommutativeop") { args =>
+        if (args.length > 2) args.dropRight(2).sorted ++ args.takeRight(2)
+        else args
+      })
     } catch { case _: Throwable => None }
 
   private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): Option[String] =

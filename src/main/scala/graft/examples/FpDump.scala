@@ -37,12 +37,10 @@ object FpDump {
           .write.format("noop").mode("overwrite").save()
       })
     val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
-    val norm = df.queryExecution.analyzed.canonicalized.toString
-      .replaceAll("/tmp/\\S*", "<tmp>")
-      .replaceAll("file:\\S*", "<loc>")
-      .replaceAll("/root/testdata/\\S*", "<sf>")
-      .replaceAll("@[0-9a-fA-F]{1,16}\\b", "@obj")
-      .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "<lambda>")
+    // the exact normalization Bench hashes (shared — r16: it also blanks
+    // LambdaVariable ids and sorts multicommutativeop operands, the two
+    // named run-to-run toggle mechanisms)
+    val norm = graft.Bench.planNormalized(df).getOrElse("")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), norm)
     spark.stop()
   }

@@ -90,4 +90,35 @@ class BenchDefsSpec extends AnyFunSuite {
     // long query, quiet host, fresh JVM still slower: genuinely unexplained
     assert(Bench.invalidCause(5.0, 0.0, "fresh_jvm") == "unexplained_inversion")
   }
+
+  test("normalization blanks LambdaVariable ids and sorts multicommutativeop operands (the two named toggle mechanisms)") {
+    // (1) MapObjects deserializer ids: a JVM-global counter — 2 in a
+    // fresh JVM, 2987 mid-suite (the r16 fp_drift catch for
+    // x_multimodal_features) — must normalize to the same string
+    val fresh = "mapobjects(lambdavariable(MapObject, ObjectType(class " +
+      "java.lang.Object), true, 2), invoke(lambdavariable(MapObject, " +
+      "ObjectType(class java.lang.Object), true, 2)), x, None)"
+    val suite = fresh.replace(", 2)", ", 2987)")
+    def lv(s: String) = Bench.rewriteCalls(s, "lambdavariable") { args =>
+      if (args.nonEmpty && args.last.nonEmpty && args.last.forall(_.isDigit))
+        args.init :+ "<lv>"
+      else args
+    }
+    assert(lv(fresh) == lv(suite), s"${lv(fresh)} vs ${lv(suite)}")
+    assert(lv(fresh).contains("<lv>"))
+    // (2) commutative operand order: flips with the JVM identity hash of
+    // the embedded Class ref (the x_text_stats catch) — both orders must
+    // normalize identically; the trailing opClass + evalContext stay put
+    val a = "multicommutativeop((0.2 * x), (0.3 * y), class Op, Some(Ctx))"
+    val b = "multicommutativeop((0.3 * y), (0.2 * x), class Op, Some(Ctx))"
+    def mc(s: String) = Bench.rewriteCalls(s, "multicommutativeop") { args =>
+      if (args.length > 2) args.dropRight(2).sorted ++ args.takeRight(2)
+      else args
+    }
+    assert(mc(a) == mc(b))
+    assert(mc(a).endsWith("class Op, Some(Ctx))"))
+    // nested calls normalize too
+    val nested = s"f(${b}, $a)"
+    assert(mc(nested) == s"f(${mc(b)}, ${mc(a)})")
+  }
 }
