@@ -270,6 +270,14 @@ object Dedup {
     // (e.g. 0.6·5), which would SHORTEN the prefix and silently lose
     // recall on an unlucky corpus; the one-sided −1e−9 makes any FP error
     // lengthen it instead (a few extra candidates, zero recall risk)
+    // NOT staged, although the frame feeds both sides of the self-join
+    // below: the duplicated subtree in the un-executed plan text is
+    // collapsed at runtime by ReuseExchange (identical exchange subtrees
+    // execute once), and both sides keep broadcast-joining off the same
+    // built relation. Measured (r16, sf0.1, 3-iter medians): staging this
+    // frame REGRESSED the query 6.07 → 8.08 s — the eager
+    // materialization pays a corpus-sized block write and replaces the
+    // reused broadcast with scans of statistics-less checkpointed blocks.
     val prefixes = perDoc
       .withColumn("p",
         (col("n") - ceil(col("n") * threshold - lit(1e-9)) + lit(1)).cast("int"))
@@ -473,6 +481,12 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy("_b").orderBy("word")).cast("long"))
       .select(col("word"), (col("_r") * DictBuckets + col("_b")).as("wid"))
+    // NOT staged, although `common` feeds both sides of the wide
+    // intersection join below: the duplicated sh⋈dict work is fed by
+    // exchanges ReuseExchange already shares, and an eager
+    // materialization of the (id, wid) rows measured a WASH (r16, sf0.1,
+    // 9-iter medians: 4.57 s staged vs 4.55 s un-staged) while adding a
+    // corpus-sized block write and an executor-loss failure mode.
     val common = sh.join(dict.hint("shuffle_hash"), Seq("word"))
       .select(col("id"), col("wid"))
     // Candidate generation IS the rare-intersection count: the same
