@@ -439,7 +439,20 @@ object ExtOps {
       val docs = t(s, dir, "documents")
       // ground truth: rare-shingle-blocked (df <= 10) exact 3-shingle
       // Jaccard >= 0.5 — one staged shingle scan feeds blocking, sizes,
-      // and both sides of the verification join
+      // and both sides of the verification join.
+      // Two restructures were MEASURED AND REJECTED here (r16, SCALING
+      // §12i — don't re-attempt without new evidence):
+      //  - All-Pairs size prefilter on the candidates: only 24% of the
+      //    436k rare-blocked pairs fail min>=t*max at sf0.1 and the
+      //    verify A/B is a wash (the two extra size joins eat the
+      //    saving);
+      //  - the containment-style rare/common split (candidate join
+      //    doubling as the rare-side intersection count): −31% on the
+      //    ISOLATED gt stage against a warm pre-staged token frame, but
+      //    +40% at the bench (5.6–6.5 → 8.5–9.6 s): each fresh run pays
+      //    two extra eager barriers, one materializing the
+      //    vocabulary-sized df census, and repeated in-JVM iterations
+      //    compound the staged-block load.
       val tok = Dedup.shingleTokens(docs, "text", "doc_id", 3).staged
       val dfreq = tok.groupBy("word").agg(count(lit(1)).as("_d"))
       val rare = tok.join(dfreq.filter(col("_d") <= 10).select("word"),
