@@ -397,6 +397,12 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // fingerprint capture AFTER the timed region (VERDICT r16 #5): the
+        // normalization is a string rewrite over the plan dump — ms-scale,
+        // but it has no business inside the measurement. Same df, same
+        // analyzed plan, so the fingerprint itself is unchanged.
         if (!planFps.contains(name))
           planNormalized(df).foreach { norm =>
             planTexts(name) = norm
@@ -404,8 +410,7 @@ object Bench {
             planFps(name) =
               md.digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
           }
-        df.write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
+        Some(dt)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

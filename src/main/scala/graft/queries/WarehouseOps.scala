@@ -43,8 +43,11 @@ object WarehouseOps {
       val lay = Warehouse.Layout(root)
       val prof = new Warehouse.WhProf
       prof.time("gen_inputs") {
-        Warehouse.genBaseLog(s, dir, lay)
-        Warehouse.genBaseDb(s, dir, lay)
+        // independent batch writes to different topic dirs (guide §2.6);
+        // queries start only after both commit, so ordering is preserved
+        Warehouse.inParallel(Seq(
+          () => Warehouse.genBaseLog(s, dir, lay),
+          () => Warehouse.genBaseDb(s, dir, lay)))
       }
       val qs = prof.time("start_queries")(Warehouse.start(s, lay))
       try {

@@ -270,9 +270,10 @@ object Warehouse {
     * All three lines share one far-future hour, so their own windows stay
     * OPEN (never emitted — sentinel rows never reach the DWS tables) while
     * every real window closes. Per-mid ts stay unique (Bounce contract). */
-  def genSentinel(spark: SparkSession, sfDir: String, lay: Layout): Unit = {
+  def genSentinel(spark: SparkSession, sfDir: String, lay: Layout,
+      horizon: Long = -1L): Unit = {
     import spark.implicits._
-    val t0 = sentinelTs(spark, sfDir)
+    val t0 = if (horizon >= 0L) horizon else sentinelTs(spark, sfDir)
     def common =
       s""""common":{"ar":"1","ba":"-1","ch":"$SentinelMid","is_new":"0","md":"md","mid":"$SentinelMid","os":"os","uid":"-1","vc":"v1"}"""
     val lines = Seq(
@@ -293,9 +294,10 @@ object Warehouse {
     * cart / comment / refund cover their four sku legs. Without these,
     * the db legs' watermarks stall at the ORDERS timeline (2001) and the
     * min policy would hold every 2024 log-side product window open. */
-  def genDbSentinel(spark: SparkSession, sfDir: String, lay: Layout): Unit = {
+  def genDbSentinel(spark: SparkSession, sfDir: String, lay: Layout,
+      horizon: Long = -1L): Unit = {
     import spark.implicits._
-    val t0 = sentinelTs(spark, sfDir)
+    val t0 = if (horizon >= 0L) horizon else sentinelTs(spark, sfDir)
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
     val ct = fmt.format(java.time.Instant.ofEpochMilli(t0))
@@ -577,7 +579,7 @@ object Warehouse {
     // --- BaseLogApp: one consumer, three topic sinks (deployBaseLog shape)
     val repaired = BaseLog.repairIsNew(BaseLog.clean(BaseLog.parse(
       valueStream(spark, lay.topic(OdsBaseLog), odsOptions))))
-    val baseLogQ = repaired.writeStream
+    val baseLogQ = () => repaired.writeStream
       .option("checkpointLocation", lay.ck("base_log"))
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -598,7 +600,7 @@ object Warehouse {
     // --- BaseDBApp: dynamic kafka routing + hbase dim upsert (K2 + K3)
     val routed = DbRouting.route(DbRouting.dropDeletes(DbRouting.parseCdc(
       valueStream(spark, lay.topic(OdsBaseDb), odsOptions))), cfg)
-    val baseDbQ = routed.writeStream
+    val baseDbQ = () => routed.writeStream
       .option("checkpointLocation", lay.ck("base_db"))
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -627,11 +629,11 @@ object Warehouse {
     // --- DWM over dwd_page_log
     val pageStream = KafkaTopology.parsePageLog(
       valueStream(spark, lay.topic(DwdPageLog)))
-    val uvQ = Runner.toParquet(
+    val uvQ = () => Runner.toParquet(
       Apps.uniqueVisit(pageStream, ttlMs = 0L),
       lay.topic(DwmUniqueVisit), lay.ck("unique_visit"),
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
-    val ujQ = Runner.toParquet(
+    val ujQ = () => Runner.toParquet(
       Bounce.detect(pageStream),
       lay.topic(DwmUserJumpDetail), lay.ck("user_jump"),
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
@@ -642,7 +644,7 @@ object Warehouse {
         valueStream(spark, lay.dbTopic(DwdOrderInfo))), "o_"),
       OrderWide.prefixed(KafkaTopology.parseOrderDetail(
         valueStream(spark, lay.dbTopic(DwdOrderDetail))), "d_"))
-    val orderWideQ = joined.writeStream
+    val orderWideQ = () => joined.writeStream
       .option("checkpointLocation", lay.ck("order_wide"))
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -668,7 +670,7 @@ object Warehouse {
         col("split_total_amount"))
     val pw = Apps.paymentWide(KafkaTopology.parsePaymentInfo(
       valueStream(spark, lay.dbTopic(DwdPaymentInfo))), owBack)
-    val paymentWideQ = pw.writeStream
+    val paymentWideQ = () => pw.writeStream
       .option("checkpointLocation", lay.ck("payment_wide"))
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -692,8 +694,8 @@ object Warehouse {
     // watermarked PER LEG before the union (WindowStats.leg): append mode
     // drops rows behind the watermark, and a single post-union node would
     // run ahead of the slower dwm topics and drop their rows as late.
-    def dwsSink(name: String, df: DataFrame): StreamingQuery =
-      df.writeStream
+    def dwsSink(name: String, df: DataFrame): () => StreamingQuery =
+      () => df.writeStream
         .option("checkpointLocation", lay.ck(name))
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -731,12 +733,50 @@ object Warehouse {
           "appraise" -> "string"),
         wrap = WindowStats.leg(_, "2 seconds"))))
 
-    Map(
+    // r17 (guide §2.6): the ten .start() calls each pay synchronous
+    // driver-side analysis + checkpoint setup; the queries are mutually
+    // independent at start time (every topic dir exists, no data flows
+    // until the caller generates it), so launching them from a pool
+    // compresses the start phase from the sum to roughly the max. The
+    // thunks above only defer .start(); each query's plan is unchanged.
+    val defs = Seq(
       "base_log" -> baseLogQ, "base_db" -> baseDbQ,
       "unique_visit" -> uvQ, "user_jump" -> ujQ,
       "order_wide" -> orderWideQ, "payment_wide" -> paymentWideQ,
       "visitor" -> visitorQ, "province" -> provinceQ,
       "keyword" -> keywordQ, "product" -> productQ)
+    val started = new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
+    try
+      inParallel(defs.map { case (name, mk) =>
+        () => { started.put(name, mk()): Unit }
+      })
+    catch { case e: Throwable =>
+      // a failed launch must not leak the queries that did start
+      import scala.jdk.CollectionConverters._
+      started.values().asScala.foreach(q => try q.stop() catch { case _: Throwable => () })
+      throw e
+    }
+    import scala.jdk.CollectionConverters._
+    started.asScala.toMap
+  }
+
+  /** Run independent driver-side units on their own threads and await all
+    * — guide §2.6's overlap-independent-jobs pattern, the same shape as
+    * Curation.inParallelN. Used for (a) the independent input-generation
+    * batch writes and (b) drain barriers WITHIN one topological level
+    * (queries whose inputs are already fully written, so each wait's
+    * completion is independent of the others'). Rethrows the first
+    * failure; the pool is torn down before returning. */
+  private[graft] def inParallel(thunks: Seq[() => Unit]): Unit = {
+    if (thunks.size <= 1) { thunks.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    try {
+      import scala.jdk.CollectionConverters._
+      pool.invokeAll(
+        thunks.map { t =>
+          new java.util.concurrent.Callable[Unit] { def call(): Unit = t() }
+        }.asJava).asScala.foreach(_.get()) // rethrows the first failure
+    } finally pool.shutdown()
   }
 
   /** Drain the chain topologically: upstream processAllAvailable barriers
@@ -747,29 +787,38 @@ object Warehouse {
     * leg's watermark an hour past the horizon, so the bounce timers fire
     * exactly once and every real DWS window CLOSES (append mode emits a
     * window only at watermark passage; processAllAvailable waits for the
-    * watermark-advancing no-data batch that does the emitting). */
+    * watermark-advancing no-data batch that does the emitting).
+    *
+    * r17: barriers within one topological LEVEL run in parallel — safe
+    * exactly when every input of the level is fully written (the prior
+    * level's barriers completed), because then each wait's completion
+    * cannot depend on a sibling's. Across levels the order stays strict:
+    * payment_wide reads the order-wide topic, so its barrier must follow
+    * order_wide's, or its processAllAvailable could observe a momentary
+    * no-new-data gap before order_wide's last file lands and return
+    * under-drained. The two sentinel writes share ONE horizon scan
+    * (sentinelTs was computed twice — two identical events aggregations)
+    * and submit as independent batch jobs. */
   def drainAll(spark: SparkSession, sfDir: String, lay: Layout,
       qs: Map[String, StreamingQuery], prof: WhProf = null): Unit = {
     def t(name: String)(body: => Unit): Unit =
       if (prof == null) body else prof.time(name)(body)
-    t("drain_base_log")(qs("base_log").processAllAvailable())
-    t("drain_base_db")(qs("base_db").processAllAvailable())
-    t("drain_uv_ow")(
-      Seq("unique_visit", "order_wide").foreach(qs(_).processAllAvailable()))
+    def par(names: String*): Unit =
+      inParallel(names.map(n => () => qs(n).processAllAvailable()))
+    t("drain_base")(par("base_log", "base_db"))
+    t("drain_uv_ow")(par("unique_visit", "order_wide"))
     t("drain_pw")(qs("payment_wide").processAllAvailable())
     t("gen_sentinels") {
-      genSentinel(spark, sfDir, lay)
-      genDbSentinel(spark, sfDir, lay)
+      val horizon = sentinelTs(spark, sfDir)
+      inParallel(Seq(
+        () => genSentinel(spark, sfDir, lay, horizon),
+        () => genDbSentinel(spark, sfDir, lay, horizon)))
     }
-    t("drain2_base_log")(qs("base_log").processAllAvailable())
-    t("drain2_base_db")(qs("base_db").processAllAvailable())
-    t("drain2_uv")(qs("unique_visit").processAllAvailable())
+    t("drain2_base")(par("base_log", "base_db"))
     // sentinel batch + timer batches
-    t("drain2_uj")(qs("user_jump").processAllAvailable())
-    t("drain2_ow")(qs("order_wide").processAllAvailable())
+    t("drain2_uv_uj_ow")(par("unique_visit", "user_jump", "order_wide"))
     t("drain2_pw")(qs("payment_wide").processAllAvailable())
-    t("drain2_dws")(Seq("visitor", "province", "keyword", "product")
-      .foreach(qs(_).processAllAvailable()))
+    t("drain2_dws")(par("visitor", "province", "keyword", "product"))
   }
 
   // ------------------------------------------------------------------
@@ -834,13 +883,23 @@ object Warehouse {
     // staged once: the ODS re-parse feeds uv/uj/keyword/product twins and
     // the CDC re-parse + join feeds both the order_ok and payment_ok legs.
     // pgAll keeps the sentinel lines (they drive the leg watermarks); pg
-    // is the twin-content view without them.
-    val pgAll = BaseLog.pageLog(BaseLog.clean(BaseLog.parse(
-      valueBatch(spark, lay.topic(OdsBaseLog))))).staged
+    // is the twin-content view without them. The four stage barriers read
+    // four independent committed wire dirs, so they materialize in
+    // parallel (guide §2.6) — each thunk stages exactly the frame it
+    // would have alone.
+    val stagedFrames = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    inParallel(Seq(
+      () => { stagedFrames.put("pgAll", BaseLog.pageLog(BaseLog.clean(
+        BaseLog.parse(valueBatch(spark, lay.topic(OdsBaseLog))))).staged): Unit },
+      () => { stagedFrames.put("owFull", batchOrderWide(spark, lay).staged): Unit },
+      () => { stagedFrames.put("owWire", orderWideView(
+        valueBatch(spark, lay.topic(DwmOrderWide))).staged): Unit },
+      () => { stagedFrames.put("pwWire", paymentWideView(
+        valueBatch(spark, lay.topic(DwmPaymentWide))).staged): Unit }))
+    val pgAll = stagedFrames.get("pgAll")
     val pg = pgAll.filter(col("common.mid") =!= SentinelMid)
-    val owFull = batchOrderWide(spark, lay).staged
-    val owWire = orderWideView(valueBatch(spark, lay.topic(DwmOrderWide)))
-      .staged
+    val owFull = stagedFrames.get("owFull")
+    val owWire = stagedFrames.get("owWire")
     val owStream = owWire
       .select("order_id", "sku_id", "province_name", "split_total_amount",
         "create_ts")
@@ -849,8 +908,7 @@ object Warehouse {
         col("province_name"),
         col("d_split_total_amount").as("split_total_amount"),
         col("o_create_ts").as("create_ts"))
-    val pwWire = paymentWideView(valueBatch(spark, lay.topic(DwmPaymentWide)))
-      .staged
+    val pwWire = stagedFrames.get("pwWire")
     val pwBatch = batchPaymentWide(spark, lay, owFull)
       .select(col("p_id").as("payment_id"), col("ow_order_id").as("order_id"),
         col("p_create_ts").as("ts"), col("ow_sku_id").as("sku_id"),
@@ -869,14 +927,19 @@ object Warehouse {
     val commentB = skuTsFrame(
       valueBatch(spark, lay.dbTopic("dwd_comment_info")),
       "appraise" -> "string")
-    val provinceWm = finalWatermarkMs(
-      Seq((provinceInput(owWire), 1000L)))
-    val keywordWm = finalWatermarkMs(Seq((
-      pgAll.filter(col("page.last_page_id") === "search" &&
-        col("page.item").isNotNull).select(col("ts")), 2000L)))
-    val productWm = finalWatermarkMs(
-      productLegs(pgAll, favorB, cartB, owWire, pwWire, refundB, commentB)
-        .map(leg => (leg, 2000L)))
+    // three independent 1-row watermark collects over the staged frames —
+    // same §2.6 overlap (each is one small aggregation job)
+    val wms = new Array[Option[Long]](3)
+    inParallel(Seq(
+      () => wms(0) = finalWatermarkMs(
+        Seq((provinceInput(owWire), 1000L))),
+      () => wms(1) = finalWatermarkMs(Seq((
+        pgAll.filter(col("page.last_page_id") === "search" &&
+          col("page.item").isNotNull).select(col("ts")), 2000L))),
+      () => wms(2) = finalWatermarkMs(
+        productLegs(pgAll, favorB, cartB, owWire, pwWire, refundB, commentB)
+          .map(leg => (leg, 2000L)))))
+    val (provinceWm, keywordWm, productWm) = (wms(0), wms(1), wms(2))
     val provinceBatch = closedOnly(
       WindowStats.provinceStats(provinceInput(owWire)), provinceWm)
     val keywordBatch = closedOnly(WindowStats.keywordStats(pg), keywordWm)
