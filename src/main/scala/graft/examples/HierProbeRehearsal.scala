@@ -52,23 +52,38 @@ object HierProbeRehearsal {
     import spark.implicits._
 
     val e0 = spark.read.parquet(base)
-    // 100 trained coarse cells × 100 content-addressed sub-cells = 10⁴
+    // r17: two cell-count shapes — the HierCellsThreshold BOUNDARY
+    // (64 × 64 = 4096, where the routed probe first engages) and the
+    // original 10⁴ (100 trained coarse cells × 100 content-addressed
+    // sub-cells, the §12d shape)
+    // cells100k (316 × 316 ≈ 10⁵, ~20 vectors/cell) anchors the
+    // DistCellsThreshold boundary: the driver-side tiers collect 10⁵
+    // centroid rows and run an O(cells·g·iters) driver Lloyd's there
+    val shapes = Seq(("cells4k", 64, 64), ("cells10k", 100, 100),
+      ("cells100k", 316, 316))
+    def usedHeapMB(): Long = {
+      System.gc()
+      (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) /
+        (1024 * 1024)
+    }
+    val out = new StringBuilder
+    out.append(s"""{"iters":$iters""")
+    for ((shapeName, k1, k2) <- shapes) {
     val trained = Similarity
-      .kmeansAssign(e0, "vec_id", "embedding", k = 100, iters = 3,
+      .kmeansAssign(e0, "vec_id", "embedding", k = k1, iters = 3,
         fitFraction = 0.05)
       .withColumnRenamed("id", "vec_id")
       .withColumnRenamed("cluster", "_c1")
     val e = e0.join(trained, Seq("vec_id"))
       .withColumn("cell",
-        col("_c1").cast("long") * 100L + pmod(xxhash64(col("vec_id")), lit(100L)))
+        col("_c1").cast("long") * k2 + pmod(xxhash64(col("vec_id")), lit(k2.toLong)))
       .drop("_c1")
       .persist()
     val n = e.count()
     val nCells = e.select(countDistinct("cell")).as[Long].head()
-    System.err.println(s"[hier-probe] corpus n=$n cells=$nCells")
+    System.err.println(s"[hier-probe] shape=$shapeName n=$n cells=$nCells")
 
-    val out = new StringBuilder
-    out.append(s"""{"n":$n,"cells":$nCells,"iters":$iters""")
+    out.append(s""","$shapeName":{"n":$n,"cells":$nCells""")
 
     // recall truth for the 16-query panel
     val q16 = e.filter(col("vec_id") < 16)
@@ -83,15 +98,20 @@ object HierProbeRehearsal {
     val nProbe = 8
     for (qn <- Seq(16, 1024)) {
       val q = e.filter(col("vec_id") < qn)
+      // "flat" forces the r16 collect-and-broadcast probe (the baseline;
+      // at these cell counts ivfTopK itself now routes to the distributed
+      // probe above HierCellsThreshold), "hier_sp8" the driver-side
+      // staged variant, "dist_sp8" the routed DISTRIBUTED probe — what
+      // ivfTopK actually runs at cells > threshold.
       val variants: Seq[(String, () => DataFrame)] = Seq(
         "flat" -> (() =>
-          Similarity.ivfTopK(e, "vec_id", "embedding", "cell", q, k = 5,
+          Similarity.ivfTopKFlat(e, "vec_id", "embedding", "cell", q, k = 5,
             nProbe = nProbe)),
-        "hier_sp4" -> (() =>
-          Similarity.ivfTopKHier(e, "vec_id", "embedding", "cell", q, k = 5,
-            nProbe = nProbe, superProbe = 4)),
         "hier_sp8" -> (() =>
           Similarity.ivfTopKHier(e, "vec_id", "embedding", "cell", q, k = 5,
+            nProbe = nProbe, superProbe = 8)),
+        "dist_sp8" -> (() =>
+          Similarity.ivfTopKDist(e, "vec_id", "embedding", "cell", q, k = 5,
             nProbe = nProbe, superProbe = 8)))
       out.append(s""","q$qn":{""")
       var first = true
@@ -117,16 +137,24 @@ object HierProbeRehearsal {
         }
         val wall = (System.nanoTime() - t0) / 1e9
         val others = HostProbe.otherCores(pre, HostProbe.cpuSample(), wall)
+        // VERDICT r16 #3's done-condition: driver heap after the probe —
+        // the flat path holds cells × dims doubles (plus the broadcast it
+        // built); the dist path's driver state is Θ(√cells + |q|·nProbe)
+        val heap = usedHeapMB()
         if (!first) out.append(",")
         first = false
         out.append(
-          f""""$name%s":{"median_sec":${median(times)}%.2f,"agree_flat":$agree%.3f,"recall":$recall%.3f,"others_cores":$others%.2f}""")
+          f""""$name%s":{"median_sec":${median(times)}%.2f,"agree_flat":$agree%.3f,"recall":$recall%.3f,"others_cores":$others%.2f,"heap_mb":$heap%d}""")
         System.err.println(
-          f"[hier-probe] q$qn $name%-9s median=${median(times)}%.2f s agree=$agree%.3f recall=$recall%.3f foreign=$others%.2f")
+          f"[hier-probe] $shapeName q$qn $name%-9s median=${median(times)}%.2f s agree=$agree%.3f recall=$recall%.3f foreign=$others%.2f heap=${heap}MB")
       }
       flatRes.unpersist()
       out.append("}")
     }
+    exact.unpersist()
+    e.unpersist()
+    out.append("}")
+    } // shapes
     out.append("}")
     println(out.toString)
     java.nio.file.Files.createDirectories(

@@ -103,8 +103,22 @@ object Bpe {
     * (nothing left worth merging). The vocabulary is re-staged per round
     * (the k-means/connected-components move) so lineage stays flat. */
   def train(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
-    require(merges > 0, "need at least one merge round")
     val session = docs.sparkSession
+    import session.implicits._
+    trainRules(docs, textCol, merges)
+      .toDF("step", "sym_a", "sym_b", "merged", "weight")
+  }
+
+  /** [[train]]'s loop, returning the merge table as driver rows and
+    * reporting each rule to `onRule` AS SOON as its round settles — the
+    * hook [[trainValidated]] uses to replay-validate round i while round
+    * i+1 is still training (guide §2.6: two independent job chains
+    * overlap instead of running back to back). The default hook is a
+    * no-op; the training computation is identical either way. */
+  private def trainRules(docs: DataFrame, textCol: String, merges: Int,
+      onRule: ((Int, String, String, String, Long)) => Unit = _ => ())
+      : Seq[(Int, String, String, String, Long)] = {
+    require(merges > 0, "need at least one merge round")
     var vocab = wordFreq(docs, textCol).staged
     val rules = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
@@ -119,13 +133,14 @@ object Bpe {
       else {
         val (a, b, w) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        rules += ((step, a, b, a + b, w))
+        val rule = (step, a, b, a + b, w)
+        rules += rule
+        onRule(rule)
         vocab = applyRule(vocab, a, b).staged
         step += 1
       }
     }
-    import session.implicits._
-    rules.toSeq.toDF("step", "sym_a", "sym_b", "merged", "weight")
+    rules.toSeq
   }
 
   /** Bounds-gate replay for [[train]] (the x_approx_distinct_bounds
@@ -154,27 +169,48 @@ object Bpe {
   def trainValidated(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
     val session = docs.sparkSession
     import session.implicits._
-    val table = train(docs, textCol, merges).collect() // bounded: ≤ merges rows
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
-        r.getString(3), r.getLong(4)))
-      .sortBy(_._1)
+    // r17 (guide §2.6): the replay loop consumes ONLY the settled rule
+    // list, and train settles rule i before it touches round i+1 — so the
+    // two loops' job chains are independent and can overlap. Training
+    // runs on a worker thread, handing each rule to the replay loop (this
+    // thread) through a bounded queue the moment its round settles; the
+    // replay's round-i jobs then run concurrently with training's round
+    // i+1..n instead of after round n. Each loop issues exactly the jobs
+    // it issued sequentially, in the same order, on the same inputs —
+    // outputs byte-identical (BpeSpec + the x_bpe_vocab oracle pin them).
+    val queue = new java.util.concurrent
+      .LinkedBlockingQueue[Either[Option[Throwable], (Int, String, String, String, Long)]]()
+    val trainer = new Thread(() => {
+      try {
+        trainRules(docs, textCol, merges, rule => queue.put(Right(rule)))
+        queue.put(Left(None)) // clean end-of-rules
+      } catch { case t: Throwable => queue.put(Left(Some(t))) }
+    }, "bpe-train")
+    trainer.start()
     var wrapped = wordFreq(docs, textCol)
       .select(col("freq"),
         concat(lit("|"), concat_ws("||", col("syms")), lit("|")).as("w"))
       .staged
-    val checks = table.map { case (step, a, b, merged, weight) =>
-      val syms = split(trim(col("w"), "|"), "[|][|]")
-      val top = pairStats(wrapped.select(col("freq"), syms.as("syms")))
-        .orderBy(col("weight").desc, col("sym_a"), col("sym_b"))
-        .limit(1).collect()(0)
-      val argmaxOk = top.getString(0) == a && top.getString(1) == b
-      val weightOk = top.getLong(2) == weight
-      wrapped = wrapped
-        .withColumn("w",
-          replace(col("w"), lit(s"|$a||$b|"), lit(s"|$merged|")))
-        .staged
-      (step, argmaxOk, weightOk)
-    }
+    val checks = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean, Boolean)]
+    try {
+      var done = false
+      while (!done) queue.take() match {
+        case Left(None) => done = true
+        case Left(Some(t)) => throw t
+        case Right((step, a, b, merged, weight)) =>
+          val syms = split(trim(col("w"), "|"), "[|][|]")
+          val top = pairStats(wrapped.select(col("freq"), syms.as("syms")))
+            .orderBy(col("weight").desc, col("sym_a"), col("sym_b"))
+            .limit(1).collect()(0)
+          val argmaxOk = top.getString(0) == a && top.getString(1) == b
+          val weightOk = top.getLong(2) == weight
+          wrapped = wrapped
+            .withColumn("w",
+              replace(col("w"), lit(s"|$a||$b|"), lit(s"|$merged|")))
+            .staged
+          checks += ((step, argmaxOk, weightOk))
+      }
+    } finally trainer.join()
     checks.toSeq.toDF("step", "argmax_ok", "weight_ok")
   }
 

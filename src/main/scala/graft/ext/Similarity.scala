@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Materialize._
 
@@ -203,6 +203,45 @@ object Similarity {
       vecCol: String, clusterCol: String, queries: DataFrame,
       nProbe: Int): (DataFrame, Seq[Any]) = {
     val cents = centroids(embeddings, clusterCol, vecCol)
+    // r17 (VERDICT r16 #3/#4) — three-tier coarse routing, measured in
+    // §13b (HierProbeRehearsal at 4096 / 10⁴ / 10⁵ cells on the 2M
+    // corpus):
+    //   - cells ≤ HierCellsThreshold: the r16 FLAT collect-and-broadcast
+    //     probe, byte-for-byte (one collect, one broadcast — fastest while
+    //     the per-query coarse scan is noise; every declared query at the
+    //     bench SFs lives here, so their plans and results are untouched);
+    //   - ≤ DistCellsThreshold: the TWO-LEVEL staged probe over the
+    //     still-collected rows (the r16 ivfTopKHier machinery at
+    //     superProbe = DistSuperProbe) — the coarse scan falls from
+    //     Θ(cells) to Θ(√cells·superProbe) per query, measured 8.48 →
+    //     5.15 s at 10⁴ cells / 1024 queries; driver state is still the
+    //     cells rows, bounded at ≤ DistCellsThreshold × dims doubles
+    //     (~33 MB at 64 dims) by this routing;
+    //   - above: the fully DISTRIBUTED two-level probe — no centroid
+    //     collect anywhere; driver state falls to Θ(√cells) super-centroid
+    //     literals + |queries|·nProbe probe rows, both bounded at any N.
+    //     Under the √N policy cells = ⌈√N⌉ is unbounded (10⁶ centroids at
+    //     N = 10¹² — hundreds of MB of driver arrays and an O(cells·g)
+    //     driver-side Lloyd's), which is exactly the cliff this arm
+    //     removes. The limit below caps what the driver ever collects.
+    val centRows = cents.orderBy("cluster")
+      .limit(DistCellsThreshold + 1).collect()
+    if (centRows.length > DistCellsThreshold)
+      probeCellsDist(embeddings.sparkSession, cents, idCol, vecCol,
+        queries, nProbe)
+    else if (centRows.length > HierCellsThreshold)
+      probeCellsHierRows(embeddings.sparkSession, cents, centRows,
+        idCol, vecCol, queries, nProbe, DistSuperProbe)
+    else
+      probeCellsFlat(embeddings.sparkSession, cents, centRows, idCol,
+        vecCol, queries, nProbe)
+  }
+
+  /** The r16 flat probe body, over the ALREADY-COLLECTED complete
+    * centroid rows (≤ [[HierCellsThreshold]] of them by routing). */
+  private def probeCellsFlat(spark0: SparkSession, cents: DataFrame,
+      centRows: Array[org.apache.spark.sql.Row], idCol: String,
+      vecCol: String, queries: DataFrame, nProbe: Int): (DataFrame, Seq[Any]) = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
       .withColumn("qn", norm("qe"))
     // rank centroids per query (centroid set is tiny → broadcast); same
@@ -218,8 +257,6 @@ object Similarity {
     // shape paid an rdd.zipWithIndex conversion job for the surrogate
     // index AND recomputed the centroid aggregation — a second corpus
     // scan — inside the crossJoin's broadcast side).
-    val centRows = cents.orderBy("cluster").collect()
-    val spark0 = embeddings.sparkSession
     val localCent = spark0.createDataFrame(
       java.util.Arrays.asList(centRows.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row(r.get(0), i + 1L, r.get(1)) }: _*),
@@ -248,9 +285,156 @@ object Similarity {
     // reference. This is the plan an IVF index issues natively: rank
     // centroids, then read only the probed lists.
     val probedRows = probed.collect()
-    val probedDf = embeddings.sparkSession.createDataFrame(
+    val probedDf = spark0.createDataFrame(
       java.util.Arrays.asList(probedRows: _*), probed.schema)
     (probedDf, probedRows.map(_.get(1)).distinct.toSeq)
+  }
+
+  /** Cell count above which [[ivfTopK]]'s coarse probe stages through
+    * super-centroids (the ivfTopKHier machinery) instead of scoring every
+    * query against every cell centroid — VERDICT r16 #4's flip, now a
+    * coded default. Rationale (§12d + §13b, measured on the 2M corpus):
+    * the flat coarse stage scores |queries| × cells pairs (≈45% of the
+    * wall at 10⁴ cells / 1024 queries: 8.48 → 5.15 s staged); the staged
+    * probe scores |queries| × (√cells · (1 + superProbe)). At the 4096
+    * boundary the staged probe is a small-panel wash (2.50 vs 2.72 s at
+    * 16 queries) and a clear large-panel win (6.30 vs 4.74 s at 1024).
+    * Below the bound the flat path is byte-for-byte the r16 shape —
+    * every declared query at the bench SFs carries ≲ 1.5k cells at most
+    * (label cells ≤ 10; policy cells ⌈√N⌉ ≲ 450), so their plans and
+    * results are untouched (re-verified against the oracle). */
+  val HierCellsThreshold: Int = 4096
+
+  /** Cell count above which the coarse probe runs fully DISTRIBUTED
+    * ([[probeCellsDist]]) — no collect of the centroid table at all
+    * (VERDICT r16 #3). The driver-side staged tier above holds the cells
+    * rows on the driver (≤ DistCellsThreshold × dims doubles ≈ 33 MB at
+    * 64 dims — safe) and runs an O(cells·g·iters) driver Lloyd's for the
+    * grouping, which stops being noise around 10⁵ cells (~10⁸ driver
+    * flops per probe build); under the √N policy cells = ⌈√N⌉ reaches 10⁶
+    * at N = 10¹², where the collect itself is hundreds of MB. Above this
+    * bound the distributed probe's fixed extra jobs (two stage barriers,
+    * one count, the distributed super-train — measured ~2-4 s of per-job
+    * latency at sf-rehearsal scale, §13b) are the price of a driver that
+    * stays O(√cells); below it the driver-side tiers are strictly
+    * faster. */
+  val DistCellsThreshold: Int = 65536
+
+  /** Super-group probe width of the routed distributed path — §12d's
+    * measured setting (agreement 0.889 with the flat probe's result set
+    * at 10⁴ cells, nProbe 8; the policy recall audit in [[ivfPolicyTopK]]
+    * remains the escalation valve above it). With superProbe ≥ the group
+    * count the probe set equals the flat path's EXACTLY (HierDistSpec —
+    * same contract as HierProbeSpec pins for the staged API variant). */
+  val DistSuperProbe: Int = 8
+
+  /** Distributed two-level coarse probe — the ≥ [[HierCellsThreshold]]
+    * arm of [[probeCells]]. No collect of the centroid table anywhere:
+    *   1. the centroid frame is staged once (it feeds the surrogate
+    *      index, the super-group train, and the stage-B scoring);
+    *   2. the dense order-preserving surrogate index (_cidx — the same
+    *      tie-break key the flat path ranks by) is a row_number over the
+    *      cell IDS ONLY (one narrow single-task sort of ≤ cells ids, no
+    *      vectors through the window);
+    *   3. the ⌈√cells⌉ super-groups are trained by the DISTRIBUTED
+    *      [[kmeansAssign]] over the centroid frame itself — driver state
+    *      is the g super-centroid literals, the same bound kmeansAssign
+    *      always carries;
+    *   4. stage A ranks super-centroids per query (broadcast of g rows),
+    *      stage B scores only the probed groups' cell centroids via a
+    *      broadcast equi-join on the group id — Θ(√cells · superProbe)
+    *      scored pairs per query, never Θ(cells);
+    *   5. only the |queries| × nProbe probe rows are collected (the
+    *      static IN scan filter, same contract as the flat path).
+    * With superProbe ≥ the trained group count, stage B scores every
+    * (query, cell) pair with the flat path's exact arithmetic and
+    * tie-break, so the probe set — and therefore the query result — is
+    * identical (HierDistSpec). */
+  private def probeCellsDist(spark0: SparkSession, cents: DataFrame,
+      idCol: String, vecCol: String, queries: DataFrame, nProbe: Int,
+      superProbe: Int = DistSuperProbe): (DataFrame, Seq[Any]) = {
+    import org.apache.spark.sql.expressions.Window
+    val c0 = stage(cents) // (cluster, centroid)
+    // dense order-preserving surrogate index over ids only (no vectors
+    // through the single-task window sort)
+    val cidx = c0.select(col("cluster"))
+      .withColumn("_cidx",
+        row_number().over(Window.orderBy("cluster")).cast("long"))
+    val cellN = c0.count()
+    val g = math.max(1, math.ceil(math.sqrt(cellN.toDouble)).toInt)
+    // distributed super-group train over the CELL CENTROIDS themselves;
+    // kmeansAssign keeps only the g super-centroids on the driver
+    val sgroups = kmeansAssign(c0, "cluster", "centroid", g, iters = 4)
+      .toDF("cluster", "_sg0")
+      .select(col("cluster"), col("_sg0").cast("long").as("_sg"))
+    // (cluster, ce, _cidx, _sg), staged once: it feeds the super-centroid
+    // aggregation, the stage-B scoring, and the final id map-back
+    val cells2 = stage(
+      c0.withColumnRenamed("centroid", "ce")
+        .join(cidx, Seq("cluster")).join(sgroups, Seq("cluster")))
+    // super-centroid vectors: mean of member cell centroids (one
+    // distributed aggregation, g rows out)
+    val superCents = centroids(
+      cells2.select(col("_sg").as("sgroup"), col("ce").as("e")),
+      "sgroup", "e")
+      .select(col("cluster").as("_sg"), col("centroid").as("ce"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
+      .withColumn("qn", norm("qe"))
+    // stage A: rank the g super-centroids per query
+    val sScored = q.crossJoin(broadcast(superCents.withColumn("cn", norm("ce"))))
+      .withColumn("cosine",
+        floor(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("cn"))) * 1000000.0)
+          / 1000000.0)
+    val pSup = rankTopK(
+        sScored.select(col("qid"), col("_sg").as("cid"), col("cosine")),
+        superProbe)
+      .select(col("qid"), col("cid").as("_sg"))
+    // stage B: score ONLY the probed groups' cell centroids — broadcast
+    // the (query, group) probe plan onto the distributed centroid frame
+    val cScored = cells2
+      .join(broadcast(pSup.join(q, Seq("qid"))), Seq("_sg"))
+      .withColumn("cn", norm("ce"))
+      .withColumn("cosine",
+        floor(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("cn"))) * 1000000.0)
+          / 1000000.0)
+    val probed = broadcast(rankTopK(
+        cScored.select(col("qid"), col("_cidx").as("cid"), col("cosine")),
+        nProbe)
+      .select(col("qid"), col("cid").as("_cidx")))
+      .join(cells2.select(col("_cidx"), col("cluster")), Seq("_cidx"))
+      .select("qid", "cluster")
+    val probedRows = probed.collect()
+    val probedDf = spark0.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probed.schema)
+    (probedDf, probedRows.map(_.get(1)).distinct.toSeq)
+  }
+
+  /** Test/rehearsal hook: [[ivfTopK]] forced through the r16 FLAT
+    * collect-and-broadcast probe regardless of cell count — the baseline
+    * the routed probe is measured against (HierProbeRehearsal). */
+  private[graft] def ivfTopKFlat(embeddings: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, queries: DataFrame, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val cents = centroids(embeddings, clusterCol, vecCol)
+    val centRows = cents.orderBy("cluster").collect()
+    val (probedDf, probedCells) = probeCellsFlat(embeddings.sparkSession,
+      cents, centRows, idCol, vecCol, queries, nProbe)
+    scanProbed(embeddings, idCol, vecCol, clusterCol, queries, k,
+      probedDf, probedCells)
+  }
+
+  /** Test/rehearsal hook: [[ivfTopK]] forced through the DISTRIBUTED
+    * two-level probe regardless of cell count (the auto route engages it
+    * only at ≥ [[HierCellsThreshold]] cells). HierDistSpec pins exhaustive
+    * superProbe == flat; HierProbeRehearsal measures the staged walls. */
+  private[graft] def ivfTopKDist(embeddings: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, queries: DataFrame, k: Int,
+      nProbe: Int = 2, superProbe: Int = DistSuperProbe): DataFrame = {
+    val cents = centroids(embeddings, clusterCol, vecCol)
+    val (probedDf, probedCells) = probeCellsDist(embeddings.sparkSession,
+      cents, idCol, vecCol, queries, nProbe, superProbe)
+    scanProbed(embeddings, idCol, vecCol, clusterCol, queries, k,
+      probedDf, probedCells)
   }
 
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
@@ -448,6 +632,17 @@ object Similarity {
       nProbe: Int, superProbe: Int): (DataFrame, Seq[Any]) = {
     val cents = centroids(embeddings, clusterCol, vecCol)
     val centRows = cents.orderBy("cluster").collect()
+    probeCellsHierRows(embeddings.sparkSession, cents, centRows, idCol,
+      vecCol, queries, nProbe, superProbe)
+  }
+
+  /** [[probeCellsHier]]'s body over ALREADY-COLLECTED centroid rows —
+    * shared with [[probeCells]]'s mid-tier route, which has the rows in
+    * hand from its routing collect. */
+  private def probeCellsHierRows(spark0: SparkSession, cents: DataFrame,
+      centRows: Array[org.apache.spark.sql.Row], idCol: String,
+      vecCol: String, queries: DataFrame, nProbe: Int,
+      superProbe: Int): (DataFrame, Seq[Any]) = {
     val vecsD = centRows.map(_.getSeq[Double](1).toArray)
     val g = math.max(1, math.ceil(math.sqrt(centRows.length.toDouble)).toInt)
     val sup = driverGroups(vecsD, g)
@@ -463,7 +658,6 @@ object Similarity {
           var d = 0; while (d < dims) { acc(d) += vecsD(i)(d); d += 1 } }
         (denseSid(s), acc.map(_ / members.length).toSeq)
       }
-    val spark0 = embeddings.sparkSession
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val ceField = cents.schema.fields(1).copy(name = "ce")
     val superDf = spark0.createDataFrame(

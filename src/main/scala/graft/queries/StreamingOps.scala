@@ -885,7 +885,12 @@ object StreamingOps {
         .select(col("event_id"), col("user_id"), col("sub"), col("us"),
           col("c"), timestamp_micros(col("us")).as("ts"))
       base.coalesce(1).write.parquet(in)
-      val maxUs = base.agg(max("us")).collect()(0).getLong(0)
+      // horizon from the JUST-WRITTEN file (one small column-pruned scan)
+      // instead of re-running the events load + shaping a second time —
+      // same rows by construction, so the same max (r17, guide §1.2:
+      // don't compute things twice)
+      val maxUs = s.read.parquet(in)
+        .agg(max("us")).collect()(0).getLong(0)
       val typed = s.readStream
         .schema("event_id LONG, user_id LONG, sub STRING, us LONG, c LONG, ts TIMESTAMP")
         .parquet(in)
