@@ -192,13 +192,20 @@ object TextAnalysis {
       k: Int = 16, w: Int = 4, maxDf: Long = 20L,
       minShared: Long = 5L, rolling: Boolean = false): DataFrame = {
     val fps = fpsOf(docs, textCol, idCol, k, w, rolling).staged
+    // r17 (guide §3.1): both the df census and the self-join's build side
+    // are CORPUS-FINGERPRINT-sized (statistics-less staged scans, so the
+    // planner was broadcasting them — ~all distinct fps as one broadcast
+    // relation, which hits the 8 GB/512M-row broadcast cap long before
+    // 100 TB). shuffle_hash keeps the join build per-partition-bounded at
+    // any corpus size; at sf0.1 it is also measurably faster (§13c).
     val rare = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("_df"))
-        .filter(col("_df") <= maxDf).select("fp"),
+        .filter(col("_df") <= maxDf).select("fp")
+        .hint("shuffle_hash"),
       Seq("fp"))
     val a = rare.select(col(idCol).as("doc_a"), col("fp"))
     val b = rare.select(col(idCol).as("doc_b"), col("fp"))
-    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+    a.join(b.hint("shuffle_hash"), Seq("fp")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
